@@ -1,0 +1,233 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph algorithms over a NetworkFrame — the ops that delegate to
+  * scipy.csgraph in the reference (networkframe.py:721-1330, :1540-1549) and
+  * genuinely need distributed re-implementation. Catalyst has no recursion,
+  * so fixpoints run as driver-controlled loops over DataFrames with
+  * `localCheckpoint()` per round to cut lineage (standard Spark graph
+  * practice); per-round cost is one join shuffle + one aggregation shuffle.
+  */
+object GraphAlgorithms {
+
+  /** Minimum-label propagation connected components.
+    * Returns (id, component) where component = min node id in the component
+    * (deterministic, unlike scipy's arbitrary int labels — semantics
+    * equivalent up to relabeling; networkframe.py:721-730).
+    *
+    * connection="weak" (or undirected frames) symmetrizes edges. Converges in
+    * O(diameter) rounds; each round localCheckpoints to keep lineage flat.
+    * At 100 TB scale: edges pre-partitioned by source reuse the same
+    * partitioning across rounds; AQE handles hub-node skew in the join.
+    */
+  def componentLabels(nf: NetworkFrame, connection: String = "weak"): DataFrame = {
+    val spark = nf.nodes.sparkSession
+    val sym =
+      if (connection == "weak" || !nf.directed) nf.symmetrizedEdges
+      else nf.edges.select(col("source"), col("target"))
+    val e = sym.distinct().localCheckpoint()
+
+    var labels = nf.nodes.select(col("id"), col("id").as("component")).localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 200) {
+      // every node receives the labels of its in-neighbors; keep the min
+      val msgs = e.join(labels.withColumnRenamed("id", "source"), Seq("source"))
+        .select(col("target").as("id"), col("component"))
+      val next = labels.union(msgs).groupBy("id")
+        .agg(min("component").as("component"))
+        .localCheckpoint()
+      val changed = next.join(
+          labels.withColumnRenamed("component", "prev"), Seq("id"))
+        .filter(col("component") =!= col("prev"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    labels
+  }
+
+  /** Number of connected components (networkframe.py:821-850). */
+  def nComponents(nf: NetworkFrame, connection: String = "weak"): Long =
+    componentLabels(nf, connection).select("component").distinct().count()
+
+  def isFullyConnected(nf: NetworkFrame, connection: String = "weak"): Boolean =
+    nComponents(nf, connection) == 1
+
+  /** Append a component label column to the node table
+    * (networkframe.py:881-929).
+    */
+  def labelNodesByComponent(nf: NetworkFrame, name: String = "component",
+                            connection: String = "weak"): NetworkFrame = {
+    val labels = componentLabels(nf, connection).withColumnRenamed("component", name)
+    nf.copy(nodes = nf.nodes.join(labels, Seq("id"), "left_outer"))
+  }
+
+  /** Restrict to the largest component — group-count + top-1, then the usual
+    * two-semi-join induction (networkframe.py:732-783). Ties broken by
+    * smallest component label for determinism.
+    */
+  def largestConnectedComponent(nf: NetworkFrame, connection: String = "weak"): NetworkFrame = {
+    val labels = componentLabels(nf, connection)
+    val top = labels.groupBy("component").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("component")).limit(1)
+    val keep = labels.join(broadcast(top.select("component")), Seq("component"), "left_semi")
+      .select("id")
+    val n = nf.nodes.join(keep, Seq("id"), "left_semi")
+    nf.copy(nodes = n, edges = induce(nf.edges, keep))
+  }
+
+  /** Reachable set from one node — iterative frontier expansion (BFS), the
+    * distributed analogue of `select_component_from_node`'s single-source
+    * shortest-path shortcut (networkframe.py:962-998). Returns the induced
+    * subgraph on the reachable node set (seed included).
+    */
+  def selectComponentFromNode(nf: NetworkFrame, nodeId: Any,
+                              directed: Boolean = true): NetworkFrame = {
+    val reached = bfsReachable(nf, nodeId, directed, maxHops = Int.MaxValue)
+    val n = nf.nodes.join(reached, Seq("id"), "left_semi")
+    nf.copy(nodes = n, edges = induce(nf.edges, reached))
+  }
+
+  /** Induced subgraph of nodes within <= k unweighted hops of `nodeId`
+    * (self included at k=0; networkframe.py:1241-1277).
+    */
+  def kHopNeighborhood(nf: NetworkFrame, nodeId: Any, k: Int,
+                       directed: Boolean = false): NetworkFrame = {
+    require(k >= 0, "k must be non-negative")
+    val reached = bfsReachable(nf, nodeId, directed, maxHops = k)
+    val n = nf.nodes.join(reached, Seq("id"), "left_semi")
+    nf.copy(nodes = n, edges = induce(nf.edges, reached))
+  }
+
+  /** Single-source BFS: ids reachable within <= maxHops (seed at hop 0).
+    * One semi-join-driven frontier expansion per round; stops when the
+    * frontier is empty or maxHops reached.
+    */
+  private def bfsReachable(nf: NetworkFrame, nodeId: Any, directed: Boolean,
+                           maxHops: Int): DataFrame = {
+    val e0 = if (directed) nf.edges.select(col("source"), col("target"))
+             else nf.symmetrizedEdges
+    val e = e0.distinct().localCheckpoint()
+    var visited = nf.nodes.select(col("id")).filter(col("id") === lit(nodeId))
+      .localCheckpoint()
+    var frontier = visited
+    var hops = 0
+    var done = frontier.isEmpty
+    while (!done && hops < maxHops) {
+      val next = e.join(frontier.withColumnRenamed("id", "source"), Seq("source"), "left_semi")
+        .select(col("target").as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        visited = visited.union(next).localCheckpoint()
+        frontier = next
+      }
+      hops += 1
+    }
+    visited
+  }
+
+  /** All-pairs <= k-hop reachability as a (id, neighbor) PAIR TABLE — the
+    * scalable representation of the reference's dense N x N `k_hop_mask`
+    * (networkframe.py:1279-1307; representation diverges, results match).
+    * Self-pairs excluded when dropSelf (the mask's zeroed diagonal,
+    * networkframe.py:1434-1435). Per-level distinct caps the blowup; at
+    * 100 TB scale add degree capping / bucketed edges.
+    */
+  def kHopPairs(nf: NetworkFrame, k: Int, directed: Boolean = false,
+                dropSelf: Boolean = true): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val e0 = if (directed) nf.edges.select(col("source"), col("target"))
+             else nf.symmetrizedEdges
+    val one = e0.distinct().localCheckpoint()
+    var pairs = one.select(col("source").as("id"), col("target").as("neighbor"))
+    var level = one
+    for (_ <- 2 to k) {
+      level = level.join(
+          one.withColumnRenamed("source", "target").withColumnRenamed("target", "next"),
+          Seq("target"))
+        .select(col("source"), col("next").as("target")).distinct()
+        .localCheckpoint()
+      pairs = pairs.union(level.select(col("source").as("id"), col("target").as("neighbor")))
+        .distinct().localCheckpoint()
+    }
+    if (dropSelf) pairs.filter(col("id") =!= col("neighbor")) else pairs
+  }
+
+  /** Aggregate node features over each node's <= k-hop neighborhood
+    * (networkframe.py:1332-1511): output columns `{col}_neighbor_{agg}`.
+    * Pair table join + one hash aggregation replaces the reference's dense
+    * mask matmul; `stddev_samp` replaces its hand-rolled shifted variance
+    * (networkframe.py:1466-1498). Spark aggs ignore nulls natively, matching
+    * the reference's fillna(0)+notna-divisor emulation (:1440-1447).
+    * NOTE: std works standalone here — the reference's std-only NameError
+    * (networkframe.py:1483) is an acknowledged bug we do not replicate.
+    */
+  def kHopAggregation(nf: NetworkFrame, k: Int,
+                      aggregations: Seq[String] = Seq("mean"),
+                      directed: Boolean = false,
+                      dropSelf: Boolean = true,
+                      columns: Option[Seq[String]] = None): DataFrame = {
+    val pairs = kHopPairs(nf, k, directed, dropSelf)
+    aggregateOverGraph(pairs, nf.nodes, aggregations, columns)
+  }
+
+  /** Free-function form over a caller-supplied (id, neighbor) pair table —
+    * the exported `aggregate_over_graph` (algorithms.py:9-139). Non-numeric
+    * columns are dropped, mirroring select_dtypes (networkframe.py:1394-1396).
+    * Nodes with an empty neighborhood keep null aggregates.
+    */
+  def aggregateOverGraph(pairs: DataFrame, nodes: DataFrame,
+                         aggregations: Seq[String] = Seq("mean"),
+                         columns: Option[Seq[String]] = None): DataFrame = {
+    val numericCols = columns.getOrElse(
+      nodes.schema.fields.collect {
+        case f if f.name != "id" && f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+          f.name
+      }.toSeq)
+    val feats = nodes.select((col("id").as("neighbor") +: numericCols.map(col)): _*)
+    val joined = pairs.join(feats, Seq("neighbor"))
+    val aggs = for { c <- numericCols; a <- aggregations }
+      yield NetworkFrame.namedAgg(a, col(c)).as(s"${c}_neighbor_$a")
+    val out = joined.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    // left join back so nodes with no neighbors appear with nulls
+    nodes.select(col("id")).join(out, Seq("id"), "left_outer")
+  }
+
+  /** Spectral node ordering (networkframe.py:1540-1549): order nodes by the
+    * leading eigenvector of the symmetrized weighted adjacency, computed by
+    * distributed power iteration — v <- normalize((A + A^T) v) — instead of
+    * driver-resident eigsh. Each iteration: one join + one aggregation.
+    */
+  def sortSpectral(nf: NetworkFrame, weightCol: String = "weight",
+                   iterations: Int = 30): DataFrame = {
+    val sym = nf.edges.select(col("source"), col("target"), col(weightCol).as("w"))
+      .union(nf.edges.select(col("target").as("source"), col("source").as("target"),
+        col(weightCol).as("w")))
+      .groupBy("source", "target").agg(sum("w").as("w"))
+      .localCheckpoint()
+    var v = nf.nodes.select(col("id"), lit(1.0).as("score")).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val prod = sym.join(v.withColumnRenamed("id", "target"), Seq("target"))
+        .groupBy(col("source").as("id"))
+        .agg(sum(col("w") * col("score")).as("score"))
+      val full = nf.nodes.select(col("id")).join(prod, Seq("id"), "left_outer")
+        .na.fill(0.0, Seq("score"))
+      val norm = math.sqrt(
+        full.agg(sum(col("score") * col("score"))).first().getDouble(0) max 1e-300)
+      v = full.withColumn("score", col("score") / lit(norm)).localCheckpoint()
+    }
+    nf.nodes.join(v, Seq("id"), "left_outer")
+      .orderBy(col("score"), col("id"))
+  }
+
+  private def induce(edges: DataFrame, ids: DataFrame): DataFrame =
+    edges
+      .join(ids.withColumnRenamed("id", "source"), Seq("source"), "left_semi")
+      .join(ids.withColumnRenamed("id", "target"), Seq("target"), "left_semi")
+}

@@ -1,0 +1,315 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** A network represented as a pair of DataFrames: a node table keyed by a
+  * unique `id` column and an edge table with `source`/`target` columns whose
+  * values are node ids (reference semantics: networkframe.py:33-99).
+  *
+  * Unlike the reference (eager, driver-resident pandas), every operation here
+  * composes lazy Catalyst plans and returns a new immutable wrapper — the
+  * Spark analogue of the reference's shallow-copy `_return`
+  * (networkframe.py:101-110). Node ids live in an explicit `id` column
+  * (Spark has no row index); duplicate (source,target) edge rows are allowed
+  * (multigraph, networkframe.py:86).
+  *
+  * Scale posture: the node table is usually small relative to edges, so node
+  * lookups (`applyNodeFeatures`) broadcast; edge-side subgraph induction is
+  * expressed as LEFT SEMI equi-joins on node id, which Catalyst plans as
+  * broadcast-hash joins when the filtered node set is small and shuffled hash
+  * joins otherwise (AQE re-plans at runtime).
+  */
+final case class NetworkFrame(
+    nodes: DataFrame,
+    edges: DataFrame,
+    directed: Boolean = true) {
+
+  import NetworkFrame._
+
+  // ---------------------------------------------------------------- validate
+
+  /** Referential-integrity + uniqueness check (networkframe.py:71-81).
+    * Optional by design — the reference flags it "very very slow"; here it is
+    * two distributed aggregations. Throws IllegalArgumentException on
+    * violation, mirroring the reference's ValueError.
+    */
+  def validate(): NetworkFrame = {
+    val dup = nodes.groupBy(col("id")).count().filter(col("count") > 1).limit(1).count()
+    require(dup == 0, "Node ids must be unique")
+    val ids = nodes.select(col("id"))
+    val dangling = edges.select(col("source").as("id"))
+      .union(edges.select(col("target").as("id")))
+      .distinct()
+      .join(ids, Seq("id"), "left_anti")
+      .limit(1).count()
+    require(dangling == 0, "All edge endpoints must be in the node table")
+    this
+  }
+
+  /** Node count — the reference's `__len__` (networkframe.py:190). Action. */
+  def numNodes: Long = nodes.count()
+  def numEdges: Long = edges.count()
+
+  // ----------------------------------------------------- subgraph selection
+
+  /** Keep only edges whose BOTH endpoints are in `n` (the signature semantic
+    * of the reference: filtering nodes induces a consistent edge filter,
+    * networkframe.py:334-336). Two LEFT SEMI joins on node id.
+    */
+  private def induceEdges(e: DataFrame, n: DataFrame): DataFrame = {
+    val ids = n.select(col("id"))
+    e.join(ids.withColumnRenamed("id", "source"), Seq("source"), "left_semi")
+      .join(ids.withColumnRenamed("id", "target"), Seq("target"), "left_semi")
+  }
+
+  /** Filter nodes by a Spark SQL boolean expression, then re-induce edges
+    * (networkframe.py:273-338). `params` replaces the reference's `@var`
+    * binding (networkframe.py:277-298): occurrences of `@name` in `expr` are
+    * substituted with safely rendered SQL literals.
+    */
+  def queryNodes(expr: String, params: Map[String, Any] = Map.empty): NetworkFrame = {
+    val n = nodes.filter(bindParams(expr, params))
+    copy(nodes = n, edges = induceEdges(edges, n))
+  }
+
+  /** Filter edges by expression; nodes untouched — isolated nodes are
+    * retained (networkframe.py:347-409, README.md:70-79).
+    */
+  def queryEdges(expr: String, params: Map[String, Any] = Map.empty): NetworkFrame =
+    copy(edges = edges.filter(bindParams(expr, params)))
+
+  /** Drop the given node ids, then re-induce edges (networkframe.py:223-244). */
+  def removeNodes(ids: DataFrame): NetworkFrame = {
+    val n = nodes.join(ids.select(col(ids.columns.head).as("id")), Seq("id"), "left_anti")
+    copy(nodes = n, edges = induceEdges(edges, n))
+  }
+
+  /** Subtract edges by (source,target) key. Matches the reference: ALL
+    * duplicate edges sharing a removed key are dropped (networkframe.py:250-257).
+    */
+  def removeEdges(remove: DataFrame): NetworkFrame =
+    copy(edges = edges.join(
+      remove.select(col("source"), col("target")), Seq("source", "target"), "left_anti"))
+
+  /** Append rows; no dedup, no validation (networkframe.py:261-271). */
+  def addNodes(more: DataFrame): NetworkFrame =
+    copy(nodes = nodes.unionByName(more, allowMissingColumns = true))
+  def addEdges(more: DataFrame): NetworkFrame =
+    copy(edges = edges.unionByName(more, allowMissingColumns = true))
+
+  /** Conform the node table to a given id list: ids present keep their
+    * attributes, missing ids appear with null attributes (pandas `reindex`,
+    * networkframe.py:203-221). Edges re-induced.
+    */
+  def reindexNodes(index: DataFrame): NetworkFrame = {
+    val idx = index.select(col(index.columns.head).as("id"))
+    val n = idx.join(nodes, Seq("id"), "left_outer")
+    copy(nodes = n, edges = induceEdges(edges, n))
+  }
+
+  /** Drop nodes that appear in no edge (networkframe.py:411-456). */
+  def removeUnusedNodes(): NetworkFrame = {
+    val used = edges.select(col("source").as("id"))
+      .union(edges.select(col("target").as("id"))).distinct()
+    copy(nodes = nodes.join(used, Seq("id"), "left_semi"))
+  }
+
+  /** Rectangular (bipartite-style) selection: edges with source in `rows`
+    * AND target in `cols`; nodes = union of both id sets, deduplicated
+    * (LocIndexer, networkframe.py:1552-1609).
+    */
+  def loc(rows: DataFrame, cols: DataFrame): NetworkFrame = {
+    val r = rows.select(col(rows.columns.head).as("id"))
+    val c = cols.select(col(cols.columns.head).as("id"))
+    val e = edges
+      .join(r.withColumnRenamed("id", "source"), Seq("source"), "left_semi")
+      .join(c.withColumnRenamed("id", "target"), Seq("target"), "left_semi")
+    val n = nodes.join(r.union(c).distinct(), Seq("id"), "left_semi")
+    copy(nodes = n, edges = e)
+  }
+
+  // --------------------------------------------------------------- joins
+
+  /** Stamp node attribute columns onto edges as `source_{col}` /
+    * `target_{col}` (networkframe.py:458-498; README.md:105-119). The node
+    * table is broadcast — it is the small side of THE enrichment join.
+    * axis: "source" | "target" | "both".
+    */
+  def applyNodeFeatures(columns: Seq[String], axis: String = "both"): NetworkFrame = {
+    var e = edges
+    if (axis == "source" || axis == "both") {
+      val src = nodes.select(
+        col("id").as("source") +: columns.map(c => col(c).as(s"source_$c")): _*)
+      e = e.join(broadcast(src), Seq("source"), "left_outer")
+    }
+    if (axis == "target" || axis == "both") {
+      val tgt = nodes.select(
+        col("id").as("target") +: columns.map(c => col(c).as(s"target_$c")): _*)
+      e = e.join(broadcast(tgt), Seq("target"), "left_outer")
+    }
+    copy(edges = e)
+  }
+
+  /** Fraction of this frame's node ids present in `other` (networkframe.py:1225-1239). */
+  def nodeAgreement(other: NetworkFrame): DataFrame = {
+    val hits = nodes.select(col("id"))
+      .join(other.nodes.select(col("id")), Seq("id"), "left_semi").count()
+    val total = nodes.count()
+    val frac = if (total == 0) 0.0 else hits.toDouble / total
+    nodes.sparkSession.sql(s"SELECT CAST($frac AS DOUBLE) AS agreement")
+  }
+
+  // --------------------------------------------------------- aggregations
+
+  /** Multi-edge dedup: one row per (source,target) with aggregated weight —
+    * the canonical effective-edges op (networkframe.py:636-645). `weightCol`
+    * None => count of parallel edges.
+    */
+  def effectiveEdges(weightCol: Option[String] = None, aggfunc: String = "sum"): DataFrame = {
+    val agg: Column = weightCol match {
+      case None      => count(lit(1)).as("weight")
+      case Some(w)   => namedAgg(aggfunc, col(w)).as("weight")
+    }
+    edges.groupBy(col("source"), col("target")).agg(agg)
+  }
+
+  /** Group the frame by a node attribute (networkframe.py:1000-1073). */
+  def groupbyNodes(by: String): NodeGroupBy = NodeGroupBy(this, by)
+
+  /** Quotient / condensation graph (networkframe.py:1513-1538): new nodes =
+    * distinct values of `nodes[by]`; new edges = per-(source-group,
+    * target-group) aggregate of edge values.
+    */
+  def condense(by: String, func: String = "size", weightName: String = "weight",
+               column: Option[String] = None): NetworkFrame = {
+    val e = groupbyNodes(by).applyEdges(func, column, weightName)
+    val n = nodes.select(col(by).as("id")).distinct()
+    NetworkFrame(n, e, directed)
+  }
+
+  /** In/out/total degree per node (isolated nodes get 0). */
+  def degrees(): DataFrame = {
+    val out = edges.groupBy(col("source").as("id")).agg(count(lit(1)).as("out_degree"))
+    val in = edges.groupBy(col("target").as("id")).agg(count(lit(1)).as("in_degree"))
+    nodes.select(col("id"))
+      .join(out, Seq("id"), "left_outer")
+      .join(in, Seq("id"), "left_outer")
+      .na.fill(0L, Seq("out_degree", "in_degree"))
+      .withColumn("degree", col("out_degree") + col("in_degree"))
+  }
+
+  /** Dense adjacency as a wide DataFrame (networkframe.py:500-543): pivot on
+    * target with an explicit (driver-bounded) value list. Export-only op —
+    * schema width is bounded by the driver; do not use on large id spaces.
+    */
+  def toAdjacency(weightCol: String, targetValues: Seq[Any],
+                  aggfunc: String = "sum"): DataFrame = {
+    edges.groupBy(col("source"))
+      .pivot("target", targetValues)
+      .agg(namedAgg(aggfunc, col(weightCol)))
+      .na.fill(0)
+  }
+
+  /** Sparse adjacency in COO form with POSITIONAL codes: (row, col, value)
+    * where row/col are 0-based dense ranks of node id in id order
+    * (networkframe.py:592-672 — `pd.Categorical` codes). Stays relational;
+    * CSR materialization is a driver-side export concern.
+    */
+  def toSparseAdjacencyCoo(weightCol: Option[String] = None,
+                           aggfunc: String = "sum"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = nodes.select(col("id"))
+      .withColumn("pos", row_number().over(Window.orderBy(col("id"))) - 1)
+    val eff = effectiveEdges(weightCol, aggfunc)
+    eff
+      .join(pos.withColumnRenamed("id", "source").withColumnRenamed("pos", "row"), Seq("source"))
+      .join(pos.withColumnRenamed("id", "target").withColumnRenamed("pos", "col"), Seq("target"))
+      .select(col("row"), col("col"), col("weight").as("value"))
+  }
+
+  // ------------------------------------------------------------- exports
+
+  /** Symmetrized edge list (source,target) + (target,source) — the
+    * undirected interpretation used by weak connectivity / undirected BFS.
+    */
+  def symmetrizedEdges: DataFrame =
+    edges.select(col("source"), col("target"))
+      .union(edges.select(col("target").as("source"), col("source").as("target")))
+
+  /** JSON envelope of both tables + directed flag (networkframe.py:1175-1191).
+    * Driver-memory-bound by construction; for scale use write.parquet per table.
+    */
+  def toJsonLocal(): String = {
+    val n = nodes.toJSON.collect().mkString("[", ",", "]")
+    val e = edges.toJSON.collect().mkString("[", ",", "]")
+    s"""{"nodes":$n,"edges":$e,"directed":$directed}"""
+  }
+}
+
+object NetworkFrame {
+
+  /** Build from an edge table alone: nodes derived as distinct endpoints. */
+  def fromEdges(edges: DataFrame, directed: Boolean = true): NetworkFrame = {
+    val nodes = edges.select(col("source").as("id"))
+      .union(edges.select(col("target").as("id"))).distinct()
+    NetworkFrame(nodes, edges, directed)
+  }
+
+  /** Map the reference's string agg names (groupby.py:100-112,
+    * networkframe.py:501) to codegen'd built-ins.
+    */
+  def namedAgg(name: String, c: Column): Column = name match {
+    case "size" | "count" => count(lit(1))
+    case "sum"            => sum(c)
+    case "mean" | "avg"   => avg(c)
+    case "max"            => max(c)
+    case "min"            => min(c)
+    case "any"            => max(c.cast("boolean")).cast("boolean")
+    case "std"            => stddev_samp(c)
+    case other            => throw new IllegalArgumentException(s"unknown agg: $other")
+  }
+
+  /** Substitute `@name` parameters with safely rendered SQL literals —
+    * the Spark-side equivalent of pandas query `@var` binding
+    * (networkframe.py:277-298).
+    */
+  def bindParams(expr: String, params: Map[String, Any]): String =
+    params.foldLeft(expr) { case (e, (k, v)) => e.replace("@" + k, sqlLiteral(v)) }
+
+  private def sqlLiteral(v: Any): String = v match {
+    case s: String => "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    case seq: Seq[_] => seq.map(sqlLiteral).mkString("(", ",", ")")
+    case null => "NULL"
+    case other => other.toString
+  }
+}
+
+/** Grouped view of a NetworkFrame by a node attribute (groupby.py:7-161).
+  * Nothing materializes at construction; aggregation ops compile to an
+  * enrichment join + one hash aggregation (one shuffle on the group pair).
+  */
+final case class NodeGroupBy(frame: NetworkFrame, by: String) {
+
+  private def srcCol = s"source_$by"
+  private def tgtCol = s"target_$by"
+
+  /** Quotient-graph edge aggregation (groupby.py:91-121): stamp the group of
+    * each endpoint onto edges, then aggregate per (source-group, target-group).
+    * Output columns: source, target, `weightName`.
+    */
+  def applyEdges(func: String, column: Option[String] = None,
+                 weightName: String = "weight"): DataFrame = {
+    val enriched = frame.applyNodeFeatures(Seq(by), "both").edges
+    val valueCol = column.map(col).getOrElse(lit(1))
+    enriched.groupBy(col(srcCol).as("source"), col(tgtCol).as("target"))
+      .agg(NetworkFrame.namedAgg(func, valueCol).as(weightName))
+  }
+
+  /** Block-count matrix of the quotient graph (groupby.py:123-124). */
+  def sizeEdges(weightName: String = "size"): DataFrame =
+    applyEdges("size", None, weightName)
+
+  /** Group-key → member-count summary (groupby.py:42-62). */
+  def sourceGroups: DataFrame = frame.nodes.groupBy(col(by)).agg(count(lit(1)).as("n_nodes"))
+}

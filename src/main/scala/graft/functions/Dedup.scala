@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed around
+  * one shuffle-on-a-compact-key so they scale to 100 TB corpora:
+  *
+  *  - exact: hash-groupBy on a fingerprint (shuffle key = 16-byte digest)
+  *  - MinHash+LSH: shingle -> minhash signature -> banded buckets ->
+  *    bucket-join candidates (the shuffle key is the (band,bucket) pair, so
+  *    only colliding docs ever meet — never the O(n^2) pair space)
+  *  - SimHash: 32-bit weighted-bit fingerprint; near-dup = small Hamming gap
+  *  - n-gram Jaccard: exact set overlap via shingle-inverted-index self-join
+  *    (bounded by shared-shingle pairs, not all pairs)
+  *
+  * All hashing is MD5-based so the DuckDB oracle can mirror it exactly.
+  */
+object Dedup {
+
+  /** Exact dedup groups: one row per distinct normalized text with the
+    * representative (min id) and the duplicate count.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Rows surviving exact dedup (keep min id per fingerprint). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.join(
+      exactGroups(df, idCol, textCol).select(col("keep_id").as(idCol)),
+      Seq(idCol), "left_semi")
+
+  /** MinHash signature rows: (id, h, minhash) for h in [0, numHashes).
+    * Hash family h(s) = md5(h || ':' || shingle); the signature entry is the
+    * lexicographic min digest — identical semantics in any engine with MD5.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 16, shingleLen: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(TextAnalysis.shingles(col(textCol), shingleLen)).as("shingle"))
+    val hs = sh.select(col("id"), explode(
+        transform(sequence(lit(0), lit(numHashes - 1)),
+          h => struct(h.as("h"), md5(concat(h.cast("string"), lit(":"), col("shingle"))).as("v"))))
+        .as("hv"))
+      .select(col("id"), col("hv.h").as("h"), col("hv.v").as("v"))
+    hs.groupBy("id", "h").agg(min("v").as("minhash"))
+  }
+
+  /** LSH banding: (id, band, bucket) where bucket = md5 of the band's
+    * concatenated signature rows. Docs sharing any (band,bucket) are
+    * candidate near-duplicates.
+    */
+  def lshBuckets(df: DataFrame, idCol: String, textCol: String,
+                 numHashes: Int = 16, bands: Int = 4, shingleLen: Int = 3): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    minhashSignatures(df, idCol, textCol, numHashes, shingleLen)
+      .withColumn("band", (col("h") / lit(rowsPerBand)).cast("int"))
+      .groupBy("id", "band")
+      // deterministic band digest: rows ordered by h via sort_array on (h, minhash)
+      .agg(md5(array_join(transform(sort_array(collect_list(struct(col("h"), col("minhash")))),
+        s => s.getField("minhash")), "|")).as("bucket"))
+  }
+
+  /** Candidate near-dup pairs from LSH: ids sharing a (band,bucket), a < b,
+    * with the estimated Jaccard = fraction of agreeing signature rows.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int = 16, bands: Int = 4,
+                      shingleLen: Int = 3): DataFrame = {
+    val b = lshBuckets(df, idCol, textCol, numHashes, bands, shingleLen)
+    val cand = b.as("x").join(b.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    val sig = minhashSignatures(df, idCol, textCol, numHashes, shingleLen)
+    cand
+      .join(sig.select(col("id").as("id_a"), col("h"), col("minhash").as("va")), Seq("id_a"))
+      .join(sig.select(col("id").as("id_b"), col("h"), col("minhash").as("vb")), Seq("id_b", "h"))
+      .groupBy("id_a", "id_b")
+      .agg((sum(when(col("va") === col("vb"), 1).otherwise(0)).cast("double") /
+        count(lit(1)).cast("double")).as("est_jaccard"))
+  }
+
+  /** 32-bit SimHash over the token multiset. Bit b of md5(token) is
+    * extracted arithmetically from the hex digest (strpos-based nibble
+    * decode — mirrored verbatim in the oracle); each token votes +-1 per
+    * bit; the fingerprint sets bit b iff the vote sum is positive.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .withColumn("hx", md5(col("tok")))
+    val bits = toks.select(col("id"),
+        explode(sequence(lit(0), lit(31))).as("b"), col("hx"))
+      .withColumn("nib",
+        instr(lit("0123456789abcdef"),
+          substring(col("hx"), (col("b") / 4).cast("int") + 1, lit(1))) - 1)
+      .withColumn("bit", floor(col("nib") / pow(lit(2), col("b") % 4)).cast("long") % 2)
+      .withColumn("vote", col("bit") * 2 - 1)
+    bits.groupBy("id", "b").agg(sum("vote").as("v"))
+      .withColumn("bitval",
+        when(col("v") > 0, pow(lit(2), col("b")).cast("long")).otherwise(lit(0L)))
+      .groupBy("id").agg(sum("bitval").as("simhash"))
+  }
+
+  /** Exact n-gram Jaccard similarity for all doc pairs sharing at least one
+    * shingle — inverted-index self-join, so cost is bounded by co-occurrence,
+    * not the full pair space.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleLen: Int = 3, minJaccard: Double = 0.0): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(TextAnalysis.shingles(col(textCol), shingleLen)).as("shingle"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sza")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("szb")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

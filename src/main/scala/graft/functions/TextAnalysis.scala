@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, document fingerprinting.
+  * All are pure codegen'd column expressions (no UDFs) over a text column —
+  * they scan linearly, never shuffle, and push down column pruning to the
+  * Parquet reader, so they hold at 100 TB trivially.
+  *
+  * Determinism note: every expression here is also expressible in ANSI SQL
+  * (the DuckDB oracle mirrors them exactly); fingerprints use MD5, which both
+  * engines implement identically.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization. Single-space split keeps oracle parity simple. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Token count + a BPE-ish subword estimate: sum of ceil(len(w)/4) over
+    * words — the standard "~4 chars per token" heuristic, computed exactly.
+    */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def bpeTokenEstimate(text: Column): Column =
+    aggregate(
+      transform(tokens(text), w => ceil(length(w).cast("double") / lit(4.0)).cast("long")),
+      lit(0L),
+      (acc, v) => acc + v)
+
+  /** Per-language marker (stopword) lists for the n-gram/stopword language-ID
+    * heuristic. Fixed, deterministic, tiny — evaluated inline per row.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "et", "est", "une"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+    "zh" -> Seq("的", "是", "在"))
+
+  /** Count of tokens belonging to a marker set. */
+  def markerHits(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), w => w.isInCollection(markers)))
+
+  /** Heuristic language ID: argmax of marker hits, ties broken by the fixed
+    * language order above; "und" when no marker hits at all.
+    */
+  def langId(text: Column): Column = {
+    val hits = langMarkers.map { case (lang, ms) => lang -> markerHits(text, ms) }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = hits.foldRight(lit("und")) { case ((lang, h), acc) =>
+      when(h === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    // foldRight builds nested whens in order; first language reaching the max wins
+    pick
+  }
+
+  /** Quality-scoring features: char length, token count, mean token length,
+    * stopword ratio, punctuation ratio, and a combined [0,1] score.
+    * Mirrors the usual Gopher/C4-style length+ratio filters.
+    */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nTok = tokenCount(t)
+    val nChar = length(t)
+    val stop = markerHits(t, langMarkers.flatMap(_._2))
+    val punct = length(t) - length(regexp_replace(t, "[.,;:!?]", ""))
+    df.withColumn("n_chars", nChar.cast("long"))
+      .withColumn("n_tokens", nTok.cast("long"))
+      .withColumn("mean_token_len",
+        (nChar - nTok + lit(1)).cast("double") / nTok.cast("double"))
+      .withColumn("stopword_ratio", stop.cast("double") / nTok.cast("double"))
+      .withColumn("punct_ratio", punct.cast("double") / nChar.cast("double"))
+      .withColumn("quality_score",
+        when(nTok >= 10 && nTok <= 1000, lit(1.0)).otherwise(lit(0.5))
+          * when(col("stopword_ratio") > 0.05, lit(1.0)).otherwise(lit(0.8))
+          * when(col("punct_ratio") < 0.2, lit(1.0)).otherwise(lit(0.7)))
+  }
+
+  /** Whole-document fingerprint: MD5 of the normalized text. */
+  def fingerprint(text: Column): Column = md5(lower(trim(text)))
+
+  /** Winnowing-style rolling fingerprint: the lexicographic min of MD5 over
+    * all sliding `w`-word windows — a content-defined document signature
+    * robust to local edits. Null for docs shorter than `w` words.
+    */
+  def rollingFingerprint(text: Column, w: Int = 5): Column = {
+    val toks = tokens(text)
+    array_min(
+      transform(
+        sequence(lit(1), greatest(size(toks) - lit(w - 1), lit(0))),
+        i => md5(array_join(slice(toks, i, lit(w)), " "))))
+  }
+
+  /** Distinct `n`-word shingles of a document — the unit of MinHash /
+    * Jaccard dedup.
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(0))),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video travel as opaque `BINARY`
+  * columns with typed metadata, processed per-partition in fixed-size
+  * batches (the Scala analogue of a Pandas-UDF-over-mapInPandas pipeline:
+  * same schema contract, same batch shape, same partitioning story).
+  *
+  * The actual codec step is a STUB — image/audio libraries are not in this
+  * container — implemented as a clearly-marked deterministic fake so the
+  * Spark-side plumbing (schemas, encoders, batching, partition sizing) is
+  * real and testable. Swap `stubDecode*` for a real decoder (e.g. JNI/
+  * javax.imageio) without touching any plan structure.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata. */
+  case class MediaRecord(id: Long, media: Array[Byte], mime: String)
+
+  /** Decoded image metadata + feature vector (fixed dim). */
+  case class ImageFeatures(id: Long, width: Int, height: Int, channels: Int,
+                           byte_len: Long, features: Array[Float])
+
+  /** A sampled frame reference for video payloads. */
+  case class Frame(id: Long, frame_index: Int, frame_md5: String)
+
+  val featureDim = 8
+
+  // ------------------------------------------------------------------ STUBS
+  // STUB: deterministic fake decode. A real implementation would parse the
+  // image header and run a feature extractor; this derives metadata and a
+  // feature vector from the bytes so behavior is testable and reproducible.
+  private def stubDecodeImage(bytes: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+    val n = bytes.length
+    val w = 1 + (math.abs(if (n > 0) bytes(0).toInt else 0) % 64)
+    val h = 1 + (math.abs(if (n > 1) bytes(1).toInt else 0) % 64)
+    val feats = Array.tabulate(featureDim) { i =>
+      (if (n > i) bytes(i % n).toFloat else 0f) / 128f
+    }
+    (w, h, 3, feats)
+  }
+
+  /** Decode + feature-extract images, batch-at-a-time per partition.
+    * Plan shape: narrow mapPartitions — no shuffle; upstream should size
+    * partitions via `spark.sql.files.maxPartitionBytes` so one batch of
+    * decoded images fits executor memory (payloads dominate).
+    */
+  def decodeImages(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[ImageFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val (w, h, c, f) = stubDecodeImage(r.media)
+          ImageFeatures(r.id, w, h, c, r.media.length.toLong, f)
+        }
+      }
+    }
+  }
+
+  /** Sample every `stride`-th "frame" of a video payload. STUB: a frame is a
+    * fixed-size byte slice; real impl would demux. Output shape (one row per
+    * sampled frame) and the explode-like fan-out are the real contract.
+    */
+  def sampleFrames(ds: Dataset[MediaRecord], frameBytes: Int = 16,
+                   stride: Int = 4): Dataset[Frame] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { r =>
+      val nFrames = math.max(r.media.length / frameBytes, 0)
+      (0 until nFrames by stride).map { i =>
+        val slice = r.media.slice(i * frameBytes, (i + 1) * frameBytes)
+        Frame(r.id, i, java.security.MessageDigest.getInstance("MD5")
+          .digest(slice).map("%02x".format(_)).mkString)
+      }
+    }
+  }
+
+  /** Pure-column metadata extraction (no decode): works on any binary column
+    * with codegen'd expressions only — the cheap pre-filter before decode.
+    */
+  def binaryMetadata(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    df.select(col(idCol),
+      length(col(binCol)).cast("long").as("byte_len"),
+      md5(col(binCol)).as("content_md5"))
+
+  /** Build a MediaRecord dataset from a text table (test harness: UTF-8 bytes
+    * stand in for media payloads; schemas and plumbing are identical).
+    */
+  def fromText(spark: SparkSession, df: DataFrame, idCol: String,
+               textCol: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        encode(col(textCol), "UTF-8").as("media"),
+        lit("text/plain").as("mime"))
+      .as[MediaRecord]
+  }
+}
