@@ -149,7 +149,7 @@ object GraphAlgorithms {
     var level = one
     for (_ <- 2 to k) {
       level = level.join(
-          one.withColumnRenamed("source", "target").withColumnRenamed("target", "next"),
+          one.select(col("source").as("target"), col("target").as("next")),
           Seq("target"))
         .select(col("source"), col("next").as("target")).distinct()
         .localCheckpoint()

@@ -1,13 +1,558 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{Dedup, Similarity, TextAnalysis}
+import graft.multimodal.Multimodal
+import graft.streaming.EventStream
+
+/** Driver contract: one `queries` entry (+ matching DuckDB `oracleSql`) per
+  * implemented operator from SURVEY.md §2 and per LLM-pipeline extension op.
+  *
+  * Determinism discipline (so Spark parquet output hash-matches the DuckDB
+  * oracle bit-for-bit): all order-dependent floating accumulation is done in
+  * DECIMAL (exact, order-independent); doubles appear only in final scalar
+  * expressions whose operands are identical in both engines. Every query's
+  * output carries a total ORDER BY over its columns.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ------------------------------------------------------------- fixtures
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Customer graph: nodes = customer, edges = orders with target derived as
+    * o_orderkey mod |customer| — a deterministic synthetic multigraph over
+    * the customer id space (FIXTURES.md §B).
+    */
+  private def graph(s: SparkSession, dir: String): NetworkFrame = {
+    val c = tbl(s, dir, "customer")
+    val n = c.count() // |customer|: single metadata-cheap action on the dim table
+    val nodes = c.select(col("c_custkey").as("id"), col("c_name"),
+      col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+    val edges = tbl(s, dir, "orders").select(
+      col("o_custkey").as("source"),
+      (col("o_orderkey") % n).as("target"),
+      col("o_totalprice").as("weight"),
+      col("o_orderkey").as("edge_id"))
+    NetworkFrame(nodes, edges)
+  }
+
+  /** Sparse variant (every 10th order) — used for component / BFS / k-hop
+    * queries so the graph has interesting structure.
+    */
+  private def sparse(s: SparkSession, dir: String): NetworkFrame = {
+    val g = graph(s, dir)
+    g.copy(edges = g.edges.filter(col("edge_id") % 10 === 0))
+  }
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "embeddings")
+
+  /** DuckDB CTE prelude mirroring `graph`/`sparse` exactly. */
+  private val G =
+    """WITH RECURSIVE nodes AS (SELECT c_custkey AS id, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer),
+edges AS (SELECT o_custkey AS source, o_orderkey % (SELECT count(*) FROM customer) AS target, o_totalprice AS weight, o_orderkey AS edge_id FROM orders),
+sedges AS (SELECT source, target, weight, edge_id FROM edges WHERE edge_id % 10 = 0),
+sym AS (SELECT source, target FROM sedges UNION SELECT target, source FROM sedges)"""
+
+  /** Shared component-label CTE (min reachable id over the symmetrized
+    * sparse graph) — mirrors GraphAlgorithms.componentLabels.
+    */
+  private val LAB =
+    """,
+reach(id, r) AS (SELECT id, id FROM nodes UNION SELECT reach.id, s.target FROM reach JOIN sym s ON s.source = reach.r),
+lab AS (SELECT id, min(r) AS component FROM reach GROUP BY id)"""
+
+  // deterministic decimal accumulation helpers
+  private val D = "decimal(18,2)"
+  private def sumDec(c: Column): Column = sum(c.cast(D))
+  private def sumD(c: Column): Column = sumDec(c).cast("double")
+
+  // ------------------------------------------------------------ entrypoint
+
+  /** Flagship query on sf=0.001: quotient graph of the customer graph by
+    * market segment, weighted by exact total order value.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val g = graph(spark, "/root/testdata/sf0.001")
+    val g2 = g.copy(edges = g.edges.withColumn("wd", col("weight").cast(D)))
+    g2.condense("c_mktsegment", "sum", "total_value", Some("wd"))
+      .edges.select(col("source"), col("target"),
+        col("total_value").cast("double").as("total_value"))
+      .orderBy("source", "target")
+  }
+
+  // -------------------------------------------------------------- queries
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def defs: Seq[(String, Q, Option[String])] = Seq(
+
+    // ====================== subgraph algebra (SURVEY §2.2) ======================
+
+    ("q_query_nodes", (s, dir) =>
+      graph(s, dir).queryNodes("c_acctbal > 5000")
+        .edges.select("source", "target", "weight").orderBy("source", "target", "weight"),
+      Some(s"""$G, kept AS (SELECT id FROM nodes WHERE c_acctbal > 5000)
+SELECT source, target, weight FROM edges WHERE source IN (SELECT id FROM kept) AND target IN (SELECT id FROM kept) ORDER BY 1,2,3""")),
+
+    ("q_query_edges", (s, dir) =>
+      graph(s, dir).queryEdges("weight > 250000")
+        .edges.select("source", "target", "weight").orderBy("source", "target", "weight"),
+      Some(s"""$G SELECT source, target, weight FROM edges WHERE weight > 250000 ORDER BY 1,2,3""")),
+
+    ("q_query_nodes_param", (s, dir) =>
+      graph(s, dir).queryNodes("c_mktsegment = @seg AND c_acctbal > @minbal",
+          Map("seg" -> "MACHINERY", "minbal" -> 1000))
+        .nodes.select("id", "c_acctbal").orderBy("id"),
+      Some(s"""$G SELECT id, c_acctbal FROM nodes WHERE c_mktsegment = 'MACHINERY' AND c_acctbal > 1000 ORDER BY 1,2""")),
+
+    ("q_remove_nodes", (s, dir) => {
+      val g = graph(s, dir)
+      g.removeNodes(g.nodes.filter("c_nationkey < 5").select("id"))
+        .edges.select("source", "target", "weight").orderBy("source", "target", "weight")
+    },
+      Some(s"""$G, kept AS (SELECT id FROM nodes WHERE NOT (c_nationkey < 5))
+SELECT source, target, weight FROM edges WHERE source IN (SELECT id FROM kept) AND target IN (SELECT id FROM kept) ORDER BY 1,2,3""")),
+
+    ("q_remove_edges", (s, dir) => {
+      val g = graph(s, dir)
+      g.removeEdges(g.edges.filter("weight < 100000"))
+        .edges.select("source", "target", "weight").orderBy("source", "target", "weight")
+    },
+      Some(s"""$G SELECT source, target, weight FROM edges e WHERE NOT EXISTS (
+SELECT 1 FROM edges r WHERE r.weight < 100000 AND r.source = e.source AND r.target = e.target) ORDER BY 1,2,3""")),
+
+    ("q_add_nodes", (s, dir) => {
+      val g = graph(s, dir)
+      val extra = tbl(s, dir, "supplier").select(
+        (col("s_suppkey") + 1000000L).as("id"), col("s_name").as("c_name"),
+        col("s_nationkey").as("c_nationkey"))
+      g.addNodes(extra).nodes.select("id", "c_name", "c_nationkey").orderBy("id")
+    },
+      Some(s"""$G SELECT id, c_name, c_nationkey FROM (
+SELECT id, c_name, c_nationkey FROM nodes UNION ALL SELECT s_suppkey + 1000000, s_name, s_nationkey FROM supplier) ORDER BY 1,2,3""")),
+
+    ("q_add_edges", (s, dir) => {
+      val g = graph(s, dir)
+      val n = tbl(s, dir, "customer").count()
+      val extra = tbl(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select((col("o_orderkey") % n).as("source"), col("o_custkey").as("target"),
+          col("o_totalprice").as("weight"))
+      g.addEdges(extra).edges.groupBy("source").agg(count(lit(1)).as("n"))
+        .orderBy("source")
+    },
+      Some(s"""$G SELECT source, count(*) AS n FROM (
+SELECT source FROM edges UNION ALL SELECT o_orderkey % (SELECT count(*) FROM customer) FROM orders WHERE o_orderstatus = 'F') GROUP BY 1 ORDER BY 1""")),
+
+    ("q_reindex_nodes", (s, dir) => {
+      val g = graph(s, dir)
+      val n = tbl(s, dir, "customer").count()
+      g.reindexNodes(s.range(n + 5).toDF("id"))
+        .nodes.select("id", "c_name").orderBy("id")
+    },
+      Some(s"""$G, idx AS (SELECT unnest(generate_series(0, (SELECT count(*) FROM customer) + 4)) AS id)
+SELECT idx.id, n2.c_name FROM idx LEFT JOIN nodes n2 ON idx.id = n2.id ORDER BY 1,2""")),
+
+    ("q_remove_unused_nodes", (s, dir) =>
+      sparse(s, dir).removeUnusedNodes().nodes.select("id").orderBy("id"),
+      Some(s"""$G SELECT id FROM nodes WHERE id IN (SELECT source FROM sedges UNION SELECT target FROM sedges) ORDER BY 1""")),
+
+    ("q_loc", (s, dir) => {
+      val g = graph(s, dir)
+      g.loc(g.nodes.filter(col("id") % 7 === 0).select("id"),
+            g.nodes.filter(col("id") % 5 === 0).select("id"))
+        .edges.select("source", "target", "weight").orderBy("source", "target", "weight")
+    },
+      Some(s"""$G SELECT source, target, weight FROM edges WHERE source % 7 = 0 AND target % 5 = 0 ORDER BY 1,2,3""")),
+
+    // ====================== joins (SURVEY §2.3) ======================
+
+    ("q_apply_node_features", (s, dir) =>
+      graph(s, dir).applyNodeFeatures(Seq("c_mktsegment"), "both")
+        .edges.select("source", "target", "edge_id", "source_c_mktsegment", "target_c_mktsegment")
+        .orderBy("edge_id"),
+      Some(s"""$G SELECT e.source, e.target, e.edge_id, ns.c_mktsegment AS source_c_mktsegment, nt.c_mktsegment AS target_c_mktsegment
+FROM edges e LEFT JOIN nodes ns ON e.source = ns.id LEFT JOIN nodes nt ON e.target = nt.id ORDER BY 3""")),
+
+    ("q_node_agreement", (s, dir) => {
+      val g = graph(s, dir)
+      g.nodeAgreement(g.queryNodes("c_acctbal > 2500"))
+    },
+      Some(s"""$G SELECT CAST((SELECT count(*) FROM nodes WHERE c_acctbal > 2500) AS DOUBLE) / (SELECT count(*) FROM nodes) AS agreement""")),
+
+    // ====================== aggregations (SURVEY §2.4) ======================
+
+    ("q_effective_edges", (s, dir) => {
+      val g = graph(s, dir)
+      g.copy(edges = g.edges.withColumn("wd", col("weight").cast(D)))
+        .effectiveEdges(Some("wd"), "sum")
+        .select(col("source"), col("target"), col("weight").cast("double").as("w"))
+        .orderBy("source", "target", "w")
+    },
+      Some(s"""$G SELECT source, target, CAST(sum(CAST(weight AS DECIMAL(18,2))) AS DOUBLE) AS w FROM edges GROUP BY 1,2 ORDER BY 1,2,3""")),
+
+    ("q_effective_counts", (s, dir) =>
+      graph(s, dir).effectiveEdges(None)
+        .select(col("source"), col("target"), col("weight").as("n"))
+        .orderBy("source", "target", "n"),
+      Some(s"""$G SELECT source, target, count(*) AS n FROM edges GROUP BY 1,2 ORDER BY 1,2,3""")),
+
+    ("q_condense", (s, dir) => {
+      val g = graph(s, dir)
+      g.copy(edges = g.edges.withColumn("wd", col("weight").cast(D)))
+        .condense("c_mktsegment", "sum", "wsum", Some("wd"))
+        .edges.select(col("source"), col("target"), col("wsum").cast("double").as("wsum"))
+        .orderBy("source", "target")
+    },
+      Some(s"""$G SELECT ns.c_mktsegment AS source, nt.c_mktsegment AS target, CAST(sum(CAST(e.weight AS DECIMAL(18,2))) AS DOUBLE) AS wsum
+FROM edges e JOIN nodes ns ON e.source = ns.id JOIN nodes nt ON e.target = nt.id GROUP BY 1,2 ORDER BY 1,2""")),
+
+    ("q_size_edges", (s, dir) =>
+      graph(s, dir).groupbyNodes("c_mktsegment").sizeEdges("size")
+        .orderBy("source", "target"),
+      Some(s"""$G SELECT ns.c_mktsegment AS source, nt.c_mktsegment AS target, count(*) AS size
+FROM edges e JOIN nodes ns ON e.source = ns.id JOIN nodes nt ON e.target = nt.id GROUP BY 1,2 ORDER BY 1,2""")),
+
+    ("q_degrees", (s, dir) =>
+      graph(s, dir).degrees().orderBy("id"),
+      Some(s"""$G SELECT n.id, COALESCE(o.c, 0) AS out_degree, COALESCE(i.c, 0) AS in_degree, COALESCE(o.c, 0) + COALESCE(i.c, 0) AS degree
+FROM nodes n LEFT JOIN (SELECT source, count(*) c FROM edges GROUP BY 1) o ON n.id = o.source
+LEFT JOIN (SELECT target, count(*) c FROM edges GROUP BY 1) i ON n.id = i.target ORDER BY 1""")),
+
+    ("q_to_adjacency", (s, dir) => {
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+      val g = graph(s, dir)
+      val qe = g.copy(edges = g.edges.withColumn("wd", col("weight").cast(D)))
+        .groupbyNodes("c_mktsegment").applyEdges("sum", Some("wd"), "weight")
+      val segNodes = g.nodes.select(col("c_mktsegment").as("id")).distinct()
+      NetworkFrame(segNodes, qe).toAdjacency("weight", segs, "sum")
+        .select(col("source") +: segs.map(v => coalesce(col(v).cast("double"), lit(0.0)).as(v)): _*)
+        .orderBy("source")
+    },
+      Some(s"""$G, q AS (SELECT ns.c_mktsegment AS source, nt.c_mktsegment AS target, sum(CAST(e.weight AS DECIMAL(18,2))) AS w
+FROM edges e JOIN nodes ns ON e.source = ns.id JOIN nodes nt ON e.target = nt.id GROUP BY 1,2)
+SELECT source,
+COALESCE(CAST(sum(CASE WHEN target='AUTOMOBILE' THEN w END) AS DOUBLE), 0) AS "AUTOMOBILE",
+COALESCE(CAST(sum(CASE WHEN target='BUILDING' THEN w END) AS DOUBLE), 0) AS "BUILDING",
+COALESCE(CAST(sum(CASE WHEN target='FURNITURE' THEN w END) AS DOUBLE), 0) AS "FURNITURE",
+COALESCE(CAST(sum(CASE WHEN target='HOUSEHOLD' THEN w END) AS DOUBLE), 0) AS "HOUSEHOLD",
+COALESCE(CAST(sum(CASE WHEN target='MACHINERY' THEN w END) AS DOUBLE), 0) AS "MACHINERY"
+FROM q GROUP BY 1 ORDER BY 1""")),
+
+    ("q_sparse_adjacency", (s, dir) => {
+      val g = graph(s, dir).queryNodes("c_acctbal > 5000")
+      g.copy(edges = g.edges.withColumn("wd", col("weight").cast(D)))
+        .toSparseAdjacencyCoo(Some("wd"), "sum")
+        .select(col("row").cast("long").as("row"), col("col").cast("long").as("col"),
+          col("value").cast("double").as("value"))
+        .orderBy("row", "col")
+    },
+      Some(s"""$G, kept AS (SELECT id FROM nodes WHERE c_acctbal > 5000),
+pos AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS p FROM kept),
+ke AS (SELECT source, target, weight FROM edges WHERE source IN (SELECT id FROM kept) AND target IN (SELECT id FROM kept)),
+eff AS (SELECT source, target, sum(CAST(weight AS DECIMAL(18,2))) AS v FROM ke GROUP BY 1,2)
+SELECT ps.p AS row, pt.p AS col, CAST(eff.v AS DOUBLE) AS value
+FROM eff JOIN pos ps ON eff.source = ps.id JOIN pos pt ON eff.target = pt.id ORDER BY 1,2""")),
+
+    // ====================== graph algorithms (SURVEY §2.5) ======================
+
+    ("q_components", (s, dir) =>
+      GraphAlgorithms.componentLabels(sparse(s, dir), "weak").orderBy("id"),
+      Some(s"""$G$LAB SELECT id, component FROM lab ORDER BY 1""")),
+
+    ("q_n_components", (s, dir) =>
+      GraphAlgorithms.componentLabels(sparse(s, dir), "weak")
+        .agg(count_distinct(col("component")).as("n_components")),
+      Some(s"""$G$LAB SELECT count(DISTINCT component) AS n_components FROM lab""")),
+
+    ("q_largest_cc", (s, dir) =>
+      GraphAlgorithms.largestConnectedComponent(sparse(s, dir), "weak")
+        .nodes.select("id").orderBy("id"),
+      Some(s"""$G$LAB, top AS (SELECT component FROM lab GROUP BY 1 ORDER BY count(*) DESC, component LIMIT 1)
+SELECT id FROM lab WHERE component IN (SELECT component FROM top) ORDER BY 1""")),
+
+    ("q_label_components", (s, dir) =>
+      GraphAlgorithms.labelNodesByComponent(sparse(s, dir), "component", "weak")
+        .nodes.select("id", "c_nationkey", "component").orderBy("id"),
+      Some(s"""$G$LAB SELECT n.id, n.c_nationkey, l.component FROM nodes n JOIN lab l ON n.id = l.id ORDER BY 1""")),
+
+    ("q_bfs_reach", (s, dir) =>
+      GraphAlgorithms.selectComponentFromNode(sparse(s, dir), 0L, directed = true)
+        .nodes.select("id").orderBy("id"),
+      Some(s"""$G, r(id) AS (SELECT id FROM nodes WHERE id = 0 UNION SELECT e.target FROM r JOIN sedges e ON e.source = r.id)
+SELECT id FROM r ORDER BY 1""")),
+
+    ("q_k_hop_neighborhood", (s, dir) =>
+      GraphAlgorithms.kHopNeighborhood(sparse(s, dir), 0L, 2, directed = false)
+        .nodes.select("id").orderBy("id"),
+      Some(s"""$G, fr(id, d) AS (SELECT id, 0 FROM nodes WHERE id = 0 UNION SELECT s.target, fr.d + 1 FROM fr JOIN sym s ON s.source = fr.id WHERE fr.d < 2)
+SELECT DISTINCT id FROM fr ORDER BY 1""")),
+
+    ("q_k_hop_agg", (s, dir) => {
+      val nf = sparse(s, dir)
+      val pairs = GraphAlgorithms.kHopPairs(nf, 1, directed = false, dropSelf = true)
+      val feats = nf.nodes.select(col("id").as("neighbor"), col("c_acctbal").cast(D).as("ad"))
+      val ag = pairs.join(feats, Seq("neighbor"))
+        .groupBy("id").agg(count(lit(1)).as("nn"), sum(col("ad")).as("sdec"))
+      nf.nodes.select("id").join(ag, Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("nn"), lit(0L)).as("n_neighbors"),
+          col("sdec").cast("double").as("acct_sum"),
+          (col("sdec").cast("double") / col("nn")).as("acct_mean"))
+        .orderBy("id")
+    },
+      Some(s"""$G, pairs AS (SELECT DISTINCT source AS id, target AS neighbor FROM sym WHERE source <> target),
+ag AS (SELECT p.id, count(*) AS nn, sum(CAST(n2.c_acctbal AS DECIMAL(18,2))) AS sdec FROM pairs p JOIN nodes n2 ON p.neighbor = n2.id GROUP BY 1)
+SELECT n.id, COALESCE(ag.nn, 0) AS n_neighbors, CAST(ag.sdec AS DOUBLE) AS acct_sum, CAST(ag.sdec AS DOUBLE) / ag.nn AS acct_mean
+FROM nodes n LEFT JOIN ag ON n.id = ag.id ORDER BY 1""")),
+
+    ("q_k_hop_agg2", (s, dir) =>
+      GraphAlgorithms.kHopPairs(sparse(s, dir), 2, directed = true, dropSelf = true)
+        .groupBy("id").agg(count(lit(1)).as("n_reach")).orderBy("id"),
+      Some(s"""$G, p1 AS (SELECT DISTINCT source, target FROM sedges),
+p2 AS (SELECT DISTINCT a.source, b.target FROM p1 a JOIN p1 b ON a.target = b.source),
+pr AS (SELECT source AS id, target AS neighbor FROM (SELECT * FROM p1 UNION SELECT * FROM p2) WHERE source <> target)
+SELECT id, count(*) AS n_reach FROM pr GROUP BY 1 ORDER BY 1""")),
+
+    ("q_spectral", (s, dir) =>
+      GraphAlgorithms.sortSpectral(sparse(s, dir), "weight", iterations = 10)
+        .select("id"),
+      None),
+
+    // ====================== dedup extensions ======================
+
+    ("q_dedup_exact", (s, dir) =>
+      Dedup.exactGroups(docs(s, dir), "doc_id", "text").orderBy("fp"),
+      Some("""SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    ("q_minhash_sig", (s, dir) =>
+      Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", 16, 3).orderBy("id", "h"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 0)), i -> array_to_string(list_slice(l, i, i + 2), ' '))) AS shingle FROM t),
+hs AS (SELECT doc_id, unnest(generate_series(0, 15)) AS h, shingle FROM sh)
+SELECT doc_id AS id, CAST(h AS INT) AS h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash FROM hs GROUP BY 1,2 ORDER BY 1,2""")),
+
+    ("q_lsh_buckets", (s, dir) =>
+      Dedup.lshBuckets(docs(s, dir), "doc_id", "text", 16, 4, 3).orderBy("id", "band"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 0)), i -> array_to_string(list_slice(l, i, i + 2), ' '))) AS shingle FROM t),
+hs AS (SELECT doc_id, unnest(generate_series(0, 15)) AS h, shingle FROM sh),
+sig AS (SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash FROM hs GROUP BY 1,2)
+SELECT doc_id AS id, CAST(h // 4 AS INT) AS band, md5(string_agg(minhash, '|' ORDER BY h)) AS bucket FROM sig GROUP BY 1,2 ORDER BY 1,2""")),
+
+    ("q_minhash_pairs", (s, dir) =>
+      Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", 16, 4, 3).orderBy("id_a", "id_b"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 0)), i -> array_to_string(list_slice(l, i, i + 2), ' '))) AS shingle FROM t),
+hs AS (SELECT doc_id, unnest(generate_series(0, 15)) AS h, shingle FROM sh),
+sig AS (SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash FROM hs GROUP BY 1,2),
+b AS (SELECT doc_id AS id, h // 4 AS band, md5(string_agg(minhash, '|' ORDER BY h)) AS bucket FROM sig GROUP BY 1,2),
+cand AS (SELECT DISTINCT x.id AS ia, y.id AS ib FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id)
+SELECT c.ia AS id_a, c.ib AS id_b, CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS est_jaccard
+FROM cand c JOIN sig sa ON sa.doc_id = c.ia JOIN sig sb ON sb.doc_id = c.ib AND sb.h = sa.h GROUP BY 1,2 ORDER BY 1,2""")),
+
+    ("q_simhash", (s, dir) =>
+      Dedup.simhash(docs(s, dir), "doc_id", "text").orderBy("id"),
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+tb AS (SELECT doc_id, unnest(generate_series(0, 31)) AS b, md5(tok) AS hx FROM toks),
+bits AS (SELECT doc_id, b, strpos('0123456789abcdef', substr(hx, CAST(b // 4 AS INT) + 1, 1)) - 1 AS nib FROM tb),
+votes AS (SELECT doc_id, b, sum(CAST(floor(nib / power(2, b % 4)) AS BIGINT) % 2 * 2 - 1) AS v FROM bits GROUP BY 1,2)
+SELECT doc_id AS id, CAST(sum(CASE WHEN v > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash FROM votes GROUP BY 1 ORDER BY 1""")),
+
+    ("q_ngram_jaccard", (s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", 3, 0.0).orderBy("id_a", "id_b"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 0)), i -> array_to_string(list_slice(l, i, i + 2), ' '))) AS shingle FROM t),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+it AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1,2)
+SELECT ia AS id_a, ib AS id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+FROM it JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib ORDER BY 1,2""")),
+
+    // ====================== similarity search extensions ======================
+
+    ("q_embed_neardup", (s, dir) =>
+      Similarity.cosineNearDupPairs(emb(s, dir), "vec_id", "embedding", 0.4)
+        .orderBy("id_a", "id_b"),
+      Some(s"""$EMB_U,
+dots AS (SELECT a.vec_id AS ia, b.vec_id AS ib, sum(CAST(a.x * b.x AS DECIMAL(30,15))) AS d FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1,2),
+norms AS (SELECT vec_id, sum(CAST(x * x AS DECIMAL(30,15))) AS nn FROM u GROUP BY 1)
+SELECT ia AS id_a, ib AS id_b, round(CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))), 6) AS sim
+FROM dots JOIN norms na ON na.vec_id = ia JOIN norms nb ON nb.vec_id = ib
+WHERE CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= 0.4 ORDER BY 1,2""")),
+
+    ("q_ann_topk", (s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 5)
+        .orderBy("query_id", "rank")
+    },
+      Some(s"""$EMB_U,
+norms AS (SELECT vec_id, sum(CAST(x * x AS DECIMAL(30,15))) AS nn FROM u GROUP BY 1),
+dq AS (SELECT q.vec_id AS qa, c.vec_id AS cb, sum(CAST(q.x * c.x AS DECIMAL(30,15))) AS d
+FROM u q JOIN u c ON q.i = c.i AND q.vec_id < 10 AND q.vec_id <> c.vec_id GROUP BY 1,2),
+sims AS (SELECT qa, cb, CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS sv
+FROM dq JOIN norms na ON na.vec_id = qa JOIN norms nb ON nb.vec_id = cb),
+rk AS (SELECT qa, cb, sv, row_number() OVER (PARTITION BY qa ORDER BY sv DESC, cb) AS rn FROM sims)
+SELECT qa AS query_id, cb AS neighbor_id, CAST(rn AS INT) AS rank, round(sv, 6) AS sim FROM rk WHERE rn <= 5 ORDER BY 1,3""")),
+
+    ("q_ann_lsh", (s, dir) =>
+      Similarity.lshTopK(emb(s, dir), "vec_id", "embedding", 3, 8)
+        .orderBy("query_id", "rank"),
+      Some(s"""$EMB_U,
+bk AS (SELECT vec_id, CAST(list_sum(list_transform(generate_series(1, 8), j -> CASE WHEN embedding[j] > 0 THEN CAST(power(2, j - 1) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket FROM embeddings),
+norms AS (SELECT vec_id, sum(CAST(x * x AS DECIMAL(30,15))) AS nn FROM u GROUP BY 1),
+cand AS (SELECT q.vec_id AS qa, q.bucket, c.vec_id AS cb FROM bk q JOIN bk c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+dq AS (SELECT cand.qa, cand.bucket, cand.cb, sum(CAST(a.x * b.x AS DECIMAL(30,15))) AS d
+FROM cand JOIN u a ON a.vec_id = cand.qa JOIN u b ON b.vec_id = cand.cb AND b.i = a.i GROUP BY 1,2,3),
+sims AS (SELECT qa, bucket, cb, CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS sv
+FROM dq JOIN norms na ON na.vec_id = qa JOIN norms nb ON nb.vec_id = cb),
+rk AS (SELECT qa, bucket, cb, row_number() OVER (PARTITION BY qa ORDER BY sv DESC, cb) AS rn FROM sims)
+SELECT qa AS query_id, bucket, cb AS neighbor_id, CAST(rn AS INT) AS rank FROM rk WHERE rn <= 3 ORDER BY 1,4""")),
+
+    ("q_ann_ivf", (s, dir) =>
+      Similarity.ivfTopK(emb(s, dir), "vec_id", "embedding", "label", 3)
+        .orderBy("query_id", "rank"),
+      Some(s"""$EMB_U,
+lb AS (SELECT vec_id, label FROM embeddings),
+norms AS (SELECT vec_id, sum(CAST(x * x AS DECIMAL(30,15))) AS nn FROM u GROUP BY 1),
+cand AS (SELECT q.vec_id AS qa, q.label AS cell, c.vec_id AS cb FROM lb q JOIN lb c ON q.label = c.label AND q.vec_id <> c.vec_id),
+dq AS (SELECT cand.qa, cand.cell, cand.cb, sum(CAST(a.x * b.x AS DECIMAL(30,15))) AS d
+FROM cand JOIN u a ON a.vec_id = cand.qa JOIN u b ON b.vec_id = cand.cb AND b.i = a.i GROUP BY 1,2,3),
+sims AS (SELECT qa, cell, cb, CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS sv
+FROM dq JOIN norms na ON na.vec_id = qa JOIN norms nb ON nb.vec_id = cb),
+rk AS (SELECT qa, cell, cb, row_number() OVER (PARTITION BY qa ORDER BY sv DESC, cb) AS rn FROM sims)
+SELECT qa AS query_id, cell, cb AS neighbor_id, CAST(rn AS INT) AS rank FROM rk WHERE rn <= 3 ORDER BY 1,4""")),
+
+    // ====================== text analysis extensions ======================
+
+    ("q_text_quality", (s, dir) =>
+      TextAnalysis.qualityFeatures(docs(s, dir).select("doc_id", "text"), "text")
+        .select("doc_id", "n_chars", "n_tokens", "mean_token_len", "stopword_ratio",
+          "punct_ratio", "quality_score")
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
+m AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, CAST(len(l) AS BIGINT) AS n_tokens,
+CAST(len(list_filter(l, x -> x IN ($ALL_MARKERS))) AS BIGINT) AS stop,
+CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS punct FROM t)
+SELECT doc_id, n_chars, n_tokens,
+CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens AS mean_token_len,
+CAST(stop AS DOUBLE) / n_tokens AS stopword_ratio,
+CAST(punct AS DOUBLE) / n_chars AS punct_ratio,
+CAST(100 - (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0 ELSE 20 END)
+ - (CASE WHEN CAST(stop AS DOUBLE) / n_tokens > 0.05 THEN 0 ELSE 10 END)
+ - (CASE WHEN CAST(punct AS DOUBLE) / n_chars < 0.2 THEN 0 ELSE 15 END) AS BIGINT) AS quality_score
+FROM m ORDER BY 1""")),
+
+    ("q_lang_id", (s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"),
+        col("lang")).orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
+h AS (SELECT doc_id, lang,
+len(list_filter(l, x -> x IN ('the','a','of','and','is'))) AS h_en,
+len(list_filter(l, x -> x IN ('der','die','das','und','ist'))) AS h_de,
+len(list_filter(l, x -> x IN ('le','les','et','est','une'))) AS h_fr,
+len(list_filter(l, x -> x IN ('el','los','las','y','es'))) AS h_es,
+len(list_filter(l, x -> x IN ('的','是','在'))) AS h_zh FROM t)
+SELECT doc_id, CASE WHEN greatest(h_en,h_de,h_fr,h_es,h_zh) = 0 THEN 'und'
+WHEN h_en = greatest(h_en,h_de,h_fr,h_es,h_zh) THEN 'en'
+WHEN h_de = greatest(h_en,h_de,h_fr,h_es,h_zh) THEN 'de'
+WHEN h_fr = greatest(h_en,h_de,h_fr,h_es,h_zh) THEN 'fr'
+WHEN h_es = greatest(h_en,h_de,h_fr,h_es,h_zh) THEN 'es'
+ELSE 'zh' END AS lang_pred, lang FROM h ORDER BY 1""")),
+
+    ("q_token_counts", (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.bpeTokenEstimate(col("text")).as("bpe_est")).orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+CAST(list_sum(list_transform(string_split(text, ' '), w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_est
+FROM documents ORDER BY 1""")),
+
+    ("q_fingerprints", (s, dir) =>
+      docs(s, dir)
+        .filter(size(TextAnalysis.tokens(col("text"))) >= 5)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"),
+          TextAnalysis.rollingFingerprint(col("text"), 5).as("rolling_fp"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents)
+SELECT doc_id, md5(lower(trim(text))) AS fp,
+list_aggregate(list_transform(generate_series(1, len(l) - 4), i -> md5(array_to_string(list_slice(l, i, i + 4), ' '))), 'min') AS rolling_fp
+FROM t WHERE len(l) >= 5 ORDER BY 1""")),
+
+    // ====================== multimodal extensions ======================
+
+    ("q_multimodal_decode", (s, dir) =>
+      Multimodal.decodeImages(Multimodal.fromText(s, docs(s, dir), "doc_id", "text"))
+        .toDF().select("id", "width", "height", "channels", "byte_len").orderBy("id"),
+      Some("""SELECT doc_id AS id, 1 + (ascii(substr(text, 1, 1)) % 64) AS width,
+1 + (ascii(substr(text, 2, 1)) % 64) AS height, 3 AS channels,
+CAST(octet_length(encode(text)) AS BIGINT) AS byte_len FROM documents ORDER BY 1""")),
+
+    ("q_frame_sample", (s, dir) =>
+      Multimodal.sampleFrames(Multimodal.fromText(s, docs(s, dir), "doc_id", "text"), 16, 4)
+        .toDF().orderBy("id", "frame_index"),
+      Some("""WITH f AS (SELECT doc_id, text, unnest(generate_series(0, CAST(floor(length(text) / 16) AS INT) - 1, 4)) AS fi FROM documents WHERE length(text) >= 16)
+SELECT doc_id AS id, CAST(fi AS INT) AS frame_index, md5(substr(text, CAST(fi AS INT) * 16 + 1, 16)) AS frame_md5 FROM f ORDER BY 1,2""")),
+
+    // ====================== streaming ======================
+
+    ("q_events_window", (s, dir) =>
+      EventStream.windowedTypeCounts(tbl(s, dir, "events"), "1 hour")
+        .orderBy("window_start", "event_type"),
+      Some(EVENTS_SQL)),
+
+    ("q_events_stream", (s, dir) =>
+      EventStream.runStreamingOnce(s, s"$dir/events.parquet", "1 hour",
+          s"stream_out_${Counter.next()}")
+        .orderBy("window_start", "event_type"),
+      Some(EVENTS_SQL)),
+
+    // ====================== relational flagships ======================
+
+    ("q1_pricing", (s, dir) =>
+      tbl(s, dir, "lineitem").groupBy("l_returnflag", "l_linestatus")
+        .agg(sumD(col("l_quantity")).as("sum_qty"),
+          sumD(col("l_extendedprice")).as("sum_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, count(*) AS n
+FROM lineitem GROUP BY 1,2 ORDER BY 1,2""")),
+
+    ("q_revenue_by_segment", (s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val c = tbl(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), sumD(col("o_totalprice")).as("revenue"))
+        .orderBy("c_mktsegment")
+    },
+      Some("""SELECT c_mktsegment, count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1 ORDER BY 1"""))
+  )
+
+  /** Embedding unnest prelude shared by the similarity oracles. */
+  private val EMB_U =
+    """WITH u AS (SELECT vec_id, s.i, CAST(embedding[s.i] AS DOUBLE) AS x FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) s)"""
+
+  private val ALL_MARKERS = TextAnalysis.langMarkers.flatMap(_._2)
+    .map(m => s"'$m'").mkString(",")
+
+  private val EVENTS_SQL =
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type, count(*) AS n_events,
+CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value FROM events GROUP BY 1,2 ORDER BY 1,2"""
+
+  private object Counter {
+    private val c = new java.util.concurrent.atomic.AtomicInteger(0)
+    def next(): Int = c.incrementAndGet()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map { case (n, q, _) => n -> q }.toMap
+
+  def oracleSql: Map[String, String] =
+    defs.collect { case (n, _, Some(sql)) => n -> sql }.toMap
 }

@@ -56,7 +56,7 @@ object Dedup {
                  numHashes: Int = 16, bands: Int = 4, shingleLen: Int = 3): DataFrame = {
     val rowsPerBand = numHashes / bands
     minhashSignatures(df, idCol, textCol, numHashes, shingleLen)
-      .withColumn("band", (col("h") / lit(rowsPerBand)).cast("int"))
+      .withColumn("band", floor(col("h") / lit(rowsPerBand)).cast("int"))
       .groupBy("id", "band")
       // deterministic band digest: rows ordered by h via sort_array on (h, minhash)
       .agg(md5(array_join(transform(sort_array(collect_list(struct(col("h"), col("minhash")))),

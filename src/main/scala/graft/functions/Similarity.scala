@@ -75,7 +75,7 @@ object Similarity {
   def signLshBucket(vec: Column, bits: Int = 8): Column =
     aggregate(
       transform(sequence(lit(1), lit(bits)),
-        j => when(element_at(vec, j) > 0f,
+        j => when(get(vec, j - 1) > 0f,
           pow(lit(2), j.cast("double") - 1).cast("long")).otherwise(lit(0L))),
       lit(0L), (acc, v) => acc + v)
 

@@ -72,10 +72,12 @@ object TextAnalysis {
         (nChar - nTok + lit(1)).cast("double") / nTok.cast("double"))
       .withColumn("stopword_ratio", stop.cast("double") / nTok.cast("double"))
       .withColumn("punct_ratio", punct.cast("double") / nChar.cast("double"))
+      // integer point score (0-100): penalty-based, exact in any engine
       .withColumn("quality_score",
-        when(nTok >= 10 && nTok <= 1000, lit(1.0)).otherwise(lit(0.5))
-          * when(col("stopword_ratio") > 0.05, lit(1.0)).otherwise(lit(0.8))
-          * when(col("punct_ratio") < 0.2, lit(1.0)).otherwise(lit(0.7)))
+        (lit(100L)
+          - when(nTok >= 10 && nTok <= 1000, lit(0L)).otherwise(lit(20L))
+          - when(col("stopword_ratio") > 0.05, lit(0L)).otherwise(lit(10L))
+          - when(col("punct_ratio") < 0.2, lit(0L)).otherwise(lit(15L))).cast("long"))
   }
 
   /** Whole-document fingerprint: MD5 of the normalized text. */

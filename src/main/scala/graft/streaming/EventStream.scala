@@ -12,12 +12,25 @@ import org.apache.spark.sql.functions._
   */
 object EventStream {
 
+  /** Normalize the event-time column: testdata parquet stores TIMESTAMP in
+    * nanos, which Spark (with spark.sql.legacy.parquet.nanosAsLong=true)
+    * surfaces as LongType — convert to a proper timestamp via exact integer
+    * division (DIV, not double division: 2024-epoch nanos exceed double's
+    * 53-bit mantissa).
+    */
+  def normalizeTs(events: DataFrame): DataFrame =
+    events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        events.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => events
+    }
+
   /** Tumbling-window counts + value sums per event type. On a streaming
     * input compose with `withEventWatermark` first; on a batch input it is a
     * plain group-agg. `window_start` is the aligned window open time.
     */
   def windowedTypeCounts(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
-    events
+    normalizeTs(events)
       .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(20,6)")).as("sum_value_dec"))
@@ -25,7 +38,7 @@ object EventStream {
         col("n_events"), col("sum_value_dec").cast("double").as("sum_value"))
 
   def withEventWatermark(events: DataFrame, delay: String = "10 minutes"): DataFrame =
-    events.withWatermark("ts", delay)
+    normalizeTs(events).withWatermark("ts", delay)
 
   /** Incremental edge ingestion: events become (user -> event_type) edges;
     * streaming-side dedup of parallel edges per window = the effective-edges
@@ -43,7 +56,19 @@ object EventStream {
                        windowLen: String = "1 hour",
                        queryName: String = "event_stream_out"): DataFrame = {
     val schema = spark.read.parquet(parquetPath).schema
-    val src = spark.readStream.schema(schema).parquet(parquetPath)
+    // the file-stream source requires a DIRECTORY; stage single files into a
+    // scratch dir via symlink
+    val srcPath = {
+      val f = new java.io.File(parquetPath)
+      if (f.isDirectory) parquetPath
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft_stream_")
+        java.nio.file.Files.createSymbolicLink(
+          d.resolve(f.getName), f.toPath.toAbsolutePath)
+        d.toString
+      }
+    }
+    val src = spark.readStream.schema(schema).parquet(srcPath)
     val agg = windowedTypeCounts(withEventWatermark(src), windowLen)
     val q = agg.writeStream
       .outputMode("complete")
