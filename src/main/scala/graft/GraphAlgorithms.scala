@@ -23,10 +23,8 @@ object GraphAlgorithms {
     * partitioning across rounds; AQE handles hub-node skew in the join.
     */
   def componentLabels(nf: NetworkFrame, connection: String = "weak"): DataFrame = {
-    val spark = nf.nodes.sparkSession
-    val sym =
-      if (connection == "weak" || !nf.directed) nf.symmetrizedEdges
-      else nf.edges.select(col("source"), col("target"))
+    if (connection == "strong" && nf.directed) return strongComponentLabels(nf)
+    val sym = nf.symmetrizedEdges
     val e = sym.distinct().localCheckpoint()
 
     var labels = nf.nodes.select(col("id"), col("id").as("component")).localCheckpoint()
@@ -48,6 +46,70 @@ object GraphAlgorithms {
       rounds += 1
     }
     labels
+  }
+
+  /** Strongly connected components via forward-max coloring (Orzan-style
+    * FW-BW coloring, the standard distributed SCC algorithm): repeat
+    * { propagate max id forward to fixpoint -> color classes; roots are
+    * nodes whose color is their own id; the SCC of root r is the backward
+    * reachable set of r inside color class r; peel those off } until no
+    * nodes remain. Labels are the min member id of each SCC (deterministic;
+    * scipy's int labels are arbitrary, networkframe.py:722).
+    *
+    * Peeling rounds are O(#SCC levels) on adversarial chains but O(log n)
+    * expected on random id assignment; each inner fixpoint is one
+    * join+aggregate shuffle per round with checkpointed lineage.
+    */
+  def strongComponentLabels(nf: NetworkFrame): DataFrame = {
+    val e = nf.edges.select(col("source"), col("target")).distinct().localCheckpoint()
+    var remaining = nf.nodes.select(col("id")).localCheckpoint()
+    var result: DataFrame = null
+    var guard = 0
+    while (!remaining.isEmpty && guard < 200) {
+      guard += 1
+      val eR = e
+        .join(remaining.withColumnRenamed("id", "source"), Seq("source"), "left_semi")
+        .join(remaining.withColumnRenamed("id", "target"), Seq("target"), "left_semi")
+        .localCheckpoint()
+      // 1. forward max-color propagation to fixpoint
+      var colors = remaining.select(col("id"), col("id").as("color")).localCheckpoint()
+      var stable = false
+      while (!stable) {
+        val msgs = eR.join(colors.withColumnRenamed("id", "source"), Seq("source"))
+          .select(col("target").as("id"), col("color"))
+        val next = colors.union(msgs).groupBy("id")
+          .agg(max("color").as("color")).localCheckpoint()
+        stable = next.join(colors.withColumnRenamed("color", "prev"), Seq("id"))
+          .filter(col("color") =!= col("prev")).limit(1).count() == 0
+        colors = next
+      }
+      // 2. SCC(r) = backward reachable set of root r within color class r
+      val ec = eR
+        .join(colors.select(col("id").as("source"), col("color").as("cs")), Seq("source"))
+        .join(colors.select(col("id").as("target"), col("color").as("ct")), Seq("target"))
+        .filter(col("cs") === col("ct"))
+        .select(col("target").as("source"), col("source").as("target"),
+          col("cs").as("color")) // reversed, color-stamped
+        .localCheckpoint()
+      var scc = colors.filter(col("color") === col("id"))
+        .select(col("id"), col("id").as("root")).localCheckpoint()
+      var frontier = scc
+      while (!frontier.isEmpty) {
+        val next = ec
+          .join(frontier.select(col("id").as("source"), col("root")), Seq("source"))
+          .filter(col("color") === col("root"))
+          .select(col("target").as("id"), col("root")).distinct()
+          .join(scc, Seq("id"), "left_anti")
+          .localCheckpoint()
+        frontier = next
+        if (!next.isEmpty) scc = scc.union(next).localCheckpoint()
+      }
+      result = if (result == null) scc else result.union(scc).localCheckpoint()
+      remaining = remaining.join(scc.select("id"), Seq("id"), "left_anti").localCheckpoint()
+    }
+    // relabel each SCC by its min member id
+    result.join(result.groupBy("root").agg(min(col("id")).as("component")), Seq("root"))
+      .select(col("id"), col("component"))
   }
 
   /** Number of connected components (networkframe.py:821-850). */
@@ -212,15 +274,22 @@ object GraphAlgorithms {
       .groupBy("source", "target").agg(sum("w").as("w"))
       .localCheckpoint()
     var v = nf.nodes.select(col("id"), lit(1.0).as("score")).localCheckpoint()
-    for (_ <- 1 to iterations) {
+    // normalize only every few rounds: power iteration is scale-invariant, so
+    // the extra normalization actions (one Spark job each) are pure overhead
+    // as long as values stay in double range
+    val normEvery = 5
+    for (i <- 1 to iterations) {
       val prod = sym.join(v.withColumnRenamed("id", "target"), Seq("target"))
         .groupBy(col("source").as("id"))
         .agg(sum(col("w") * col("score")).as("score"))
       val full = nf.nodes.select(col("id")).join(prod, Seq("id"), "left_outer")
         .na.fill(0.0, Seq("score"))
-      val norm = math.sqrt(
-        full.agg(sum(col("score") * col("score"))).first().getDouble(0) max 1e-300)
-      v = full.withColumn("score", col("score") / lit(norm)).localCheckpoint()
+      val scaled = if (i % normEvery == 0 || i == iterations) {
+        val norm = math.sqrt(
+          full.agg(sum(col("score") * col("score"))).first().getDouble(0) max 1e-300)
+        full.withColumn("score", col("score") / lit(norm))
+      } else full
+      v = scaled.localCheckpoint()
     }
     nf.nodes.join(v, Seq("id"), "left_outer")
       .orderBy(col("score"), col("id"))

@@ -26,9 +26,12 @@ object SparkEntry {
     * o_orderkey mod |customer| — a deterministic synthetic multigraph over
     * the customer id space (FIXTURES.md §B).
     */
+  // |customer| per sf dir, computed once per JVM (every query builds the graph)
+  private val custCount = scala.collection.concurrent.TrieMap.empty[String, Long]
+
   private def graph(s: SparkSession, dir: String): NetworkFrame = {
     val c = tbl(s, dir, "customer")
-    val n = c.count() // |customer|: single metadata-cheap action on the dim table
+    val n = custCount.getOrElseUpdate(dir, c.count())
     val nodes = c.select(col("c_custkey").as("id"), col("c_name"),
       col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
     val edges = tbl(s, dir, "orders").select(
@@ -281,6 +284,11 @@ SELECT id FROM lab WHERE component IN (SELECT component FROM top) ORDER BY 1""")
         .nodes.select("id", "c_nationkey", "component").orderBy("id"),
       Some(s"""$G$LAB SELECT n.id, n.c_nationkey, l.component FROM nodes n JOIN lab l ON n.id = l.id ORDER BY 1""")),
 
+    ("q_strong_components", (s, dir) =>
+      GraphAlgorithms.componentLabels(sparse(s, dir), "strong").orderBy("id"),
+      Some(s"""$G, dreach(id, r) AS (SELECT id, id FROM nodes UNION SELECT dreach.id, e.target FROM dreach JOIN sedges e ON e.source = dreach.r)
+SELECT a.id, min(a.r) AS component FROM dreach a JOIN dreach b ON b.id = a.r AND b.r = a.id GROUP BY a.id ORDER BY 1""")),
+
     ("q_bfs_reach", (s, dir) =>
       GraphAlgorithms.selectComponentFromNode(sparse(s, dir), 0L, directed = true)
         .nodes.select("id").orderBy("id"),
@@ -378,8 +386,8 @@ FROM it JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib ORDER BY 1,2""
       Similarity.cosineNearDupPairs(emb(s, dir), "vec_id", "embedding", 0.4)
         .orderBy("id_a", "id_b"),
       Some(s"""$EMB_U,
-dots AS (SELECT a.vec_id AS ia, b.vec_id AS ib, sum(CAST(a.x * b.x AS DECIMAL(30,15))) AS d FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1,2),
-norms AS (SELECT vec_id, sum(CAST(x * x AS DECIMAL(30,15))) AS nn FROM u GROUP BY 1)
+dots AS (SELECT a.vec_id AS ia, b.vec_id AS ib, sum(a.x * b.x) AS d FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1,2),
+norms AS (SELECT vec_id, sum(x * x) AS nn FROM u GROUP BY 1)
 SELECT ia AS id_a, ib AS id_b, round(CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))), 6) AS sim
 FROM dots JOIN norms na ON na.vec_id = ia JOIN norms nb ON nb.vec_id = ib
 WHERE CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= 0.4 ORDER BY 1,2""")),
@@ -390,8 +398,8 @@ WHERE CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUB
         .orderBy("query_id", "rank")
     },
       Some(s"""$EMB_U,
-norms AS (SELECT vec_id, sum(CAST(x * x AS DECIMAL(30,15))) AS nn FROM u GROUP BY 1),
-dq AS (SELECT q.vec_id AS qa, c.vec_id AS cb, sum(CAST(q.x * c.x AS DECIMAL(30,15))) AS d
+norms AS (SELECT vec_id, sum(x * x) AS nn FROM u GROUP BY 1),
+dq AS (SELECT q.vec_id AS qa, c.vec_id AS cb, sum(q.x * c.x) AS d
 FROM u q JOIN u c ON q.i = c.i AND q.vec_id < 10 AND q.vec_id <> c.vec_id GROUP BY 1,2),
 sims AS (SELECT qa, cb, CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS sv
 FROM dq JOIN norms na ON na.vec_id = qa JOIN norms nb ON nb.vec_id = cb),
@@ -403,9 +411,9 @@ SELECT qa AS query_id, cb AS neighbor_id, CAST(rn AS INT) AS rank, round(sv, 6) 
         .orderBy("query_id", "rank"),
       Some(s"""$EMB_U,
 bk AS (SELECT vec_id, CAST(list_sum(list_transform(generate_series(1, 8), j -> CASE WHEN embedding[j] > 0 THEN CAST(power(2, j - 1) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket FROM embeddings),
-norms AS (SELECT vec_id, sum(CAST(x * x AS DECIMAL(30,15))) AS nn FROM u GROUP BY 1),
+norms AS (SELECT vec_id, sum(x * x) AS nn FROM u GROUP BY 1),
 cand AS (SELECT q.vec_id AS qa, q.bucket, c.vec_id AS cb FROM bk q JOIN bk c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
-dq AS (SELECT cand.qa, cand.bucket, cand.cb, sum(CAST(a.x * b.x AS DECIMAL(30,15))) AS d
+dq AS (SELECT cand.qa, cand.bucket, cand.cb, sum(a.x * b.x) AS d
 FROM cand JOIN u a ON a.vec_id = cand.qa JOIN u b ON b.vec_id = cand.cb AND b.i = a.i GROUP BY 1,2,3),
 sims AS (SELECT qa, bucket, cb, CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS sv
 FROM dq JOIN norms na ON na.vec_id = qa JOIN norms nb ON nb.vec_id = cb),
@@ -417,9 +425,9 @@ SELECT qa AS query_id, bucket, cb AS neighbor_id, CAST(rn AS INT) AS rank FROM r
         .orderBy("query_id", "rank"),
       Some(s"""$EMB_U,
 lb AS (SELECT vec_id, label FROM embeddings),
-norms AS (SELECT vec_id, sum(CAST(x * x AS DECIMAL(30,15))) AS nn FROM u GROUP BY 1),
+norms AS (SELECT vec_id, sum(x * x) AS nn FROM u GROUP BY 1),
 cand AS (SELECT q.vec_id AS qa, q.label AS cell, c.vec_id AS cb FROM lb q JOIN lb c ON q.label = c.label AND q.vec_id <> c.vec_id),
-dq AS (SELECT cand.qa, cand.cell, cand.cb, sum(CAST(a.x * b.x AS DECIMAL(30,15))) AS d
+dq AS (SELECT cand.qa, cand.cell, cand.cb, sum(a.x * b.x) AS d
 FROM cand JOIN u a ON a.vec_id = cand.qa JOIN u b ON b.vec_id = cand.cb AND b.i = a.i GROUP BY 1,2,3),
 sims AS (SELECT qa, cell, cb, CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS sv
 FROM dq JOIN norms na ON na.vec_id = qa JOIN norms nb ON nb.vec_id = cb),
@@ -536,7 +544,7 @@ FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1 ORDER BY 1"""))
 
   /** Embedding unnest prelude shared by the similarity oracles. */
   private val EMB_U =
-    """WITH u AS (SELECT vec_id, s.i, CAST(embedding[s.i] AS DOUBLE) AS x FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) s)"""
+    """WITH u AS (SELECT vec_id, s.i, CAST(floor(CAST(embedding[s.i] AS DOUBLE) * 10000000) AS BIGINT) AS x FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) s)"""
 
   private val ALL_MARKERS = TextAnalysis.langMarkers.flatMap(_._2)
     .map(m => s"'$m'").mkString(",")

@@ -40,11 +40,13 @@ object Dedup {
                         numHashes: Int = 16, shingleLen: Int = 3): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
       explode(TextAnalysis.shingles(col(textCol), shingleLen)).as("shingle"))
-    val hs = sh.select(col("id"), explode(
-        transform(sequence(lit(0), lit(numHashes - 1)),
-          h => struct(h.as("h"), md5(concat(h.cast("string"), lit(":"), col("shingle"))).as("v"))))
-        .as("hv"))
-      .select(col("id"), col("hv.h").as("h"), col("hv.v").as("v"))
+    // flat explode of the hash index keeps md5/concat inside whole-stage
+    // codegen (a transform() lambda here would force interpreted evaluation
+    // of numHashes digests per shingle — measured ~10x slower)
+    val hs = sh.select(col("id"), col("shingle"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("h"))
+      .select(col("id"), col("h"),
+        md5(concat(col("h").cast("string"), lit(":"), col("shingle"))).as("v"))
     hs.groupBy("id", "h").agg(min("v").as("minhash"))
   }
 
@@ -69,12 +71,20 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 16, bands: Int = 4,
                       shingleLen: Int = 3): DataFrame = {
-    val b = lshBuckets(df, idCol, textCol, numHashes, bands, shingleLen)
+    // signatures feed three subtrees (bucketing + both candidate sides);
+    // materialize once — numHashes rows per doc, always small
+    val sig = minhashSignatures(df, idCol, textCol, numHashes, shingleLen)
+      .localCheckpoint()
+    val rowsPerBand = numHashes / bands
+    val b = sig
+      .withColumn("band", floor(col("h") / lit(rowsPerBand)).cast("int"))
+      .groupBy("id", "band")
+      .agg(md5(array_join(transform(sort_array(collect_list(struct(col("h"), col("minhash")))),
+        s => s.getField("minhash")), "|")).as("bucket"))
     val cand = b.as("x").join(b.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
-    val sig = minhashSignatures(df, idCol, textCol, numHashes, shingleLen)
     cand
       .join(sig.select(col("id").as("id_a"), col("h"), col("minhash").as("va")), Seq("id_a"))
       .join(sig.select(col("id").as("id_b"), col("h"), col("minhash").as("vb")), Seq("id_b", "h"))

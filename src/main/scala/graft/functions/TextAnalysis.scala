@@ -89,10 +89,13 @@ object TextAnalysis {
     */
   def rollingFingerprint(text: Column, w: Int = 5): Column = {
     val toks = tokens(text)
-    array_min(
-      transform(
-        sequence(lit(1), greatest(size(toks) - lit(w - 1), lit(0))),
+    // guard: sequence(1, 0) DESCENDS in Spark, so short docs must yield an
+    // empty window list (-> null fingerprint), not a slice(_, 0) error
+    val windows = when(size(toks) >= w,
+      transform(sequence(lit(1), size(toks) - lit(w - 1)),
         i => md5(array_join(slice(toks, i, lit(w)), " "))))
+      .otherwise(array().cast("array<string>"))
+    array_min(windows)
   }
 
   /** Distinct `n`-word shingles of a document — the unit of MinHash /
@@ -100,9 +103,12 @@ object TextAnalysis {
     */
   def shingles(text: Column, n: Int = 3): Column = {
     val toks = tokens(text)
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(0))),
-        i => array_join(slice(toks, i, lit(n)), " ")))
+    // same descending-sequence guard as rollingFingerprint
+    when(size(toks) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(1), size(toks) - lit(n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
   }
 }

@@ -30,6 +30,23 @@ class GraphAlgorithmsSpec extends AnyFunSuite with SparkFixture {
     assert(n.filter(col("id") === 4L).first().getAs[Long]("comp") == 3L)
   }
 
+  test("strongComponentLabels: cycles form SCCs, chain nodes are singletons") {
+    // 0->1->2->0 cycle; 3->4 chain; 5 isolated: SCCs {0,1,2},{3},{4},{5}
+    val labels = GraphAlgorithms.componentLabels(twoCompNf, "strong").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 4L, 5L -> 5L))
+  }
+
+  test("strongComponentLabels: two cycles joined by a one-way bridge stay separate") {
+    val nodes = (0L to 5L).map(i => (i, i)).toDF("id", "x")
+    // cycle A: 0->1->0; bridge 1->2; cycle B: 2->3->4->2; 5 self-loop
+    val edges = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 2L), (5L, 5L))
+      .toDF("source", "target")
+    val labels = GraphAlgorithms.strongComponentLabels(NetworkFrame(nodes, edges))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 5L))
+  }
+
   test("selectComponentFromNode: directed reachability") {
     // directed: from 3 only 3->4 reachable
     val sub = GraphAlgorithms.selectComponentFromNode(twoCompNf, 3L, directed = true)
