@@ -45,6 +45,7 @@ object GraphAlgorithms {
       converged = changed == 0
       rounds += 1
     }
+    System.err.println(s"[graft] componentLabels converged in $rounds rounds")
     labels
   }
 
@@ -67,10 +68,49 @@ object GraphAlgorithms {
     var guard = 0
     while (!remaining.isEmpty && guard < 200) {
       guard += 1
-      val eR = e
+      System.err.println(s"[graft] scc peel round $guard, remaining=${remaining.count()}")
+      var eR = e
         .join(remaining.withColumnRenamed("id", "source"), Seq("source"), "left_semi")
         .join(remaining.withColumnRenamed("id", "target"), Seq("target"), "left_semi")
         .localCheckpoint()
+      // 0. TRIM (the classic FW-BW accelerator): a node with no in-edge or
+      // no out-edge (self-loops aside) cannot be on a cycle — it is its own
+      // SCC. Peel those to fixpoint first; on mostly-acyclic graphs this
+      // removes nearly everything and the expensive coloring only ever sees
+      // small cyclic cores. Two Spark jobs per trim round (checkpoint +
+      // count); trimmed nodes are assigned in ONE batch after the fixpoint.
+      val trimStart = remaining
+      var before = remaining.count()
+      var trimming = before > 0
+      while (trimming) {
+        val ePure = eR.filter(col("source") =!= col("target"))
+          .join(remaining.withColumnRenamed("id", "source"), Seq("source"), "left_semi")
+          .join(remaining.withColumnRenamed("id", "target"), Seq("target"), "left_semi")
+        val deg = ePure.select(col("target").as("id"), lit(1).as("hin"), lit(0).as("hout"))
+          .union(ePure.select(col("source").as("id"), lit(0).as("hin"), lit(1).as("hout")))
+          .groupBy("id").agg(max("hin").as("hin"), max("hout").as("hout"))
+        val keep = remaining.join(
+            deg.filter(col("hin") === 1 && col("hout") === 1).select("id"),
+            Seq("id"), "left_semi")
+          .localCheckpoint()
+        val after = keep.count()
+        remaining = keep
+        trimming = after < before && after > 0
+        before = after
+      }
+      val trimmedSingles = trimStart.join(remaining, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("root"))
+      if (!trimmedSingles.isEmpty) {
+        result = if (result == null) trimmedSingles.localCheckpoint()
+                 else result.union(trimmedSingles).localCheckpoint()
+      }
+      eR = eR
+        .join(remaining.withColumnRenamed("id", "source"), Seq("source"), "left_semi")
+        .join(remaining.withColumnRenamed("id", "target"), Seq("target"), "left_semi")
+        .localCheckpoint()
+      if (remaining.isEmpty) {
+        System.err.println(s"[graft] scc trim cleared round $guard")
+      } else {
       // 1. forward max-color propagation to fixpoint
       var colors = remaining.select(col("id"), col("id").as("color")).localCheckpoint()
       var stable = false
@@ -106,6 +146,7 @@ object GraphAlgorithms {
       }
       result = if (result == null) scc else result.union(scc).localCheckpoint()
       remaining = remaining.join(scc.select("id"), Seq("id"), "left_anti").localCheckpoint()
+      }
     }
     // relabel each SCC by its min member id
     result.join(result.groupBy("root").agg(min(col("id")).as("component")), Seq("root"))

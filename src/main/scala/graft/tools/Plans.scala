@@ -1,0 +1,76 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.{Dedup, Similarity}
+
+/** Plan inspection: prints formatted physical plans for the load-bearing
+  * operators so the shuffle/broadcast/pushdown story can be audited
+  * (and stage timings for the remaining slow queries).
+  */
+object Plans {
+  def t(label: String)(f: => Long): Unit = {
+    val t0 = System.nanoTime()
+    val n = f
+    println(f"[plan] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val what = if (args.length > 1) args(1) else "all"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (what == "all" || what == "ivf") {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val q = Similarity.ivfTopK(emb, "vec_id", "embedding", "label", 3)
+      println("==== ivfTopK plan ====")
+      q.explain("formatted")
+      t("ivfTopK")(q.count())
+    }
+    if (what == "ivf2") {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      import graft.functions.{LongDot, Similarity}
+      LongDot.register(spark)
+      val b = emb.select(col("vec_id").as("id"), Similarity.quantize(col("embedding")).as("qv"),
+          col("label").as("cell"))
+        .withColumn("n2", Similarity.dotLong(col("qv"), col("qv")))
+      t("quantized table")(b.count())
+      val scored = b.as("q").join(b.as("c"),
+          col("q.cell") === col("c.cell") && col("q.id") =!= col("c.id"))
+        .select(col("q.id").as("query_id"),
+          (Similarity.dotLong(col("q.qv"), col("c.qv")).cast("double") /
+            (sqrt(col("q.n2").cast("double")) * sqrt(col("c.n2").cast("double")))).as("sim"))
+      t("scored pairs")(scored.count())
+      t("scored agg max")(scored.groupBy("query_id").agg(max("sim")).count())
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("query_id").orderBy(desc("sim"))
+      t("windowed")(scored.withColumn("r", row_number().over(w)).filter(col("r") <= 3).count())
+    }
+    if (what == "all" || what == "mh") {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val p = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      println("==== minhashLshPairs plan ====")
+      p.explain("formatted")
+      t("minhashLshPairs")(p.count())
+    }
+    if (what == "all" || what == "enrich") {
+      val g = graft.NetworkFrame(
+        spark.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey").as("id"), col("c_mktsegment")),
+        spark.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_custkey").as("source"), (col("o_orderkey") % 15000).as("target"),
+            col("o_totalprice").as("weight")))
+      println("==== applyNodeFeatures plan (expect BroadcastHashJoin) ====")
+      g.applyNodeFeatures(Seq("c_mktsegment"), "both").edges.explain("formatted")
+      println("==== queryNodes induction plan (expect semi joins, pushed filters) ====")
+      g.queryNodes("c_mktsegment = 'MACHINERY'").edges.explain("formatted")
+    }
+    spark.stop()
+  }
+}
