@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-side exports and iterator conveniences — the reference APIs that
+  * inherently materialize on one machine (`to_sparse_adjacency` CSR,
+  * `to_networkx`, `to_torch_geometric`, the generator-shaped iteration APIs,
+  * networkframe.py:545-719, :785-819, :1309-1330, groupby.py:64-81).
+  * Everything here collects to the driver by design and is documented as
+  * driver-memory-bound; the distributed engine never depends on these.
+  */
+object LocalExports {
+
+  /** CSR adjacency arrays (indptr, colIndices, values, n) from the
+    * positional COO (networkframe.py:592-672's csr export).
+    */
+  def toLocalCsr(nf: NetworkFrame, weightCol: Option[String] = None,
+                 aggfunc: String = "sum"): (Array[Long], Array[Long], Array[Double], Int) = {
+    val n = nf.nodes.count().toInt
+    val coo = nf.toSparseAdjacencyCoo(weightCol, aggfunc)
+      .orderBy("row", "col")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.get(2) match {
+        case d: java.math.BigDecimal => d.doubleValue()
+        case x: Number => x.doubleValue()
+      }))
+    val indptr = new Array[Long](n + 1)
+    coo.foreach { case (r, _, _) => indptr(r + 1) += 1 }
+    (1 to n).foreach(i => indptr(i) += indptr(i - 1))
+    (indptr, coo.map(_._2.toLong), coo.map(_._3), n)
+  }
+
+  /** PyG-style export (networkframe.py:677-719): positional 2 x E edge index
+    * (undirected graphs get reversed edges appended, matching the
+    * reference's concatenation) + numeric node-feature matrix in node-id
+    * order with nulls as 0 (the reference's fillna(0)).
+    */
+  def toTorchGeometricLocal(nf: NetworkFrame, directed: Boolean = true)
+      : (Array[Array[Long]], Array[Array[Double]]) = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = nf.nodes.select(col("id"))
+      .withColumn("pos", row_number().over(Window.orderBy(col("id"))) - 1)
+    val base = nf.edges
+      .join(pos.withColumnRenamed("id", "source").withColumnRenamed("pos", "sp"), Seq("source"))
+      .join(pos.withColumnRenamed("id", "target").withColumnRenamed("pos", "tp"), Seq("target"))
+      .select(col("sp").cast("long"), col("tp").cast("long"))
+    val withRev = if (directed) base
+      else base.union(base.select(col("tp"), col("sp")))
+    val pairs = withRev.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edgeIndex = Array(pairs.map(_._1), pairs.map(_._2))
+    val numericCols = nf.nodes.schema.fields.collect {
+      case f if f.name != "id" && f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] => f.name
+    }
+    val feats = nf.nodes.orderBy("id")
+      .select(numericCols.map(c => coalesce(col(c).cast("double"), lit(0.0)).as(c)).toSeq: _*)
+      .collect().map(r => numericCols.indices.map(r.getDouble).toArray)
+    (edgeIndex, feats)
+  }
+
+  /** Node-link JSON (the `to_networkx` data shape, networkframe.py:545-590)
+    * — all node and edge attributes carried through.
+    */
+  def toNetworkxJson(nf: NetworkFrame): String = {
+    val nodes = nf.nodes.toJSON.collect().mkString("[", ",", "]")
+    val links = nf.edges.toJSON.collect().mkString("[", ",", "]")
+    s"""{"directed":${nf.directed},"multigraph":true,"nodes":$nodes,"links":$links}"""
+  }
+
+  /** Rebuild a NetworkFrame from a `toJsonLocal` envelope
+    * (`from_dict`/`from_json`, networkframe.py:1193-1223).
+    */
+  def fromJson(spark: SparkSession, json: String): NetworkFrame = {
+    import spark.implicits._
+    val env = spark.read.json(Seq(json).toDS)
+    val nodes = env.select(explode(col("nodes")).as("n")).select("n.*")
+    val edges = env.select(explode(col("edges")).as("e")).select("e.*")
+    val directed = env.select("directed").first().getBoolean(0)
+    NetworkFrame(nodes, edges, directed)
+  }
+
+  /** Per-component subframes — the reference's `connected_components`
+    * iterator (networkframe.py:785-819). Driver iteration over the distinct
+    * labels; each yielded frame is a lazily-filtered view.
+    */
+  def connectedComponentFrames(nf: NetworkFrame, connection: String = "weak")
+      : Iterator[(Any, NetworkFrame)] = {
+    val labels = GraphAlgorithms.componentLabels(nf, connection).localCheckpoint()
+    val keys = labels.select("component").distinct().orderBy("component")
+      .collect().map(_.get(0))
+    keys.iterator.map { k =>
+      val ids = labels.filter(col("component") === lit(k)).select("id")
+      k -> nf.copy(
+        nodes = nf.nodes.join(ids, Seq("id"), "left_semi"),
+        edges = nf.edges
+          .join(ids.withColumnRenamed("id", "source"), Seq("source"), "left_semi")
+          .join(ids.withColumnRenamed("id", "target"), Seq("target"), "left_semi"))
+    }
+  }
+
+  /** Per-ego k-hop subframes — `k_hop_decomposition` (networkframe.py:1309-1330).
+    * Small-graph API: one BFS per ego on demand.
+    */
+  def kHopDecomposition(nf: NetworkFrame, k: Int, directed: Boolean = false)
+      : Iterator[(Any, NetworkFrame)] = {
+    val ids = nf.nodes.select("id").orderBy("id").collect().map(_.get(0))
+    ids.iterator.map(id => id -> GraphAlgorithms.kHopNeighborhood(nf, id, k, directed))
+  }
+
+  /** Grouped subframe iteration — `NodeGroupBy.__iter__` (groupby.py:64-81):
+    * the cartesian product of source-groups x target-groups, each subframe a
+    * rectangular `loc` selection. `induced=true` keeps only the diagonal.
+    */
+  def groupFrames(g: NodeGroupBy, induced: Boolean = false)
+      : Iterator[((Any, Any), NetworkFrame)] = {
+    val keys = g.frame.nodes.select(g.by).distinct().orderBy(g.by).collect().map(_.get(0))
+    (for {
+      sk <- keys.iterator
+      tk <- keys.iterator if !induced || sk == tk
+    } yield {
+      val rows = g.frame.nodes.filter(col(g.by) === lit(sk)).select("id")
+      val cols_ = g.frame.nodes.filter(col(g.by) === lit(tk)).select("id")
+      (sk, tk) -> g.frame.loc(rows, cols_)
+    })
+  }
+}

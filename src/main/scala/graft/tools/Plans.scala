@@ -59,6 +59,14 @@ object Plans {
       p.explain("formatted")
       t("minhashLshPairs")(p.count())
     }
+    if (what == "sort") {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      println("==== orderBy().count() plan (is the Sort eliminated?) ====")
+      val q = docs.select(col("doc_id"), col("lang")).orderBy("doc_id", "lang")
+      q.groupBy().count().explain("formatted")
+      val p2 = Dedup.minhashLshPairs(docs, "doc_id", "text").orderBy("id_a", "id_b")
+      t("mh pairs orderBy+count")(p2.count())
+    }
     if (what == "all" || what == "enrich") {
       val g = graft.NetworkFrame(
         spark.read.parquet(s"$dir/customer.parquet")
