@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed at-rest layout for NetworkFrames — the 100 TB deployment story
+  * (SCALE.md): edges bucketed by `source` (and optionally a mirrored copy
+  * bucketed by `target`) let every subgraph-induction semi-join,
+  * effective-edge aggregation, and iterative message join reuse the bucket
+  * partitioning instead of shuffling the edge table. Nodes bucket by `id`
+  * so label joins co-locate too.
+  *
+  * Spark bucketing requires table-managed storage (`saveAsTable`); tables
+  * land in the session's warehouse dir.
+  */
+object Storage {
+
+  /** Persist bucketed: `<name>_nodes` bucketed by id, `<name>_edges`
+    * bucketed by source, plus `<name>_edges_bytarget` when `mirror` —
+    * the two-sided layout that kills the shuffle on whichever endpoint a
+    * join needs.
+    */
+  def writeBucketed(nf: NetworkFrame, name: String, buckets: Int = 32,
+                    mirror: Boolean = false): Unit = {
+    nf.nodes.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "id").sortBy("id")
+      .format("parquet").saveAsTable(s"${name}_nodes")
+    nf.edges.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "source").sortBy("source")
+      .format("parquet").saveAsTable(s"${name}_edges")
+    if (mirror) {
+      nf.edges.write.mode(SaveMode.Overwrite)
+        .bucketBy(buckets, "target").sortBy("target")
+        .format("parquet").saveAsTable(s"${name}_edges_bytarget")
+    }
+  }
+
+  /** Reload a bucketed NetworkFrame; joins on nodes.id / edges.source pick
+    * up the bucket spec and skip their exchange.
+    */
+  def readBucketed(spark: SparkSession, name: String,
+                   directed: Boolean = true): NetworkFrame =
+    NetworkFrame(spark.table(s"${name}_nodes"), spark.table(s"${name}_edges"), directed)
+
+  /** The target-bucketed mirror copy, when written. */
+  def readEdgesByTarget(spark: SparkSession, name: String): DataFrame =
+    spark.table(s"${name}_edges_bytarget")
+}
