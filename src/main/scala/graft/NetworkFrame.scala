@@ -310,6 +310,28 @@ final case class NodeGroupBy(frame: NetworkFrame, by: String) {
   def sizeEdges(weightName: String = "size"): DataFrame =
     applyEdges("size", None, weightName)
 
-  /** Group-key → member-count summary (groupby.py:42-62). */
+  /** Arbitrary-aggregate escape hatch (the reference's Callable aggfunc,
+    * groupby.py:91-112 / networkframe.py:501): any Spark aggregate Column —
+    * built-in, custom `Aggregator.toColumn`, or a registered UDAF — applied
+    * per (source-group, target-group). Idiomatic replacement for opaque
+    * Python callables: the expression stays inside codegen.
+    */
+  def applyEdgesExpr(agg: Column, weightName: String = "weight"): DataFrame = {
+    val enriched = frame.applyNodeFeatures(Seq(by), "both").edges
+    enriched.groupBy(col(srcCol).as("source"), col(tgtCol).as("target"))
+      .agg(agg.as(weightName))
+  }
+
+  /** Group-key → member-count summaries (groupby.py:42-62, :147-161). */
   def sourceGroups: DataFrame = frame.nodes.groupBy(col(by)).agg(count(lit(1)).as("n_nodes"))
+  def targetGroups: DataFrame = sourceGroups
+  def groupKeys: DataFrame = frame.nodes.select(col(by)).distinct()
+
+  /** Group count; axis="both" non-induced is the source x target product
+    * (groupby.py:44-48).
+    */
+  def nGroups(axis: String = "both", induced: Boolean = false): Long = {
+    val k = groupKeys.count()
+    if (axis == "both" && !induced) k * k else k
+  }
 }

@@ -136,6 +136,14 @@ class NetworkFrameSpec extends AnyFunSuite with SparkFixture {
     assert(m == Map(("red", "blue") -> 2L, ("blue", "blue") -> 1L, ("blue", "red") -> 1L))
   }
 
+  test("applyEdgesExpr accepts arbitrary aggregate expressions") {
+    val g = simpleNf.groupbyNodes("color")
+    val m = g.applyEdgesExpr(max(col("weight")) - min(col("weight")), "range")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m(("red", "blue")) == 1L) // A->B(1), A->C(2)
+    assert(g.nGroups() == 4L && g.groupKeys.count() == 2L)
+  }
+
   test("nodeAgreement is the membership fraction") {
     val a = simpleNf
     val b = simpleNf.queryNodes("color = 'blue'")
