@@ -320,36 +320,51 @@ object GraphAlgorithms {
 
   /** Spectral node ordering (networkframe.py:1540-1549): order nodes by the
     * leading eigenvector of the symmetrized weighted adjacency, computed by
-    * distributed power iteration — v <- normalize((A + A^T) v) — instead of
-    * driver-resident eigsh. Each iteration: one join + one aggregation.
+    * distributed power iteration — v <- (A + A^T) v, renormalized — instead
+    * of driver-resident eigsh. Each iteration: one join + one aggregation.
+    *
+    * Fully deterministic (partitioning- and engine-independent): weights are
+    * quantized to long cents, scores to longs at scale 1e6, the matvec
+    * accumulates in DECIMAL(38,0) (exact, order-independent), and each round
+    * renormalizes by the MAX score (exact integer max + integral division) —
+    * power iteration is scale-invariant, so max-normalization converges to
+    * the same ordering as L2 while avoiding any floating-point accumulation.
+    * The start vector is all-ones and A is non-negative, so scores stay
+    * non-negative (Perron) — no eigenvector sign ambiguity.
     */
   def sortSpectral(nf: NetworkFrame, weightCol: String = "weight",
                    iterations: Int = 30): DataFrame = {
-    val sym = nf.edges.select(col("source"), col("target"), col(weightCol).as("w"))
+    val D38 = "decimal(38,0)"
+    val sym = nf.edges.select(col("source"), col("target"),
+        col(weightCol).cast("decimal(18,2)").as("w"))
       .union(nf.edges.select(col("target").as("source"), col("source").as("target"),
-        col(weightCol).as("w")))
-      .groupBy("source", "target").agg(sum("w").as("w"))
+        col(weightCol).cast("decimal(18,2)").as("w")))
+      .groupBy("source", "target")
+      .agg((sum("w") * 100).cast("long").as("wq"))
       .localCheckpoint()
-    var v = nf.nodes.select(col("id"), lit(1.0).as("score")).localCheckpoint()
-    // normalize only every few rounds: power iteration is scale-invariant, so
-    // the extra normalization actions (one Spark job each) are pure overhead
-    // as long as values stay in double range
-    val normEvery = 5
-    for (i <- 1 to iterations) {
+    var v = nf.nodes.select(col("id"), lit(1000000L).as("qs")).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      // wq <= ~1e8 cents, qs <= 1e6 -> per-term product fits long; the sum
+      // accumulates in decimal(38,0) so hub nodes can't overflow at scale
       val prod = sym.join(v.withColumnRenamed("id", "target"), Seq("target"))
         .groupBy(col("source").as("id"))
-        .agg(sum(col("w") * col("score")).as("score"))
-      val full = nf.nodes.select(col("id")).join(prod, Seq("id"), "left_outer")
-        .na.fill(0.0, Seq("score"))
-      val scaled = if (i % normEvery == 0 || i == iterations) {
-        val norm = math.sqrt(
-          full.agg(sum(col("score") * col("score"))).first().getDouble(0) max 1e-300)
-        full.withColumn("score", col("score") / lit(norm))
-      } else full
-      v = scaled.localCheckpoint()
+        .agg(sum((col("wq") * col("qs")).cast(D38)).as("ms"))
+      val full = nf.nodes.select(col("id"))
+        .join(prod, Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("ms"), lit(0).cast(D38)).as("ms"))
+        .localCheckpoint()
+      val mx = full.agg(max(col("ms"))).first().getDecimal(0)
+      v =
+        if (mx == null || mx.signum == 0)
+          full.select(col("id"), lit(0L).as("qs"))
+        else
+          // integral division of non-negatives: truncation == floor, and
+          // both engines (Spark DIV, DuckDB //) agree exactly
+          full.selectExpr("id",
+            s"CAST((ms * 1000000) DIV CAST('${mx.toPlainString}' AS DECIMAL(38,0)) AS BIGINT) AS qs")
     }
     nf.nodes.join(v, Seq("id"), "left_outer")
-      .orderBy(col("score"), col("id"))
+      .orderBy(col("qs"), col("id"))
   }
 
   private def induce(edges: DataFrame, ids: DataFrame): DataFrame =

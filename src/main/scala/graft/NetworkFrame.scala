@@ -51,6 +51,14 @@ final case class NetworkFrame(
   def numNodes: Long = nodes.count()
   def numEdges: Long = edges.count()
 
+  /** Shape summary — the reference's `__repr__` (networkframe.py:179-188),
+    * e.g. `NetworkFrame(nodes=(3, 1), edges=(2, 3))`. The node column count
+    * excludes `id` (the reference's index). Action (two counts).
+    */
+  def describe: String =
+    s"NetworkFrame(nodes=($numNodes, ${nodes.columns.length - 1}), " +
+      s"edges=($numEdges, ${edges.columns.length}))"
+
   // ----------------------------------------------------- subgraph selection
 
   /** Keep only edges whose BOTH endpoints are in `n` (the signature semantic
@@ -133,20 +141,31 @@ final case class NetworkFrame(
 
   /** Stamp node attribute columns onto edges as `source_{col}` /
     * `target_{col}` (networkframe.py:458-498; README.md:105-119). The node
-    * table is broadcast — it is the small side of THE enrichment join.
+    * table is usually the small side of THE enrichment join, but a
+    * billion-node table must not be forced onto the driver: the broadcast
+    * hint is applied only when Catalyst's size estimate for the projected
+    * node columns fits `spark.sql.autoBroadcastJoinThreshold`; otherwise the
+    * join is left unhinted and AQE picks the strategy at runtime.
     * axis: "source" | "target" | "both".
     */
   def applyNodeFeatures(columns: Seq[String], axis: String = "both"): NetworkFrame = {
+    def maybeBroadcast(df: DataFrame): DataFrame = {
+      val threshold = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+      if (threshold > 0 &&
+          df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(threshold))
+        broadcast(df)
+      else df
+    }
     var e = edges
     if (axis == "source" || axis == "both") {
       val src = nodes.select(
         col("id").as("source") +: columns.map(c => col(c).as(s"source_$c")): _*)
-      e = e.join(broadcast(src), Seq("source"), "left_outer")
+      e = e.join(maybeBroadcast(src), Seq("source"), "left_outer")
     }
     if (axis == "target" || axis == "both") {
       val tgt = nodes.select(
         col("id").as("target") +: columns.map(c => col(c).as(s"target_$c")): _*)
-      e = e.join(broadcast(tgt), Seq("target"), "left_outer")
+      e = e.join(maybeBroadcast(tgt), Seq("target"), "left_outer")
     }
     copy(edges = e)
   }
@@ -245,6 +264,30 @@ final case class NetworkFrame(
     val e = edges.toJSON.collect().mkString("[", ",", "]")
     s"""{"nodes":$n,"edges":$e,"directed":$directed}"""
   }
+
+  // ------------------------------------------------------------- equality
+
+  /** Order-insensitive frame equality — the reference's `__eq__`
+    * (networkframe.py:1114-1154): same node rows (ids + features) and the
+    * same MULTISET of edge rows, ignoring row order and, like the reference
+    * documents, ignoring edge indexing. Implemented as two-sided `exceptAll`
+    * per table (multiset difference in both directions), which Catalyst
+    * plans as hash aggregations — no driver materialization. Column sets
+    * must match exactly (order-insensitively).
+    */
+  def frameEquals(other: NetworkFrame): Boolean = {
+    def sameRows(a: DataFrame, b: DataFrame): Boolean = {
+      if (a.columns.sorted.toSeq != b.columns.sorted.toSeq) return false
+      val cols = a.columns.sorted.toSeq.map(col)
+      val (x, y) = (a.select(cols: _*), b.select(cols: _*))
+      x.exceptAll(y).isEmpty && y.exceptAll(x).isEmpty
+    }
+    directed == other.directed &&
+      sameRows(nodes, other.nodes) && sameRows(edges, other.edges)
+  }
+
+  /** The reference's `__ne__` (networkframe.py:1146-1154). */
+  def frameNotEquals(other: NetworkFrame): Boolean = !frameEquals(other)
 }
 
 object NetworkFrame {
@@ -272,10 +315,14 @@ object NetworkFrame {
 
   /** Substitute `@name` parameters with safely rendered SQL literals —
     * the Spark-side equivalent of pandas query `@var` binding
-    * (networkframe.py:277-298).
+    * (networkframe.py:277-298). Longest names substitute first so a param
+    * that is a prefix of another (`@min` vs `@minbal`) can never capture
+    * the longer name's occurrences.
     */
   def bindParams(expr: String, params: Map[String, Any]): String =
-    params.foldLeft(expr) { case (e, (k, v)) => e.replace("@" + k, sqlLiteral(v)) }
+    params.toSeq.sortBy(-_._1.length).foldLeft(expr) {
+      case (e, (k, v)) => e.replace("@" + k, sqlLiteral(v))
+    }
 
   private def sqlLiteral(v: Any): String = v match {
     case s: String => "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"

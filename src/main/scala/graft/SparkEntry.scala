@@ -326,10 +326,12 @@ p2 AS (SELECT DISTINCT a.source, b.target FROM p1 a JOIN p1 b ON a.target = b.so
 pr AS (SELECT source AS id, target AS neighbor FROM (SELECT * FROM p1 UNION SELECT * FROM p2) WHERE source <> target)
 SELECT id, count(*) AS n_reach FROM pr GROUP BY 1 ORDER BY 1""")),
 
+    // deterministic quantized power iteration (see sortSpectral): the oracle
+    // unrolls the same 10 integer-exact iterations as chained CTEs
     ("q_spectral", (s, dir) =>
       GraphAlgorithms.sortSpectral(sparse(s, dir), "weight", iterations = 10)
-        .select("id"),
-      None),
+        .select(col("id"), col("qs").as("score")).orderBy("id"),
+      Some(spectralSql(10))),
 
     // ====================== dedup extensions ======================
 
@@ -371,19 +373,39 @@ bits AS (SELECT doc_id, b, strpos('0123456789abcdef', substr(hx, CAST(b // 4 AS 
 votes AS (SELECT doc_id, b, sum(CAST(floor(nib / power(2, b % 4)) AS BIGINT) % 2 * 2 - 1) AS v FROM bits GROUP BY 1,2)
 SELECT doc_id AS id, CAST(sum(CASE WHEN v > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash FROM votes GROUP BY 1 ORDER BY 1""")),
 
+    // df-capped (maxDf=20): stop-shingles shared by >20 docs are dropped
+    // before the inverted-index self-join — kills the d^2 Zipf-head blowup
     ("q_ngram_jaccard", (s, dir) =>
-      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", 3, 0.0).orderBy("id_a", "id_b"),
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", 3, 0.0, maxDf = 20)
+        .orderBy("id_a", "id_b"),
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
 sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 0)), i -> array_to_string(list_slice(l, i, i + 2), ' '))) AS shingle FROM t),
-sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-it AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1,2)
+dfc AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 20),
+shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfc USING (shingle)),
+sz AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY 1),
+it AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1,2)
 SELECT ia AS id_a, ib AS id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
 FROM it JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib ORDER BY 1,2""")),
 
     // ====================== similarity search extensions ======================
 
+    // banded sign-LSH candidate generation (16 bands x 4 bits), exact cosine
+    // on candidates only — no all-pairs nested-loop join in the plan
     ("q_embed_neardup", (s, dir) =>
-      Similarity.cosineNearDupPairs(emb(s, dir), "vec_id", "embedding", 0.4)
+      Similarity.cosineNearDupPairs(emb(s, dir), "vec_id", "embedding", 0.4, 16, 4)
+        .orderBy("id_a", "id_b"),
+      Some(s"""$EMB_U,
+bk AS (SELECT vec_id, b.band, CAST(list_sum(list_transform(generate_series(1, 4), j -> CASE WHEN embedding[b.band * 4 + j] > 0 THEN CAST(power(2, j - 1) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket FROM embeddings, (SELECT unnest(generate_series(0, 15)) AS band) b),
+cand AS (SELECT DISTINCT x.vec_id AS ia, y.vec_id AS ib FROM bk x JOIN bk y ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+dots AS (SELECT c.ia, c.ib, sum(a.x * b.x) AS d FROM cand c JOIN u a ON a.vec_id = c.ia JOIN u b ON b.vec_id = c.ib AND b.i = a.i GROUP BY 1,2),
+norms AS (SELECT vec_id, sum(x * x) AS nn FROM u GROUP BY 1)
+SELECT ia AS id_a, ib AS id_b, round(CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))), 6) AS sim
+FROM dots JOIN norms na ON na.vec_id = ia JOIN norms nb ON nb.vec_id = ib
+WHERE CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= 0.4 ORDER BY 1,2""")),
+
+    // exhaustive all-pairs baseline kept verifiable at small SF
+    ("q_embed_neardup_exact", (s, dir) =>
+      Similarity.cosineNearDupPairsExact(emb(s, dir), "vec_id", "embedding", 0.4)
         .orderBy("id_a", "id_b"),
       Some(s"""$EMB_U,
 dots AS (SELECT a.vec_id AS ia, b.vec_id AS ib, sum(a.x * b.x) AS d FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1,2),
@@ -518,6 +540,17 @@ SELECT doc_id AS id, CAST(fi AS INT) AS frame_index, md5(substr(text, CAST(fi AS
         .orderBy("window_start", "event_type"),
       Some(EVENTS_SQL)),
 
+    // production append mode: only watermark-finalized windows are emitted —
+    // the oracle mirrors the finalization predicate (end <= max(ts) - delay)
+    ("q_events_append", (s, dir) =>
+      EventStream.runStreamingAppend(s, s"$dir/events.parquet", "1 hour",
+          "10 minutes", s"stream_append_${Counter.next()}")
+        .orderBy("window_start", "event_type"),
+      Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type, count(*) AS n_events,
+CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value FROM events
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+GROUP BY 1,2 ORDER BY 1,2""")),
+
     // ====================== relational flagships ======================
 
     ("q1_pricing", (s, dir) =>
@@ -541,6 +574,28 @@ FROM lineitem GROUP BY 1,2 ORDER BY 1,2""")),
       Some("""SELECT c_mktsegment, count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1 ORDER BY 1"""))
   )
+
+  /** DuckDB mirror of GraphAlgorithms.sortSpectral at fixed iteration count:
+    * quantized long-cent weights, decimal-exact matvec, max-renormalization
+    * via integral division — every step integer-exact, so the unrolled CTE
+    * chain reproduces Spark's scores bit-for-bit.
+    */
+  private def spectralSql(iters: Int): String = {
+    // every CTE is MATERIALIZED: each step references the previous one two
+    // or three times, so plain (inlined) CTEs would blow up exponentially
+    // in the chain depth — materialization keeps the plan linear
+    val steps = (1 to iters).map { i =>
+      s"""m$i AS MATERIALIZED (SELECT w.source AS id, sum(w.wq * v.qs) AS ms FROM wsym w JOIN v${i - 1} v ON v.id = w.target GROUP BY 1),
+f$i AS MATERIALIZED (SELECT n.id, COALESCE(m.ms, 0) AS ms FROM nodes n LEFT JOIN m$i m ON n.id = m.id),
+v$i AS MATERIALIZED (SELECT id, CAST(COALESCE(ms * 1000000 // NULLIF((SELECT max(ms) FROM f$i), 0), 0) AS BIGINT) AS qs FROM f$i)"""
+    }.mkString(",\n")
+    s"""WITH nodes AS MATERIALIZED (SELECT c_custkey AS id FROM customer),
+sedges AS MATERIALIZED (SELECT o_custkey AS source, o_orderkey % (SELECT count(*) FROM customer) AS target, o_totalprice AS weight FROM orders WHERE o_orderkey % 10 = 0),
+wsym AS MATERIALIZED (SELECT source, target, CAST(sum(CAST(weight AS DECIMAL(18,2))) * 100 AS BIGINT) AS wq FROM (SELECT source, target, weight FROM sedges UNION ALL SELECT target, source, weight FROM sedges) GROUP BY 1,2),
+v0 AS MATERIALIZED (SELECT id, CAST(1000000 AS BIGINT) AS qs FROM nodes),
+$steps
+SELECT n.id, v.qs AS score FROM nodes n JOIN v$iters v ON n.id = v.id ORDER BY 1"""
+  }
 
   /** Embedding unnest prelude shared by the similarity oracles. */
   private val EMB_U =

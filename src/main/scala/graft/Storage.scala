@@ -21,17 +21,24 @@ object Storage {
     */
   def writeBucketed(nf: NetworkFrame, name: String, buckets: Int = 32,
                     mirror: Boolean = false): Unit = {
-    nf.nodes.write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, "id").sortBy("id")
-      .format("parquet").saveAsTable(s"${name}_nodes")
-    nf.edges.write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, "source").sortBy("source")
-      .format("parquet").saveAsTable(s"${name}_edges")
-    if (mirror) {
-      nf.edges.write.mode(SaveMode.Overwrite)
-        .bucketBy(buckets, "target").sortBy("target")
-        .format("parquet").saveAsTable(s"${name}_edges_bytarget")
+    val spark = nf.nodes.sparkSession
+    def writeTable(df: DataFrame, table: String, key: String): Unit = {
+      // A fresh session's in-memory catalog knows nothing about a warehouse
+      // dir left behind by a previous JVM; saveAsTable would then fail with
+      // LOCATION_ALREADY_EXISTS. Drop both the catalog entry and the stale
+      // physical location before writing.
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      val warehouse = new org.apache.hadoop.fs.Path(
+        spark.sessionState.conf.warehousePath, table.toLowerCase)
+      val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(warehouse)) fs.delete(warehouse, true)
+      df.write.mode(SaveMode.Overwrite)
+        .bucketBy(buckets, key).sortBy(key)
+        .format("parquet").saveAsTable(table)
     }
+    writeTable(nf.nodes, s"${name}_nodes", "id")
+    writeTable(nf.edges, s"${name}_edges", "source")
+    if (mirror) writeTable(nf.edges, s"${name}_edges_bytarget", "target")
   }
 
   /** Reload a bucketed NetworkFrame; joins on nodes.id / edges.source pick

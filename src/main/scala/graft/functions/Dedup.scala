@@ -118,11 +118,30 @@ object Dedup {
   /** Exact n-gram Jaccard similarity for all doc pairs sharing at least one
     * shingle — inverted-index self-join, so cost is bounded by co-occurrence,
     * not the full pair space.
+    *
+    * `maxDf` (SCALE.md stop-shingle filtering): shingles appearing in more
+    * than `maxDf` documents are dropped BEFORE the self-join — a shingle
+    * shared by d docs emits d^2/2 pairs, so Zipf-head shingles dominate cost
+    * while contributing almost no Jaccard information. Jaccard is then
+    * defined over the df-filtered shingle sets (sizes and intersections both
+    * use the filtered index, so the measure stays a true Jaccard of the
+    * reduced sets). `maxDf <= 0` disables the cap (exact all-shingle
+    * Jaccard — does not survive 100x data).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        shingleLen: Int = 3, minJaccard: Double = 0.0): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
+                        shingleLen: Int = 3, minJaccard: Double = 0.0,
+                        maxDf: Int = 0): DataFrame = {
+    val shAll = df.select(col(idCol).as("id"),
       explode(TextAnalysis.shingles(col(textCol), shingleLen)).as("shingle"))
+    val sh =
+      if (maxDf <= 0) shAll
+      else shAll.join(
+        // shingles are distinct per doc, so count(*) per shingle IS its df;
+        // one extra agg + semi join on the same shingle key the self-join
+        // shuffles on anyway — AQE reuses the partitioning
+        shAll.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select("shingle"),
+        Seq("shingle"), "left_semi")
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))

@@ -28,10 +28,40 @@ object Multimodal {
 
   val featureDim = 8
 
+  // --------------------------------------------------------- header decode
+  /** Real image-header parse for the two public formats decodable without
+    * external libraries: PNG (8-byte signature + big-endian IHDR;
+    * RFC 2083 §3/§4.1.1) and BMP ("BM" + little-endian BITMAPINFOHEADER).
+    * Returns (width, height, channels); None for anything else (the
+    * deterministic stub below then covers it). The BMP check also requires
+    * a known DIB header size with zeroed high bytes so text payloads that
+    * merely start with "BM" can never false-positive.
+    */
+  private[multimodal] def decodeHeader(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    def u(i: Int): Int = bytes(i) & 0xff
+    def be32(i: Int): Int = (u(i) << 24) | (u(i + 1) << 16) | (u(i + 2) << 8) | u(i + 3)
+    def le32(i: Int): Int = u(i) | (u(i + 1) << 8) | (u(i + 2) << 16) | (u(i + 3) << 24)
+    if (bytes.length >= 26 &&
+        u(0) == 0x89 && u(1) == 'P' && u(2) == 'N' && u(3) == 'G' &&
+        u(4) == 0x0d && u(5) == 0x0a && u(6) == 0x1a && u(7) == 0x0a) {
+      val channels = u(25) match {
+        case 0 => 1 case 2 => 3 case 3 => 1 case 4 => 2 case 6 => 4 case _ => 3
+      }
+      Some((be32(16), be32(20), channels))
+    } else if (bytes.length >= 30 && u(0) == 'B' && u(1) == 'M' &&
+        // BITMAPINFOHEADER variants only (int32 dims at 18/22); the V2/V4/V5
+        // sizes share the layout. CORE (12) does not and is not supported.
+        Set(40, 108, 124).contains(le32(14))) {
+      val bitCount = u(28) | (u(29) << 8)
+      Some((le32(18), le32(22), math.max(1, bitCount / 8)))
+    } else None
+  }
+
   // ------------------------------------------------------------------ STUBS
-  // STUB: deterministic fake decode. A real implementation would parse the
-  // image header and run a feature extractor; this derives metadata and a
-  // feature vector from the bytes so behavior is testable and reproducible.
+  // STUB: deterministic fake decode for payloads that are not PNG/BMP. A
+  // real implementation would hand other formats to a codec library; this
+  // derives metadata and a feature vector from the bytes so behavior is
+  // testable and reproducible.
   private def stubDecodeImage(bytes: Array[Byte]): (Int, Int, Int, Array[Float]) = {
     val n = bytes.length
     val w = 1 + (math.abs(if (n > 0) bytes(0).toInt else 0) % 64)
@@ -52,7 +82,12 @@ object Multimodal {
     ds.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
-          val (w, h, c, f) = stubDecodeImage(r.media)
+          val (w, h, c, f) = decodeHeader(r.media) match {
+            case Some((pw, ph, pc)) =>
+              // real header parse; features still stubbed (no codec libs)
+              (pw, ph, pc, stubDecodeImage(r.media)._4)
+            case None => stubDecodeImage(r.media)
+          }
           ImageFeatures(r.id, w, h, c, r.media.length.toLong, f)
         }
       }

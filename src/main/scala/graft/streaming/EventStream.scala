@@ -79,4 +79,47 @@ object EventStream {
     finally q.stop()
     spark.table(queryName)
   }
+
+  /** Production-mode streaming pass: APPEND output with watermark-evicted
+    * state. Unlike `runStreamingOnce` (complete mode: unbounded state, fine
+    * only for the memory-sink test harness), append mode emits each window
+    * exactly once — after the watermark passes its end — and then DROPS its
+    * state, so state size is bounded by (windows in flight) regardless of
+    * stream length. Late rows older than the watermark are discarded by the
+    * stateful operator. This is the mode a 100 TB continuous ingestion job
+    * runs in; only the sink differs (kafka/delta instead of memory).
+    *
+    * Windows still open when the input drains (end > final watermark =
+    * max event time - delay) are NOT emitted — exactly the production
+    * contract.
+    */
+  def runStreamingAppend(spark: SparkSession, parquetPath: String,
+                         windowLen: String = "1 hour",
+                         delay: String = "10 minutes",
+                         queryName: String = "event_stream_append"): DataFrame = {
+    val schema = spark.read.parquet(parquetPath).schema
+    val srcPath = {
+      val f = new java.io.File(parquetPath)
+      if (f.isDirectory) parquetPath
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft_stream_")
+        java.nio.file.Files.createSymbolicLink(
+          d.resolve(f.getName), f.toPath.toAbsolutePath)
+        d.toString
+      }
+    }
+    val src = spark.readStream.schema(schema).parquet(srcPath)
+    val agg = windowedTypeCounts(withEventWatermark(src, delay), windowLen)
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    // processAllAvailable drains the data; the trailing no-data microbatch
+    // (spark.sql.streaming.noDataMicroBatches.enabled, default true) then
+    // advances the watermark and flushes every finalized window
+    try { q.processAllAvailable() }
+    finally q.stop()
+    spark.table(queryName)
+  }
 }

@@ -101,10 +101,20 @@ class GraphAlgorithmsSpec extends AnyFunSuite with SparkFixture {
   test("sortSpectral orders by leading eigenvector score") {
     val out = GraphAlgorithms.sortSpectral(twoCompNf, "weight", iterations = 15)
     assert(out.count() == 6L)
-    // isolated node has score 0; triangle nodes carry the leading eigenvector
-    val scores = out.collect().map(r => r.getLong(0) -> r.getAs[Double]("score")).toMap
-    assert(scores(5L) == 0.0)
-    assert(Seq(0L, 1L, 2L, 3L, 4L).exists(i => scores(i) > 0.0))
+    // isolated node has score 0; quantized max-normalized scores peak at 1e6
+    val scores = out.collect().map(r => r.getLong(0) -> r.getAs[Long]("qs")).toMap
+    assert(scores(5L) == 0L)
+    assert(Seq(0L, 1L, 2L, 3L, 4L).exists(i => scores(i) == 1000000L))
+  }
+
+  test("sortSpectral is deterministic across repartitionings") {
+    val nf = twoCompNf
+    val a = GraphAlgorithms.sortSpectral(nf, "weight", iterations = 10)
+      .select("id", "qs").collect().toSeq
+    val shuffled = nf.copy(nodes = nf.nodes.repartition(7), edges = nf.edges.repartition(5))
+    val b = GraphAlgorithms.sortSpectral(shuffled, "weight", iterations = 10)
+      .select("id", "qs").collect().toSeq
+    assert(a.sortBy(_.getLong(0)) == b.sortBy(_.getLong(0)))
   }
 
   test("entry returns rows on sf0.001") {
