@@ -133,7 +133,7 @@ object Dedup {
                         maxDf: Int = 0): DataFrame = {
     val shAll = df.select(col(idCol).as("id"),
       explode(TextAnalysis.shingles(col(textCol), shingleLen)).as("shingle"))
-    val sh =
+    val filtered =
       if (maxDf <= 0) shAll
       else shAll.join(
         // shingles are distinct per doc, so count(*) per shingle IS its df;
@@ -142,6 +142,9 @@ object Dedup {
         shAll.groupBy("shingle").agg(count(lit(1)).as("df"))
           .filter(col("df") <= maxDf).select("shingle"),
         Seq("shingle"), "left_semi")
+    // the postings list feeds three subtrees (both self-join sides + sizes);
+    // materialize once instead of re-running the explode/df-filter per branch
+    val sh = filtered.localCheckpoint()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))

@@ -67,6 +67,20 @@ object Plans {
       val p2 = Dedup.minhashLshPairs(docs, "doc_id", "text").orderBy("id_a", "id_b")
       t("mh pairs orderBy+count")(p2.count())
     }
+    if (what == "all" || what == "neardup") {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val q = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4, 16, 4)
+      println("==== cosineNearDupPairs (banded sign-LSH) plan — expect NO nested-loop join ====")
+      q.explain("formatted")
+      t("cosineNearDupPairs")(q.count())
+    }
+    if (what == "all" || what == "ngram") {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val q = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.0, maxDf = 20)
+      println("==== ngramJaccardPairs (maxDf=20) plan ====")
+      q.explain("formatted")
+      t("ngramJaccardPairs df20")(q.count())
+    }
     if (what == "all" || what == "enrich") {
       val g = graft.NetworkFrame(
         spark.read.parquet(s"$dir/customer.parquet")
