@@ -79,6 +79,100 @@ object LocalExports {
     NetworkFrame(nodes, edges, directed)
   }
 
+  /** Pandas-orient dict/JSON export — `to_dict`/`to_json` orients
+    * (networkframe.py:1156-1191): "records" (list of row objects),
+    * "dict"/"columns" ({col: {index: value}}), "index" ({index: {col:
+    * value}}). The node index is `id` (the reference's DataFrame index);
+    * the edge index is positional over the all-column-sorted edge rows (the
+    * reference treats the edge index as disposable, networkframe.py:256).
+    * Driver-bound by design, like every export here. Uses Jackson from
+    * Spark's own classpath.
+    */
+  def toDictJson(nf: NetworkFrame, orient: String = "records"): String = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    import com.fasterxml.jackson.databind.node.ObjectNode
+    val m = new ObjectMapper()
+    def table(df: DataFrame, indexCol: Option[String]): com.fasterxml.jackson.databind.JsonNode = {
+      val cols = df.columns.filterNot(indexCol.contains)
+      val rows = df.toJSON.collect().map(m.readTree(_).asInstanceOf[ObjectNode])
+      def v(r: ObjectNode, c: String) = Option[com.fasterxml.jackson.databind.JsonNode](r.get(c))
+        .getOrElse(m.getNodeFactory.nullNode()) // toJSON omits null fields
+      def key(r: ObjectNode, i: Int) =
+        indexCol.map(ic => r.get(ic).asText).getOrElse(i.toString)
+      orient match {
+        case "records" =>
+          val arr = m.createArrayNode(); rows.foreach(arr.add); arr
+        case "dict" | "columns" =>
+          val out = m.createObjectNode()
+          cols.foreach { c =>
+            val co = out.putObject(c)
+            rows.zipWithIndex.foreach { case (r, i) => co.set[ObjectNode](key(r, i), v(r, c)) }
+          }
+          out
+        case "index" =>
+          val out = m.createObjectNode()
+          rows.zipWithIndex.foreach { case (r, i) =>
+            val o = out.putObject(key(r, i))
+            cols.foreach(c => o.set[ObjectNode](c, v(r, c)))
+          }
+          out
+        case other => throw new IllegalArgumentException(s"unknown orient: $other")
+      }
+    }
+    val root = m.createObjectNode()
+    root.set[ObjectNode]("nodes", table(nf.nodes.orderBy("id"), Some("id")))
+    root.set[ObjectNode]("edges",
+      table(nf.edges.orderBy(nf.edges.columns.map(col).toSeq: _*), None))
+    root.put("directed", nf.directed)
+    m.writeValueAsString(root)
+  }
+
+  /** Rebuild from a `toDictJson` envelope in any supported orient —
+    * `from_dict(d, orient)` (networkframe.py:1193-1223). Index keys become
+    * the `id` column for nodes (numeric when parseable, mirroring the
+    * reference's `index_dtype=int` default; strings otherwise).
+    */
+  def fromDictJson(spark: SparkSession, json: String,
+                   orient: String = "records"): NetworkFrame = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    import com.fasterxml.jackson.databind.node.ObjectNode
+    import scala.jdk.CollectionConverters._
+    val m = new ObjectMapper()
+    val root = m.readTree(json)
+    def putId(o: ObjectNode, k: String): Unit =
+      try { o.put("id", k.toLong); () }
+      catch { case _: NumberFormatException => o.put("id", k); () }
+    def records(node: com.fasterxml.jackson.databind.JsonNode,
+                isNodes: Boolean): Seq[String] = orient match {
+      case "records" => node.elements().asScala.map(_.toString).toSeq
+      case "dict" | "columns" =>
+        val cols = node.fieldNames().asScala.toSeq
+        val keys = scala.collection.mutable.LinkedHashSet.empty[String]
+        cols.foreach(c => node.get(c).fieldNames().asScala.foreach(keys += _))
+        keys.toSeq.map { k =>
+          val o = m.createObjectNode()
+          if (isNodes) putId(o, k)
+          cols.foreach { c =>
+            val cell = node.get(c).get(k)
+            if (cell != null) o.set[ObjectNode](c, cell)
+          }
+          o.toString
+        }
+      case "index" =>
+        node.fields().asScala.map { e =>
+          val o = e.getValue.deepCopy[ObjectNode]()
+          if (isNodes) putId(o, e.getKey)
+          o.toString
+        }.toSeq
+      case other => throw new IllegalArgumentException(s"unknown orient: $other")
+    }
+    import spark.implicits._
+    val nodes = spark.read.json(records(root.get("nodes"), isNodes = true).toDS())
+    val edges = spark.read.json(records(root.get("edges"), isNodes = false).toDS())
+    val directed = !root.has("directed") || root.get("directed").asBoolean
+    NetworkFrame(nodes, edges, directed)
+  }
+
   /** Per-component subframes — the reference's `connected_components`
     * iterator (networkframe.py:785-819). Driver iteration over the distinct
     * labels; each yielded frame is a lazily-filtered view.

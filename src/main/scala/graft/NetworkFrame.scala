@@ -237,9 +237,7 @@ final case class NetworkFrame(
     */
   def toSparseAdjacencyCoo(weightCol: Option[String] = None,
                            aggfunc: String = "sum"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val pos = nodes.select(col("id"))
-      .withColumn("pos", row_number().over(Window.orderBy(col("id"))) - 1)
+    val pos = positionsById(nodes)
     val eff = effectiveEdges(weightCol, aggfunc)
     eff
       .join(pos.withColumnRenamed("id", "source").withColumnRenamed("pos", "row"), Seq("source"))
@@ -297,6 +295,27 @@ object NetworkFrame {
     val nodes = edges.select(col("source").as("id"))
       .union(edges.select(col("target").as("id"))).distinct()
     NetworkFrame(nodes, edges, directed)
+  }
+
+  /** 0-based dense rank of each node id in id order — the positional codes
+    * of `to_sparse_adjacency` (networkframe.py:660-664, pd.Categorical).
+    * Computed scalably: range-repartition by id + per-partition sort gives a
+    * global order and `zipWithIndex` assigns contiguous global positions
+    * (one lightweight extra job for partition offsets) — unlike a
+    * `row_number() OVER (ORDER BY id)` window, which would funnel every row
+    * through a single partition. The (id -> pos) mapping is a pure function
+    * of the id set, so results are partitioning-independent.
+    */
+  def positionsById(nodes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = nodes.sparkSession
+    val ids = nodes.select(col("id"))
+      .repartitionByRange(col("id")).sortWithinPartitions(col("id"))
+    val schema = StructType(ids.schema.fields :+ StructField("pos", LongType, false))
+    val rdd = ids.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(rdd, schema)
   }
 
   /** Map the reference's string agg names (groupby.py:100-112,

@@ -387,6 +387,24 @@ it AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i FROM shf a JOIN shf 
 SELECT ia AS id_a, ib AS id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
 FROM it JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib ORDER BY 1,2""")),
 
+    // LSH pair graph -> connected components -> canonical representative:
+    // the end-to-end "keep one per near-dup cluster" pipeline op
+    ("q_dedup_clusters", (s, dir) =>
+      Dedup.nearDupClusters(docs(s, dir), "doc_id", "text", 0.5, 16, 4, 3)
+        .orderBy("doc_id"),
+      Some("""WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 0)), i -> array_to_string(list_slice(l, i, i + 2), ' '))) AS shingle FROM t),
+hs AS (SELECT doc_id, unnest(generate_series(0, 15)) AS h, shingle FROM sh),
+sig AS (SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash FROM hs GROUP BY 1,2),
+b AS (SELECT doc_id AS id, h // 4 AS band, md5(string_agg(minhash, '|' ORDER BY h)) AS bucket FROM sig GROUP BY 1,2),
+cand AS (SELECT DISTINCT x.id AS ia, y.id AS ib FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id),
+pe AS (SELECT c.ia, c.ib, CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS ej
+FROM cand c JOIN sig sa ON sa.doc_id = c.ia JOIN sig sb ON sb.doc_id = c.ib AND sb.h = sa.h GROUP BY 1,2),
+e AS (SELECT ia, ib FROM pe WHERE ej >= 0.5),
+sym2 AS (SELECT ia AS s, ib AS tt FROM e UNION SELECT ib, ia FROM e),
+reach(id, r) AS (SELECT doc_id, doc_id FROM documents UNION SELECT reach.id, s2.tt FROM reach JOIN sym2 s2 ON s2.s = reach.r)
+SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY 1 ORDER BY 1""")),
+
     // ====================== similarity search extensions ======================
 
     // banded sign-LSH candidate generation (16 bands x 4 bits), exact cosine

@@ -115,6 +115,26 @@ object Dedup {
       .groupBy("id").agg(sum("bitval").as("simhash"))
   }
 
+  /** Near-duplicate CLUSTERS: connected components over the MinHash-LSH
+    * candidate pair graph thresholded at `minJaccard`, labeling every doc
+    * with the minimum doc id of its cluster (the canonical representative —
+    * the standard "keep one per near-dup cluster" step of a training-data
+    * pipeline; singletons label themselves). Composes the LSH candidate
+    * generator with the pointer-doubling component fixpoint, so both stages
+    * scale: candidates are bucket-bounded, components converge in
+    * O(log diameter) rounds.
+    */
+  def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
+                      minJaccard: Double, numHashes: Int = 16, bands: Int = 4,
+                      shingleLen: Int = 3): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, numHashes, bands, shingleLen)
+      .filter(col("est_jaccard") >= minJaccard)
+      .select(col("id_a").as("source"), col("id_b").as("target"))
+    val nodes = df.select(col(idCol).as("id"))
+    graft.GraphAlgorithms.componentLabels(graft.NetworkFrame(nodes, pairs), "weak")
+      .select(col("id").as(idCol), col("component").as("cluster_rep"))
+  }
+
   /** Exact n-gram Jaccard similarity for all doc pairs sharing at least one
     * shingle — inverted-index self-join, so cost is bounded by co-occurrence,
     * not the full pair space.

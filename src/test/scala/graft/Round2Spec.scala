@@ -132,6 +132,48 @@ class Round2Spec extends AnyFunSuite with SparkFixture {
     assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
 
+  // ------------------------------------------ pandas-orient dict round-trip
+
+  test("toDictJson/fromDictJson round-trips every orient") {
+    val nf = simpleNf
+    for (orient <- Seq("records", "dict", "columns", "index")) {
+      val json = LocalExports.toDictJson(nf, orient)
+      val back = LocalExports.fromDictJson(spark, json, orient)
+      assert(back.directed)
+      assert(nf.frameEquals(back), s"orient=$orient round-trip differs")
+    }
+  }
+
+  test("toDictJson columns orient keys node values by id") {
+    val json = LocalExports.toDictJson(simpleNf, "columns")
+    // color of node A is red, keyed by the id index
+    assert(json.contains(""""color":{"A":"red""""))
+  }
+
+  // ----------------------------------------------------- near-dup clusters
+
+  test("nearDupClusters groups LSH near-dups under the min-id representative") {
+    val docs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "the quick brown fox jumps over the lazy dog again and again"),
+      (12L, "the quick brown fox jumps over the lazy dog again and again"),
+      (20L, "completely different text about spark catalyst plan optimization"),
+      (30L, "a third unrelated document mentioning minhash banding buckets"))
+      .toDF("doc_id", "text")
+    val out = Dedup.nearDupClusters(docs, "doc_id", "text", 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 30L -> 30L))
+  }
+
+  // --------------------------------------------------- positional codes
+
+  test("positionsById assigns contiguous dense ranks in id order") {
+    val nodes = Seq(50L, 10L, 30L, 20L, 40L).toDF("id").repartition(3)
+    val pos = NetworkFrame.positionsById(nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pos == Map(10L -> 0L, 20L -> 1L, 30L -> 2L, 40L -> 3L, 50L -> 4L))
+  }
+
   // ------------------------------------------- real image header decode
 
   test("decodeImages parses real PNG and BMP headers, stubs the rest") {
