@@ -23,9 +23,36 @@ import org.apache.spark.sql.functions._
 final case class NetworkFrame(
     nodes: DataFrame,
     edges: DataFrame,
-    directed: Boolean = true) {
+    directed: Boolean = true,
+    sourcesIndex: Option[DataFrame] = None,
+    targetsIndex: Option[DataFrame] = None) {
 
   import NetworkFrame._
+
+  // ------------------------------------------------- bipartite index views
+
+  /** Source node ids (networkframe.py:147-157): the full node index for an
+    * induced frame; the intersection of the node index with the declared
+    * `sourcesIndex` for a non-induced (bipartite/rectangular) frame. The
+    * reference marks its own implementation "currently non-functional"
+    * (networkframe.py:64-67); this implements the documented intent.
+    */
+  def sources: DataFrame = sourcesIndex match {
+    case None => nodes.select(col("id"))
+    case Some(ix) => nodes.select(col("id"))
+      .join(ix.select(col(ix.columns.head).as("id")), Seq("id"), "left_semi")
+  }
+
+  /** Target node ids (networkframe.py:159-169); see `sources`. */
+  def targets: DataFrame = targetsIndex match {
+    case None => nodes.select(col("id"))
+    case Some(ix) => nodes.select(col("id"))
+      .join(ix.select(col(ix.columns.head).as("id")), Seq("id"), "left_semi")
+  }
+
+  /** Source/target node rows with metadata (networkframe.py:171-177). */
+  def sourceNodes: DataFrame = nodes.join(sources, Seq("id"), "left_semi")
+  def targetNodes: DataFrame = nodes.join(targets, Seq("id"), "left_semi")
 
   // ---------------------------------------------------------------- validate
 
@@ -134,7 +161,9 @@ final case class NetworkFrame(
       .join(r.withColumnRenamed("id", "source"), Seq("source"), "left_semi")
       .join(c.withColumnRenamed("id", "target"), Seq("target"), "left_semi")
     val n = nodes.join(r.union(c).distinct(), Seq("id"), "left_semi")
-    copy(nodes = n, edges = e)
+    // the result is a non-induced rectangular frame: remember the row/col
+    // index sets so sources/targets report them (networkframe.py:1604-1608)
+    copy(nodes = n, edges = e, sourcesIndex = Some(r), targetsIndex = Some(c))
   }
 
   // --------------------------------------------------------------- joins

@@ -164,7 +164,7 @@ class NetworkFrameSpec extends AnyFunSuite with SparkFixture {
 
   test("toSparseAdjacencyCoo uses positional codes in id order") {
     val coo = simpleNf.toSparseAdjacencyCoo(Some("weight"), "sum").collect()
-      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
-    assert(coo == Map((0, 1) -> 1L, (0, 2) -> 2L, (1, 2) -> 3L, (2, 3) -> 4L))
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(coo == Map((0L, 1L) -> 1L, (0L, 2L) -> 2L, (1L, 2L) -> 3L, (2L, 3L) -> 4L))
   }
 }

@@ -165,6 +165,21 @@ class Round2Spec extends AnyFunSuite with SparkFixture {
     assert(out == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 30L -> 30L))
   }
 
+  // --------------------------------------------- bipartite sources/targets
+
+  test("loc returns a non-induced frame with tracked source/target indexes") {
+    val nf = simpleNf
+    val rect = nf.loc(
+      Seq("A", "B").toDF("id"), Seq("C", "D").toDF("id"))
+    assert(rect.sources.as[String].collect().sorted.toSeq == Seq("A", "B"))
+    assert(rect.targets.as[String].collect().sorted.toSeq == Seq("C", "D"))
+    // sources intersect the node index: edges A->C, B->C, C->D survive loc;
+    // sourceNodes carry metadata for the row index only
+    assert(rect.sourceNodes.select("id", "color").collect().length == 2)
+    // an induced frame reports the whole node index on both sides
+    assert(nf.sources.count() == 4L && nf.targets.count() == 4L)
+  }
+
   // --------------------------------------------------- positional codes
 
   test("positionsById assigns contiguous dense ranks in id order") {
