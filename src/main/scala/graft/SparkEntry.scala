@@ -530,6 +530,49 @@ SELECT doc_id, md5(lower(trim(text))) AS fp,
 list_aggregate(list_transform(generate_series(1, len(l) - 4), i -> md5(array_to_string(list_slice(l, i, i + 4), ' '))), 'min') AS rolling_fp
 FROM t WHERE len(l) >= 5 ORDER BY 1""")),
 
+    // integer-exact TF-IDF analogue: score = tf * 1e6 * N DIV df
+    ("q_tfidf_top", (s, dir) =>
+      TextAnalysis.tfidfTopTerms(docs(s, dir), "doc_id", "text", 5)
+        .orderBy("doc_id", "rank"),
+      Some("""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tfc AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1,2),
+dfreq AS (SELECT token, count(*) AS df FROM tfc GROUP BY 1),
+scored AS (SELECT doc_id, tfc.token, tf, CAST(CAST(tf AS BIGINT) * 1000000 * (SELECT count(*) FROM documents) // df AS BIGINT) AS score_q
+FROM tfc JOIN dfreq ON tfc.token = dfreq.token),
+rk AS (SELECT doc_id, token, tf, score_q, row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, token) AS rn FROM scored)
+SELECT doc_id, token, tf, score_q, CAST(rn AS INT) AS rank FROM rk WHERE rn <= 5 ORDER BY 1, 5""")),
+
+    // Gopher-style duplicate-ngram repetition signal
+    ("q_repetition", (s, dir) =>
+      TextAnalysis.repetitionFeatures(docs(s, dir).select("doc_id", "text"), "doc_id", "text", 3)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+s AS (SELECT doc_id, list_transform(generate_series(1, len(l) - 2), i -> array_to_string(list_slice(l, i, i + 2), ' ')) AS sh FROM t WHERE len(l) >= 3)
+SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles, CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
+CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE) / len(sh) AS rep_ratio FROM s ORDER BY 1""")),
+
+    // typed JSON extraction + exact aggregation over event props
+    ("q_props_agg", (s, dir) =>
+      graft.functions.SemiStructured.propsAggByType(tbl(s, dir, "events"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n,
+CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // per-source corpus stats (the provenance-level quality rollup)
+    ("q_source_stats", (s, dir) =>
+      docs(s, dir).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("decimal(38,0)"))
+            .cast("long").as("total_tokens"),
+          count_distinct(col("lang")).as("n_langs"))
+        .orderBy("source"),
+      Some("""SELECT source, count(*) AS n_docs,
+CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens,
+count(DISTINCT lang) AS n_langs FROM documents GROUP BY 1 ORDER BY 1""")),
+
     // ====================== multimodal extensions ======================
 
     ("q_multimodal_decode", (s, dir) =>

@@ -51,4 +51,20 @@ object Storage {
   /** The target-bucketed mirror copy, when written. */
   def readEdgesByTarget(spark: SparkSession, name: String): DataFrame =
     spark.table(s"${name}_edges_bytarget")
+
+  /** IVF at-rest layout: the embedding corpus partitioned by its coarse
+    * cell column, so an ANN probe of cell c is a partition-pruned scan that
+    * never touches the other cells' files (SCALE.md "store the corpus
+    * partitioned by cell"). Plain directory-partitioned parquet — no
+    * catalog dependency.
+    */
+  def writeCellPartitioned(df: DataFrame, path: String, cellCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(cellCol).parquet(path)
+
+  /** Scan a single IVF cell; the filter prunes at the partition level
+    * (verify via PartitionFilters in the scan node).
+    */
+  def readCell(spark: SparkSession, path: String, cellCol: String,
+               cell: Any): DataFrame =
+    spark.read.parquet(path).filter(org.apache.spark.sql.functions.col(cellCol) === cell)
 }

@@ -101,14 +101,59 @@ object TextAnalysis {
   /** Distinct `n`-word shingles of a document — the unit of MinHash /
     * Jaccard dedup.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
+  def shingles(text: Column, n: Int = 3): Column =
+    array_distinct(allShingles(text, n))
+
+  /** All `n`-word shingles WITH multiplicity — the unit of within-document
+    * repetition metrics.
+    */
+  def allShingles(text: Column, n: Int = 3): Column = {
     val toks = tokens(text)
     // same descending-sequence guard as rollingFingerprint
     when(size(toks) >= n,
-      array_distinct(
-        transform(
-          sequence(lit(1), size(toks) - lit(n - 1)),
-          i => array_join(slice(toks, i, lit(n)), " "))))
+      transform(
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
+  }
+
+  /** Within-document repetition features — the Gopher-style duplicate-ngram
+    * quality signal: fraction of `n`-gram occurrences that are repeats of an
+    * earlier one. Pure codegen'd expressions over one scan; docs shorter
+    * than `n` words are excluded (no shingles).
+    */
+  def repetitionFeatures(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3): DataFrame = {
+    val all = allShingles(col(textCol), n)
+    df.select(col(idCol),
+        size(all).cast("long").as("n_shingles"),
+        size(array_distinct(all)).cast("long").as("n_distinct"))
+      .filter(col("n_shingles") > 0)
+      .withColumn("rep_ratio",
+        (col("n_shingles") - col("n_distinct")).cast("double") / col("n_shingles"))
+  }
+
+  /** Top-k characteristic terms per document, scored by an integer-exact
+    * TF-IDF analogue: score = tf * 1e6 * N DIV df (reciprocal document
+    * frequency instead of log-idf — a monotone transform of 1/df, so the
+    * per-document ranking matches; chosen because ln() differs in final ulps
+    * across engines while integral division is exact everywhere). One
+    * shuffle per aggregation + a per-doc top-k window (Spark plans the
+    * partial `WindowGroupLimit` below the exchange, so only k rows per doc
+    * cross the wire).
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = df.count()
+    val tf = df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, Seq("token"))
+      .withColumn("score_q", expr(s"(tf * 1000000L * ${n}L) div df"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("score_q"), asc("token"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("score_q"), col("rank"))
   }
 }

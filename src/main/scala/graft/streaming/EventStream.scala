@@ -40,6 +40,17 @@ object EventStream {
   def withEventWatermark(events: DataFrame, delay: String = "10 minutes"): DataFrame =
     normalizeTs(events).withWatermark("ts", delay)
 
+  /** Streaming exact dedup: keep the first row per key, dropping duplicates
+    * that arrive within the watermark delay of each other — the streaming
+    * analogue of `Dedup.exactDedup` with state bounded by the watermark
+    * (keys older than the watermark are evicted, so state size tracks the
+    * key arrival rate x delay, not stream length). Use a fingerprint column
+    * (e.g. `TextAnalysis.fingerprint`) as the key for content dedup.
+    */
+  def streamingDedup(events: DataFrame, keys: Seq[String],
+                     delay: String = "10 minutes"): DataFrame =
+    withEventWatermark(events, delay).dropDuplicatesWithinWatermark(keys)
+
   /** Incremental edge ingestion: events become (user -> event_type) edges;
     * streaming-side dedup of parallel edges per window = the effective-edges
     * op maintained continuously.

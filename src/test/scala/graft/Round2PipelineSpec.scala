@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{SemiStructured, TextAnalysis}
+import graft.streaming.EventStream
+
+/** Round-2 pipeline extensions: repetition metrics, TF-IDF top terms,
+  * JSON extraction, streaming dedup, IVF-partitioned storage.
+  */
+class Round2PipelineSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("repetitionFeatures measures duplicate-ngram fraction") {
+    val docs = Seq(
+      (1L, "a b c a b c a b c"), // shingles: 7 total, 3 distinct
+      (2L, "all distinct words here now"),
+      (3L, "xx yy")) // too short for 3-grams -> excluded
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionFeatures(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((7L, 3L, 4.0 / 7.0)))
+    assert(out(2L) == ((3L, 3L, 0.0)))
+    assert(!out.contains(3L))
+  }
+
+  test("tfidfTopTerms ranks rare terms above ubiquitous ones") {
+    val docs = Seq(
+      (1L, "common common unicorn"),
+      (2L, "common word"),
+      (3L, "common word thing"))
+      .toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 2)
+      .filter(col("doc_id") === 1L).orderBy("rank")
+      .select("token").as[String].collect().toSeq
+    // unicorn: df=1 -> score 3e6; common: tf=2, df=3 -> 2e6: rarity wins
+    assert(top == Seq("unicorn", "common"))
+  }
+
+  test("SemiStructured extracts typed JSON values and aggregates exactly") {
+    val ev = Seq(
+      ("a", """{"k": 5}"""), ("a", """{"k": 7}"""), ("b", """{"k": 100}"""),
+      ("b", """{"nokey": 1}"""))
+      .toDF("event_type", "props")
+    val out = SemiStructured.propsAggByType(ev)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("a") == ((2L, 12L, 5L)))
+    assert(out("b")._1 == 2L && out("b")._2 == 100L) // null k ignored by sum
+    val ex = SemiStructured.withExtracted(ev, "props", Map("k" -> "$.k"))
+    assert(ex.schema("k").dataType.typeName == "long")
+  }
+
+  test("streamingDedup keeps first row per key, bounded by watermark") {
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_stream").toString
+    val b1 = Seq(
+      (Timestamp.valueOf("2024-01-01 01:00:00"), "fp1", 1L),
+      (Timestamp.valueOf("2024-01-01 01:01:00"), "fp2", 2L))
+      .toDF("ts", "fp", "payload")
+    b1.coalesce(1).write.mode("append").parquet(dir)
+    val src = spark.readStream.schema(b1.schema).parquet(dir)
+    val q = EventStream.streamingDedup(src, Seq("fp"), "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_dedup_stream").start()
+    try {
+      q.processAllAvailable()
+      // duplicate fp1 within the watermark window -> dropped; fp3 is new
+      Seq((Timestamp.valueOf("2024-01-01 01:02:00"), "fp1", 9L),
+          (Timestamp.valueOf("2024-01-01 01:03:00"), "fp3", 3L))
+        .toDF("ts", "fp", "payload")
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("graft_dedup_stream")
+      .select("fp", "payload").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("fp1" -> 1L, "fp2" -> 2L, "fp3" -> 3L))
+  }
+
+  test("cell-partitioned storage prunes to one partition on read") {
+    val emb = Seq((1L, Array(1f, 2f), 0), (2L, Array(3f, 4f), 1), (3L, Array(5f, 6f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/emb"
+    Storage.writeCellPartitioned(emb, path, "label")
+    val cell = Storage.readCell(spark, path, "label", 1)
+    assert(cell.select("vec_id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    val scan = cell.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("label"))
+  }
+}
