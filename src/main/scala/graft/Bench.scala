@@ -23,6 +23,9 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-24s $sec%8.2f s")
+      // free this query's localCheckpoint blocks so storage memory does not
+      // accumulate (and degrade later queries) across the 50+-query run
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

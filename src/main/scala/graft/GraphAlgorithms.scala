@@ -367,6 +367,41 @@ object GraphAlgorithms {
       .orderBy(col("qs"), col("id"))
   }
 
+  /** Deterministic quantized PageRank — not in the reference (which stops at
+    * connectivity), but the canonical importance score for graph-shaped
+    * training data at scale. Same integer discipline as `sortSpectral` so a
+    * DuckDB oracle can replay it exactly: total mass S=1e12 is distributed
+    * uniformly, each round every node ships `qs DIV outdeg` to each
+    * out-neighbor (integral division: deterministic; the sub-ulp remainder
+    * mass stays put, documented divergence from float PageRank), and
+    * `qs' = ((100-d)*S/N + d*received) DIV 100`. Dangling-node mass is
+    * dropped (standard simplification). Edges are deduplicated (simple-graph
+    * semantics). Per round: one join + one aggregation shuffle, lineage cut
+    * by localCheckpoint — O(iterations) rounds regardless of graph size.
+    */
+  def pageRank(nf: NetworkFrame, iterations: Int = 10,
+               damping: Int = 85): DataFrame = {
+    val S = 1000000000000L
+    val e = nf.edges.select(col("source"), col("target")).distinct().localCheckpoint()
+    val outdeg = e.groupBy(col("source")).agg(count(lit(1)).as("od")).localCheckpoint()
+    val n = nf.nodes.count()
+    val base = S / n
+    var v = nf.nodes.select(col("id"), lit(base).as("qs")).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val contrib = e
+        .join(v.withColumnRenamed("id", "source"), Seq("source"))
+        .join(outdeg, Seq("source"))
+        .select(col("target").as("id"), expr("qs div od").as("c"))
+        .groupBy("id").agg(sum(col("c").cast("decimal(38,0)")).as("m"))
+      v = nf.nodes.select(col("id"))
+        .join(contrib, Seq("id"), "left_outer")
+        .selectExpr("id",
+          s"CAST((${(100L - damping) * base} + $damping * coalesce(m, CAST(0 AS DECIMAL(38,0)))) DIV 100 AS BIGINT) AS qs")
+        .localCheckpoint()
+    }
+    nf.nodes.join(v, Seq("id"), "left_outer").orderBy(desc("qs"), asc("id"))
+  }
+
   private def induce(edges: DataFrame, ids: DataFrame): DataFrame =
     edges
       .join(ids.withColumnRenamed("id", "source"), Seq("source"), "left_semi")

@@ -326,6 +326,13 @@ p2 AS (SELECT DISTINCT a.source, b.target FROM p1 a JOIN p1 b ON a.target = b.so
 pr AS (SELECT source AS id, target AS neighbor FROM (SELECT * FROM p1 UNION SELECT * FROM p2) WHERE source <> target)
 SELECT id, count(*) AS n_reach FROM pr GROUP BY 1 ORDER BY 1""")),
 
+    // deterministic quantized PageRank over the sparse graph; oracle unrolls
+    // the integer-exact iterations (same technique as q_spectral)
+    ("q_pagerank", (s, dir) =>
+      GraphAlgorithms.pageRank(sparse(s, dir), iterations = 10, damping = 85)
+        .select(col("id"), col("qs").as("pr_q")).orderBy("id"),
+      Some(pagerankSql(10, 85))),
+
     // deterministic quantized power iteration (see sortSpectral): the oracle
     // unrolls the same 10 integer-exact iterations as chained CTEs
     ("q_spectral", (s, dir) =>
@@ -656,6 +663,23 @@ wsym AS MATERIALIZED (SELECT source, target, CAST(sum(CAST(weight AS DECIMAL(18,
 v0 AS MATERIALIZED (SELECT id, CAST(1000000 AS BIGINT) AS qs FROM nodes),
 $steps
 SELECT n.id, v.qs AS score FROM nodes n JOIN v$iters v ON n.id = v.id ORDER BY 1"""
+  }
+
+  /** DuckDB mirror of GraphAlgorithms.pageRank: same quantized-integer
+    * iteration, unrolled; every CTE MATERIALIZED (see spectralSql).
+    */
+  private def pagerankSql(iters: Int, damping: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS MATERIALIZED (SELECT e.target AS id, sum(v.qs // o.od) AS m FROM de e JOIN v${i - 1} v ON v.id = e.source JOIN od o ON o.source = e.source GROUP BY 1),
+v$i AS MATERIALIZED (SELECT n.id, CAST((${100 - damping} * (SELECT base FROM params) + $damping * COALESCE(c.m, 0)) // 100 AS BIGINT) AS qs FROM nodes n LEFT JOIN c$i c ON n.id = c.id)"""
+    }.mkString(",\n")
+    s"""WITH nodes AS MATERIALIZED (SELECT c_custkey AS id FROM customer),
+de AS MATERIALIZED (SELECT DISTINCT o_custkey AS source, o_orderkey % (SELECT count(*) FROM customer) AS target FROM orders WHERE o_orderkey % 10 = 0),
+od AS MATERIALIZED (SELECT source, count(*) AS od FROM de GROUP BY 1),
+params AS MATERIALIZED (SELECT 1000000000000 // count(*) AS base FROM nodes),
+v0 AS MATERIALIZED (SELECT id, CAST((SELECT base FROM params) AS BIGINT) AS qs FROM nodes),
+$steps
+SELECT n.id, v.qs AS pr_q FROM nodes n JOIN v$iters v ON n.id = v.id ORDER BY 1"""
   }
 
   /** Embedding unnest prelude shared by the similarity oracles. */

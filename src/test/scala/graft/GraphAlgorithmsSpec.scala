@@ -117,6 +117,17 @@ class GraphAlgorithmsSpec extends AnyFunSuite with SparkFixture {
     assert(a.sortBy(_.getLong(0)) == b.sortBy(_.getLong(0)))
   }
 
+  test("pageRank conserves cycle mass and ranks receivers over sources") {
+    // triangle 0->1->2->0 keeps full mass (qs stays at base); 4 receives
+    // from 3; 3 and 5 receive nothing (floor at (100-d)% of base)
+    val pr = GraphAlgorithms.pageRank(twoCompNf, iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("qs")).toMap
+    val base = 1000000000000L / 6
+    assert(pr(0L) == base && pr(1L) == base && pr(2L) == base)
+    assert(pr(4L) > pr(3L) && pr(3L) == pr(5L))
+    assert(pr(3L) < base / 5) // ~0.15 * base
+  }
+
   test("entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0L)
   }
