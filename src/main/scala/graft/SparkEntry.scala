@@ -326,6 +326,11 @@ p2 AS (SELECT DISTINCT a.source, b.target FROM p1 a JOIN p1 b ON a.target = b.so
 pr AS (SELECT source AS id, target AS neighbor FROM (SELECT * FROM p1 UNION SELECT * FROM p2) WHERE source <> target)
 SELECT id, count(*) AS n_reach FROM pr GROUP BY 1 ORDER BY 1""")),
 
+    ("q_triangles", (s, dir) =>
+      GraphAlgorithms.triangleCount(sparse(s, dir)),
+      Some(s"""$G, ce AS (SELECT DISTINCT least(source, target) AS s, greatest(source, target) AS t FROM sedges WHERE source <> target)
+SELECT count(*) AS n_triangles FROM ce ab JOIN ce bc ON ab.t = bc.s JOIN ce ac ON ac.s = ab.s AND ac.t = bc.t""")),
+
     // deterministic quantized PageRank over the sparse graph; oracle unrolls
     // the integer-exact iterations (same technique as q_spectral)
     ("q_pagerank", (s, dir) =>
@@ -480,6 +485,18 @@ sims AS (SELECT qa, cell, cb, CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) *
 FROM dq JOIN norms na ON na.vec_id = qa JOIN norms nb ON nb.vec_id = cb),
 rk AS (SELECT qa, cell, cb, row_number() OVER (PARTITION BY qa ORDER BY sv DESC, cb) AS rn FROM sims)
 SELECT qa AS query_id, cell, cb AS neighbor_id, CAST(rn AS INT) AS rank FROM rk WHERE rn <= 3 ORDER BY 1,4""")),
+
+    // IVF cell centroids: integer-exact means of the quantized embeddings.
+    // Spark DIV truncates toward zero while DuckDB // floors, so the oracle
+    // spells truncating division sign-aware (sums can be negative)
+    ("q_ivf_centroids", (s, dir) =>
+      Similarity.ivfCentroids(emb(s, dir), "embedding", "label")
+        .orderBy("cell", "i"),
+      Some("""WITH u AS (SELECT label AS cell, s.i, CAST(floor(CAST(embedding[s.i] AS DOUBLE) * 10000000) AS BIGINT) AS x FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) s),
+g AS (SELECT cell, i, sum(x) AS sx, count(*) AS n FROM u GROUP BY 1,2)
+SELECT cell, CAST(i AS INT) AS i,
+CAST(CASE WHEN sx >= 0 THEN sx // n ELSE -((-sx) // n) END AS BIGINT) AS centroid_q
+FROM g ORDER BY 1,2""")),
 
     // ====================== text analysis extensions ======================
 

@@ -76,6 +76,25 @@ class Round2PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(out == Map("fp1" -> 1L, "fp2" -> 2L, "fp3" -> 3L))
   }
 
+  test("triangleCount finds the single triangle in the golden fixture") {
+    // A-B, A-C, B-C close a triangle; C-D does not
+    val out = GraphAlgorithms.triangleCount(simpleNf).first().getLong(0)
+    assert(out == 1L)
+  }
+
+  test("ivfCentroids computes integer-exact per-cell means") {
+    import graft.functions.Similarity
+    val emb = Seq(
+      (1L, Array(1.0f, -1.0f), 0), (2L, Array(0.5f, -0.5f), 0),
+      (3L, Array(2.0f, 2.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.ivfCentroids(emb, "embedding", "label")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out((0, 1)) == 7500000L)  // (1e7 + 5e6) div 2
+    assert(out((0, 2)) == -7500000L) // truncation toward zero on negatives
+    assert(out((1, 1)) == 20000000L && out((1, 2)) == 20000000L)
+  }
+
   test("cell-partitioned storage prunes to one partition on read") {
     val emb = Seq((1L, Array(1f, 2f), 0), (2L, Array(3f, 4f), 1), (3L, Array(5f, 6f), 1))
       .toDF("vec_id", "embedding", "label")
