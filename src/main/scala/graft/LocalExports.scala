@@ -21,14 +21,14 @@ object LocalExports {
     val coo = nf.toSparseAdjacencyCoo(weightCol, aggfunc)
       .orderBy("row", "col")
       .collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.get(2) match {
+      .map(r => (r.getLong(0).toInt, r.getLong(1), r.get(2) match {
         case d: java.math.BigDecimal => d.doubleValue()
         case x: Number => x.doubleValue()
       }))
     val indptr = new Array[Long](n + 1)
     coo.foreach { case (r, _, _) => indptr(r + 1) += 1 }
     (1 to n).foreach(i => indptr(i) += indptr(i - 1))
-    (indptr, coo.map(_._2.toLong), coo.map(_._3), n)
+    (indptr, coo.map(_._2), coo.map(_._3), n)
   }
 
   /** PyG-style export (networkframe.py:677-719): positional 2 x E edge index
@@ -38,9 +38,7 @@ object LocalExports {
     */
   def toTorchGeometricLocal(nf: NetworkFrame, directed: Boolean = true)
       : (Array[Array[Long]], Array[Array[Double]]) = {
-    import org.apache.spark.sql.expressions.Window
-    val pos = nf.nodes.select(col("id"))
-      .withColumn("pos", row_number().over(Window.orderBy(col("id"))) - 1)
+    val pos = NetworkFrame.positionsById(nf.nodes)
     val base = nf.edges
       .join(pos.withColumnRenamed("id", "source").withColumnRenamed("pos", "sp"), Seq("source"))
       .join(pos.withColumnRenamed("id", "target").withColumnRenamed("pos", "tp"), Seq("target"))
