@@ -399,6 +399,21 @@ it AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i FROM shf a JOIN shf 
 SELECT ia AS id_a, ib AS id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
 FROM it JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib ORDER BY 1,2""")),
 
+    // pigeonhole block join: exact recall at hamming <= 3 without all-pairs
+    ("q_simhash_pairs", (s, dir) =>
+      Dedup.simhashNearDupPairs(docs(s, dir), "doc_id", "text", 3)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+tb AS (SELECT doc_id, unnest(generate_series(0, 31)) AS b, md5(tok) AS hx FROM toks),
+bits AS (SELECT doc_id, b, strpos('0123456789abcdef', substr(hx, CAST(b // 4 AS INT) + 1, 1)) - 1 AS nib FROM tb),
+votes AS (SELECT doc_id, b, sum(CAST(floor(nib / power(2, b % 4)) AS BIGINT) % 2 * 2 - 1) AS v FROM bits GROUP BY 1,2),
+sh AS (SELECT doc_id AS id, CAST(sum(CASE WHEN v > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash FROM votes GROUP BY 1),
+blocks AS (SELECT id, bb.b, CAST(floor(simhash / power(2, bb.b * 8)) AS BIGINT) % 256 AS blk FROM sh, (SELECT unnest(generate_series(0, 3)) AS b) bb),
+cand AS (SELECT DISTINCT x.id AS ia, y.id AS ib FROM blocks x JOIN blocks y ON x.b = y.b AND x.blk = y.blk AND x.id < y.id)
+SELECT ia AS id_a, ib AS id_b, CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+FROM cand JOIN sh sa ON sa.id = ia JOIN sh sb ON sb.id = ib
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3 ORDER BY 1,2""")),
+
     // LSH pair graph -> connected components -> canonical representative:
     // the end-to-end "keep one per near-dup cluster" pipeline op
     ("q_dedup_clusters", (s, dir) =>

@@ -115,6 +115,37 @@ object Dedup {
       .groupBy("id").agg(sum("bitval").as("simhash"))
   }
 
+  /** SimHash near-dup pairs with EXACT recall for `maxHamming <= 3`: by
+    * pigeonhole, two 32-bit fingerprints within Hamming distance 3 must
+    * agree on at least one of their four 8-bit blocks, so the block join
+    * finds every such pair while only ever joining colliding blocks (shuffle
+    * key = (block index, block value) — never the O(n^2) pair space). The
+    * exact Hamming distance then filters candidates. For larger radii,
+    * raise the block count (maxHamming+1 blocks preserve exactness).
+    */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4 blocks guarantee exact recall only to distance 3")
+    // fingerprints feed both candidate sides and the final distance check
+    val sh = simhash(df, idCol, textCol).localCheckpoint()
+    val blocks = sh.select(col("id"),
+        explode(sequence(lit(0), lit(3))).as("b"), col("simhash"))
+      // floor/pow block extraction mirrors the oracle exactly (simhash < 2^32)
+      .withColumn("blk",
+        floor(col("simhash") / pow(lit(2), col("b") * 8)).cast("long") % 256)
+      .select("id", "b", "blk")
+    val cand = blocks.as("x").join(blocks.as("y"),
+        col("x.b") === col("y.b") && col("x.blk") === col("y.blk") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    cand
+      .join(sh.select(col("id").as("id_a"), col("simhash").as("ha")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("simhash").as("hb")), Seq("id_b"))
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Near-duplicate CLUSTERS: connected components over the MinHash-LSH
     * candidate pair graph thresholded at `minJaccard`, labeling every doc
     * with the minimum doc id of its cluster (the canonical representative —

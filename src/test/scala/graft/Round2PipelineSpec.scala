@@ -76,6 +76,19 @@ class Round2PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(out == Map("fp1" -> 1L, "fp2" -> 2L, "fp3" -> 3L))
   }
 
+  test("simhashNearDupPairs finds identical docs at hamming 0, skips unrelated") {
+    import graft.functions.Dedup
+    val docs = Seq(
+      (1L, "spark catalyst optimizes declarative plans"),
+      (2L, "spark catalyst optimizes declarative plans"),
+      (3L, "entirely unrelated words about cooking pasta recipes"))
+      .toDF("doc_id", "text")
+    val out = Dedup.simhashNearDupPairs(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(out.get((1L, 2L)).contains(0))
+    assert(!out.contains((1L, 3L)) && !out.contains((2L, 3L)))
+  }
+
   test("triangleCount finds the single triangle in the golden fixture") {
     // A-B, A-C, B-C close a triangle; C-D does not
     val out = GraphAlgorithms.triangleCount(simpleNf).first().getLong(0)
