@@ -651,6 +651,18 @@ CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value FROM events
 WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
 GROUP BY 1,2 ORDER BY 1,2""")),
 
+    // gap-based sessionization (session_window); the oracle rebuilds the
+    // same sessions with lag + running-sum windows over exact microseconds
+    ("q_sessions", (s, dir) =>
+      EventStream.sessionize(tbl(s, dir, "events"), "30 minutes")
+        .orderBy("user_id", "t_start"),
+      Some("""WITH l AS (SELECT user_id, event_id, ts, value, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events),
+f AS (SELECT *, CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) >= 1800000000 THEN 1 ELSE 0 END AS ns FROM l),
+s AS (SELECT user_id, ts, value, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS seq FROM f)
+SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS t_start, CAST(max(ts) AS TIMESTAMP) + INTERVAL 30 MINUTE AS t_end,
+count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+FROM s GROUP BY user_id, seq ORDER BY 1,2""")),
+
     // ====================== relational flagships ======================
 
     ("q1_pricing", (s, dir) =>

@@ -40,6 +40,22 @@ object EventStream {
   def withEventWatermark(events: DataFrame, delay: String = "10 minutes"): DataFrame =
     normalizeTs(events).withWatermark("ts", delay)
 
+  /** Gap-based sessionization with Spark's native `session_window`: events
+    * of one user belong to one session while consecutive gaps stay under
+    * `gap`; a gap >= `gap` closes the session. Works identically over batch
+    * and `readStream` input (with a watermark, session state is evicted once
+    * the watermark passes the session end — bounded state). One shuffle on
+    * (user, session); output is one summary row per session. The session
+    * window's `end` is last event time + gap by definition.
+    */
+  def sessionize(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    normalizeTs(events)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(20,6)")).as("sum_value_dec"))
+      .select(col("user_id"), col("w.start").as("t_start"), col("w.end").as("t_end"),
+        col("n_events"), col("sum_value_dec").cast("double").as("sum_value"))
+
   /** Streaming exact dedup: keep the first row per key, dropping duplicates
     * that arrive within the watermark delay of each other — the streaming
     * analogue of `Dedup.exactDedup` with state bounded by the watermark

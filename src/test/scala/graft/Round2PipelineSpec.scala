@@ -108,6 +108,21 @@ class Round2PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(out((1, 1)) == 20000000L && out((1, 2)) == 20000000L)
   }
 
+  test("sessionize splits on gaps >= the session gap") {
+    import java.sql.Timestamp
+    val ev = Seq(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 1.0),
+      (Timestamp.valueOf("2024-01-01 10:20:00"), 1L, 2.0), // same session
+      (Timestamp.valueOf("2024-01-01 11:00:00"), 1L, 4.0), // 40min gap -> new
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 2L, 8.0))
+      .toDF("ts", "user_id", "value")
+    val out = EventStream.sessionize(ev, "30 minutes")
+      .orderBy("user_id", "t_start")
+      .select("user_id", "n_events", "sum_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)))
+  }
+
   test("cell-partitioned storage prunes to one partition on read") {
     val emb = Seq((1L, Array(1f, 2f), 0), (2L, Array(3f, 4f), 1), (3L, Array(5f, 6f), 1))
       .toDF("vec_id", "embedding", "label")
