@@ -612,6 +612,20 @@ FROM events GROUP BY 1 ORDER BY 1""")),
 CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens,
 count(DISTINCT lang) AS n_langs FROM documents GROUP BY 1 ORDER BY 1""")),
 
+    // deterministic hash sampling / splits: pure function of the key, so
+    // samples and holdouts are stable across engines and reruns
+    ("q_hash_sample", (s, dir) =>
+      graft.functions.Sampling.sampleByHash(docs(s, dir), "doc_id", 10)
+        .select("doc_id").orderBy("doc_id"),
+      Some("""SELECT doc_id FROM documents WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10 ORDER BY 1""")),
+
+    ("q_hash_split", (s, dir) =>
+      graft.functions.Sampling.hashSplit(docs(s, dir), "doc_id",
+          Seq("train" -> 98, "val" -> 1, "test" -> 1))
+        .groupBy("split").agg(count(lit(1)).as("n")).orderBy("split"),
+      Some("""WITH b AS (SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b FROM documents)
+SELECT CASE WHEN b < 98 THEN 'train' WHEN b < 99 THEN 'val' ELSE 'test' END AS split, count(*) AS n FROM b GROUP BY 1 ORDER BY 1""")),
+
     // ====================== multimodal extensions ======================
 
     ("q_multimodal_decode", (s, dir) =>

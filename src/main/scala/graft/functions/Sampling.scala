@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and dataset splitting for training-data pipelines.
+  * No RNG anywhere: the bucket of a row is a pure function of its key
+  * (first 8 hex digits of a salted MD5), so samples and train/val/test
+  * splits are reproducible across engines, reruns, partitionings, and
+  * cluster sizes — and a row keeps its assignment when the corpus grows
+  * (stable holdout). Pure codegen'd expressions: a sample is a pushed-down
+  * filter on a scan, a split is one projected column; nothing shuffles.
+  */
+object Sampling {
+
+  /** Hash bucket in [0, buckets): `conv(md5(salt || key)[0,8), 16, 10) %
+    * buckets`. 32 hash bits — bucket skew is negligible for buckets << 2^32.
+    */
+  def hashBucket(key: Column, buckets: Int = 100, salt: String = ""): Column =
+    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % buckets
+
+  /** Keep rows whose bucket falls below `pct` of `buckets` — a ~pct/buckets
+    * deterministic sample by key.
+    */
+  def sampleByHash(df: DataFrame, keyCol: String, pct: Int,
+                   buckets: Int = 100, salt: String = ""): DataFrame =
+    df.filter(hashBucket(col(keyCol), buckets, salt) < pct)
+
+  /** Stratified deterministic sample: a per-stratum keep rate (percent of
+    * `buckets`), e.g. downsample the head language while keeping the tail —
+    * `rates = Map("en" -> 5)`, `defaultPct = 50`. Still one pushed-down
+    * filter on the scan; the stratum column only feeds a when-chain, so
+    * no shuffle and no per-stratum pass (vs `df.stat.sampleBy`, which is
+    * seed-based, not key-stable).
+    */
+  def sampleStratified(df: DataFrame, keyCol: String, strataCol: String,
+                       rates: Seq[(String, Int)], defaultPct: Int = 100,
+                       buckets: Int = 100, salt: String = ""): DataFrame = {
+    val pct = rates.foldRight(lit(defaultPct)) { case ((v, p), acc) =>
+      when(col(strataCol) === v, lit(p)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol), buckets, salt) < pct)
+  }
+
+  /** Assign each row a named split from weighted ranges, e.g.
+    * `Seq("train" -> 98, "val" -> 1, "test" -> 1)`: buckets = weight sum,
+    * split = the range the row's bucket lands in. Adds a `split` column.
+    */
+  def hashSplit(df: DataFrame, keyCol: String, splits: Seq[(String, Int)],
+                salt: String = ""): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "positive split weights required")
+    val buckets = splits.map(_._2).sum
+    val b = hashBucket(col(keyCol), buckets, salt)
+    val bounds = splits.scanLeft(0) { case (acc, (_, w)) => acc + w }.tail
+    val assignment = splits.zip(bounds).foldRight(lit(null).cast("string")) {
+      case (((name, _), hi), acc) => when(b < hi, lit(name)).otherwise(acc)
+    }
+    // foldRight nests whens in order, so the FIRST range containing the
+    // bucket wins — equivalent to checking cumulative upper bounds in order
+    df.withColumn("split", assignment)
+  }
+}

@@ -108,6 +108,20 @@ class Round2PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(out((1, 1)) == 20000000L && out((1, 2)) == 20000000L)
   }
 
+  test("hash sampling is deterministic, salted, and split is exhaustive") {
+    import graft.functions.Sampling
+    val df = (1L to 1000L).toDF("id")
+    val s1 = Sampling.sampleByHash(df, "id", 10).as[Long].collect().toSet
+    val s2 = Sampling.sampleByHash(df, "id", 10).as[Long].collect().toSet
+    assert(s1 == s2 && s1.nonEmpty && s1.size < 250) // stable, ~10%
+    val salted = Sampling.sampleByHash(df, "id", 10, salt = "v2").as[Long].collect().toSet
+    assert(salted != s1) // a salt re-draws the sample
+    val split = Sampling.hashSplit(df, "id", Seq("train" -> 98, "val" -> 1, "test" -> 1))
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(split.values.sum == 1000L && split("train") > 900L)
+    assert(split.keySet == Set("train", "val", "test"))
+  }
+
   test("sessionize splits on gaps >= the session gap") {
     import java.sql.Timestamp
     val ev = Seq(
