@@ -626,6 +626,61 @@ count(DISTINCT lang) AS n_langs FROM documents GROUP BY 1 ORDER BY 1""")),
       Some("""WITH b AS (SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b FROM documents)
 SELECT CASE WHEN b < 98 THEN 'train' WHEN b < 99 THEN 'val' ELSE 'test' END AS split, count(*) AS n FROM b GROUP BY 1 ORDER BY 1""")),
 
+    // stratified variant: per-stratum keep rates (downsample the head
+    // language, keep the tail) — still a single pushed-down scan filter
+    ("q_sample_stratified", (s, dir) =>
+      graft.functions.Sampling.sampleStratified(docs(s, dir), "doc_id", "lang",
+          Seq("en" -> 5), defaultPct = 50)
+        .select("doc_id", "lang").orderBy("doc_id"),
+      Some("""SELECT doc_id, lang FROM documents
+WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+  < CASE WHEN lang = 'en' THEN 5 ELSE 50 END ORDER BY 1""")),
+
+    // backward as-of join (union + one window pass, no join operator):
+    // each click gets the latest preceding purchase value per user;
+    // oracle is DuckDB's NATIVE ASOF JOIN — an independent implementation
+    ("q_asof_join", (s, dir) => {
+      val ev = EventStream.normalizeTs(tbl(s, dir, "events"))
+      graft.operators.AsOfJoin.asofBackward(
+          ev.filter(col("event_type") === "click")
+            .select("event_id", "user_id", "ts"),
+          ev.filter(col("event_type") === "purchase"),
+          keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+          valueCols = Seq("value"), tieCol = Some("event_id"))
+        .select("event_id", "user_id", "asof_value").orderBy("event_id")
+    },
+      Some("""WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts, arg_max(value, event_id) AS value FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT c.event_id, c.user_id, p.value AS asof_value
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts ORDER BY 1""")),
+
+    // context-length chunking: fixed 64-token windows, stride 48
+    ("q_chunks", (s, dir) =>
+      TextAnalysis.chunkTokens(docs(s, dir).filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", chunkSize = 64, stride = 48)
+        .orderBy("doc_id", "chunk_start"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents WHERE doc_id % 10 = 0),
+s AS (SELECT doc_id, l, unnest(range(0, len(l), 48)) AS chunk_start FROM t)
+SELECT doc_id, chunk_start, array_to_string(l[chunk_start+1:chunk_start+64], ' ') AS chunk_text
+FROM s ORDER BY 1, 2""")),
+
+    // benchmark decontamination: corpus docs sharing a 4-gram with the
+    // hash-held-out benchmark slice (n-gram test-set-overlap filter)
+    ("q_decontaminate", (s, dir) => {
+      val d = docs(s, dir)
+      val bench = graft.functions.Sampling.sampleByHash(d, "doc_id", 5, salt = "bench")
+      val corpus = d.filter(
+        graft.functions.Sampling.hashBucket(col("doc_id"), 100, "bench") >= 5)
+      Dedup.contaminatedIds(corpus, bench, "doc_id", "text", n = 4)
+        .orderBy("doc_id")
+    },
+      Some("""WITH b AS (SELECT CAST(concat('0x', substr(md5(concat('bench', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 AS bk, doc_id, text FROM documents),
+bench AS (SELECT string_split(text, ' ') AS l FROM b WHERE bk < 5),
+bsh AS (SELECT DISTINCT unnest(list_transform(generate_series(1, greatest(len(l) - 3, 0)), i -> array_to_string(list_slice(l, i, i + 3), ' '))) AS g FROM bench),
+c AS (SELECT doc_id, string_split(text, ' ') AS l FROM b WHERE bk >= 5),
+csh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 3, 0)), i -> array_to_string(list_slice(l, i, i + 3), ' '))) AS g FROM c)
+SELECT DISTINCT doc_id FROM csh JOIN bsh USING (g) ORDER BY 1""")),
+
     // ====================== multimodal extensions ======================
 
     ("q_multimodal_decode", (s, dir) =>

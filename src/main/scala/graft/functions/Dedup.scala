@@ -210,4 +210,26 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Benchmark decontamination: ids of corpus documents sharing at least one
+    * `n`-word shingle with any benchmark document (the standard n-gram
+    * test-set-overlap filter applied before training). The benchmark side
+    * is distinct shingles of a small table — broadcast-able, so at 100 TB
+    * this is a map-side semi join against the corpus scan (no corpus
+    * shuffle); the distinct on ids is the only shuffle, keyed and partial.
+    */
+  def contaminatedIds(corpus: DataFrame, benchmark: DataFrame,
+                      idCol: String, textCol: String, n: Int = 8,
+                      broadcastBenchmark: Boolean = true): DataFrame = {
+    val bsh = benchmark
+      .select(explode(TextAnalysis.shingles(col(textCol), n)).as("shingle"))
+      .distinct()
+    corpus
+      .select(col(idCol), explode(TextAnalysis.shingles(col(textCol), n)).as("shingle"))
+      // a benchmark set is small by construction; the flag covers the
+      // huge-benchmark case, where AQE falls back to shuffled semi join
+      .join(if (broadcastBenchmark) broadcast(bsh) else bsh,
+        Seq("shingle"), "left_semi")
+      .select(idCol).distinct()
+  }
 }

@@ -117,6 +117,26 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Fixed-size token windows with stride — training-sequence preparation
+    * (context-length chunking). One row per (doc, window start): starts are
+    * 0, stride, 2*stride, ... < n_tokens; each chunk takes `chunkSize`
+    * tokens from its start (the final windows are shorter — filter on
+    * token count downstream to keep only full chunks). Pure codegen
+    * explode over one scan, no shuffle; at 100 TB this is a map-only
+    * stage whose output partitioning inherits the scan's.
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "positive chunk size and stride")
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0L), (size(col("__toks")) - 1).cast("long"),
+          lit(stride.toLong))).as("chunk_start"))
+      .select(col(idCol), col("chunk_start"),
+        array_join(slice(col("__toks"), col("chunk_start") + 1,
+          lit(chunkSize)), " ").as("chunk_text"))
+  }
+
   /** Within-document repetition features — the Gopher-style duplicate-ngram
     * quality signal: fraction of `n`-gram occurrences that are repeats of an
     * earlier one. Pure codegen'd expressions over one scan; docs shorter

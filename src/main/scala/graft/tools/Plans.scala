@@ -93,6 +93,17 @@ object Plans {
       println("==== queryNodes induction plan (expect semi joins, pushed filters) ====")
       g.queryNodes("c_mktsegment = 'MACHINERY'").edges.explain("formatted")
     }
+    if (what == "all" || what == "asof") {
+      val ev = graft.streaming.EventStream.normalizeTs(
+        spark.read.parquet(s"$dir/events.parquet"))
+      val q = graft.operators.AsOfJoin.asofBackward(
+        ev.filter(col("event_type") === "click").select("event_id", "user_id", "ts"),
+        ev.filter(col("event_type") === "purchase"),
+        Seq("user_id"), "ts", "ts", Seq("value"), Some("event_id"))
+      println("==== asofBackward plan (expect ONE exchange on user_id, no join) ====")
+      q.explain("formatted")
+      t("asofBackward")(q.count())
+    }
     spark.stop()
   }
 }

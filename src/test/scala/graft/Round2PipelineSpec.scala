@@ -122,6 +122,67 @@ class Round2PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(split.keySet == Set("train", "val", "test"))
   }
 
+  test("asofBackward matches latest preceding right row, ties right-first") {
+    import graft.operators.AsOfJoin
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val left = Seq(
+      (100L, 1L, t(10)), // after r@5 -> 5.0
+      (101L, 1L, t(20)), // tie with r@20 -> >= matches -> 20.0
+      (102L, 1L, t(4)),  // before any right row -> null
+      (103L, 2L, t(50))  // user with no right rows -> null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, 1L, t(5), 5.0),
+      (2L, 1L, t(20), 19.0), // same (user, ts): greatest tie id wins
+      (3L, 1L, t(20), 20.0)
+    ).toDF("rid", "user_id", "ts", "value")
+    val out = AsOfJoin.asofBackward(left, right, Seq("user_id"), "ts", "ts",
+        Seq("value"), tieCol = Some("rid"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out == Map(100L -> Some(5.0), 101L -> Some(20.0),
+      102L -> None, 103L -> None))
+  }
+
+  test("chunkTokens windows tokens by stride, short tail kept") {
+    val docs = Seq((1L, "a b c d e f g"), (2L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(docs, "doc_id", "text", 3, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(out == Map(
+      (1L, 0L) -> "a b c", (1L, 2L) -> "c d e", (1L, 4L) -> "e f g",
+      (1L, 6L) -> "g", (2L, 0L) -> "x"))
+  }
+
+  test("contaminatedIds flags exactly corpus docs sharing an n-gram") {
+    import graft.functions.Dedup
+    val bench = Seq((1L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "lazy dog saw the quick brown fox run"), // shares 4-gram
+      (11L, "quick brown cat sat still here"),       // no shared 4-gram
+      (12L, "tiny")).toDF("doc_id", "text")
+    val got = Dedup.contaminatedIds(corpus, bench, "doc_id", "text", 4)
+      .as[Long].collect().toSet
+    assert(got == Set(10L))
+  }
+
+  test("sampleStratified applies per-stratum rates") {
+    import graft.functions.Sampling
+    val df = (1L to 2000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val out = Sampling.sampleStratified(df, "id", "lang",
+        Seq("en" -> 5), defaultPct = 50)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("en") < 150L && out("de") > 350L && out("de") < 650L)
+    // subset property: stratified sample of a stratum == plain sample at its rate
+    val en5 = Sampling.sampleByHash(df.filter($"lang" === "en"), "id", 5)
+      .select("id").as[Long].collect().toSet
+    val enStrat = Sampling.sampleStratified(df, "id", "lang", Seq("en" -> 5), 50)
+      .filter($"lang" === "en").select("id").as[Long].collect().toSet
+    assert(enStrat == en5)
+  }
+
   test("sessionize splits on gaps >= the session gap") {
     import java.sql.Timestamp
     val ev = Seq(
