@@ -681,6 +681,26 @@ c AS (SELECT doc_id, string_split(text, ' ') AS l FROM b WHERE bk >= 5),
 csh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 3, 0)), i -> array_to_string(list_slice(l, i, i + 3), ' '))) AS g FROM c)
 SELECT DISTINCT doc_id FROM csh JOIN bsh USING (g) ORDER BY 1""")),
 
+    // per-group document cap (the per-domain cap): rank by salted key hash
+    // inside each source, keep k — WindowGroupLimit prunes map-side
+    ("q_cap_per_group", (s, dir) =>
+      graft.functions.Sampling.capPerGroup(docs(s, dir), "doc_id", "source", 10)
+        .select("doc_id", "source").orderBy("doc_id"),
+      Some("""SELECT doc_id, source FROM (
+SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+FROM documents) WHERE rk <= 10 ORDER BY doc_id""")),
+
+    // corpus length profile: exact discrete quantiles (ANSI percentile_disc
+    // = smallest value with cume_dist >= fraction; DuckDB quantile_disc
+    // matches — probed on tie/even-count cases)
+    ("q_len_quantiles", (s, dir) =>
+      TextAnalysis.lengthQuantiles(docs(s, dir), "source", "text")
+        .orderBy("source"),
+      Some("""SELECT source, count(*) AS n_docs,
+CAST(quantile_disc(len(string_split(text, ' ')), 0.5) AS BIGINT) AS p50_tokens,
+CAST(quantile_disc(len(string_split(text, ' ')), 0.9) AS BIGINT) AS p90_tokens
+FROM documents GROUP BY 1 ORDER BY 1""")),
+
     // ====================== multimodal extensions ======================
 
     ("q_multimodal_decode", (s, dir) =>

@@ -43,6 +43,25 @@ object Sampling {
     df.filter(hashBucket(col(keyCol), buckets, salt) < pct)
   }
 
+  /** Cap each group at `k` rows, chosen deterministically: rank rows inside
+    * a group by the salted MD5 of their key (a stable uniform order, so the
+    * kept set is an unbiased sample of the group) and keep rank <= k. The
+    * standard per-domain document cap. One shuffle on the group column;
+    * Spark plans the rank filter as WindowGroupLimit, so each partition
+    * keeps only k rows per group BEFORE the exchange (map-side top-k) —
+    * a 100 TB corpus with a million-document domain never materializes
+    * the whole domain on one executor's sort.
+    */
+  def capPerGroup(df: DataFrame, keyCol: String, groupCol: String, k: Int,
+                  salt: String = ""): DataFrame = {
+    require(k > 0, "positive cap required")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(concat(lit(salt), col(keyCol).cast("string"))), col(keyCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
+
   /** Assign each row a named split from weighted ranges, e.g.
     * `Seq("train" -> 98, "val" -> 1, "test" -> 1)`: buckets = weight sum,
     * split = the range the row's bucket lands in. Adds a `split` column.

@@ -137,6 +137,23 @@ object TextAnalysis {
           lit(chunkSize)), " ").as("chunk_text"))
   }
 
+  /** Exact discrete token-length quantiles per group — the corpus length
+    * profile (per source / language) that drives chunk-size and filter
+    * choices. `percentile_disc` (ANSI: smallest value whose cume_dist
+    * reaches the fraction) picks an actual data value, so the result is
+    * engine-exact, unlike interpolating or approximate percentiles. One
+    * shuffle on the group key with partial aggregation.
+    */
+  def lengthQuantiles(df: DataFrame, groupCol: String, textCol: String,
+                      fractions: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
+    val aggs = fractions.map(f =>
+      expr(s"percentile_disc($f) WITHIN GROUP (ORDER BY __nt)")
+        .cast("long").as(s"p${(f * 100).round}_tokens"))
+    df.select(col(groupCol), tokenCount(col(textCol)).as("__nt"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"), aggs: _*)
+  }
+
   /** Within-document repetition features — the Gopher-style duplicate-ngram
     * quality signal: fraction of `n`-gram occurrences that are repeats of an
     * earlier one. Pure codegen'd expressions over one scan; docs shorter

@@ -183,6 +183,34 @@ class Round2PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(enStrat == en5)
   }
 
+  test("capPerGroup keeps at most k stable rows per group") {
+    import graft.functions.Sampling
+    val df = (1L to 300L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    val out = Sampling.capPerGroup(df, "id", "grp", 10)
+    val byGrp = out.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp.values.toSet == Set(10L) && byGrp.size == 3)
+    // stability: same rows kept on re-evaluation and under repartitioning
+    val a = out.select("id").as[Long].collect().toSet
+    val b = Sampling.capPerGroup(df.repartition(7), "id", "grp", 10)
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+    // a group smaller than k survives whole
+    val small = Sampling.capPerGroup(df.filter($"id" <= 5), "id", "grp", 10)
+    assert(small.count() == 5)
+  }
+
+  test("lengthQuantiles returns exact discrete percentiles") {
+    val docs = Seq(
+      (1L, "a", "s"), (2L, "a b", "s"), (3L, "a b c", "s"), (4L, "a b c d", "s"))
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.lengthQuantiles(docs, "source", "text").collect()(0)
+    // ANSI percentile_disc over [1,2,3,4]: p50 = 2, p90 = 4
+    assert(r.getAs[Long]("n_docs") == 4L)
+    assert(r.getAs[Long]("p50_tokens") == 2L)
+    assert(r.getAs[Long]("p90_tokens") == 4L)
+  }
+
   test("sessionize splits on gaps >= the session gap") {
     import java.sql.Timestamp
     val ev = Seq(
