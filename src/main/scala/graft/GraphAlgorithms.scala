@@ -421,6 +421,64 @@ object GraphAlgorithms {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Common-neighbor link prediction over the undirected simple graph:
+    * for every node pair (a < b) sharing at least one neighbor, the
+    * common-neighbor count and the resource-allocation index of Zhou et al.
+    * (sum over common neighbors z of 1/deg(z)), quantized to an exact long
+    * (1e12 DIV deg — integer math so the score is partitioning-independent
+    * and oracle-matchable; ln-based Adamic-Adar would differ in final ulps
+    * across engines, and the RA ranking is the same monotone family).
+    *
+    * Plan shape: adjacency self-join keyed on the shared neighbor z — the
+    * inverted-index pattern, never the O(n^2) pair space. `hubCap` drops
+    * wedges through neighbors with degree > cap: a hub of degree d emits
+    * d^2/2 pairs while contributing at most 1e12/d to each score, so the
+    * cap bounds the blowup at 100 TB exactly like the shingle
+    * document-frequency cap in [[graft.functions.Dedup.ngramJaccardPairs]].
+    */
+  def linkPrediction(nf: NetworkFrame, hubCap: Int = 1000): DataFrame = {
+    val adj = nf.symmetrizedEdges
+      .select(col("source").as("z"), col("target").as("n"))
+      .filter(col("z") =!= col("n")).distinct()
+    val kept = adj
+      .withColumn("d", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("z")))
+      .filter(col("d") <= hubCap)
+      .localCheckpoint()
+    kept.as("a")
+      .join(kept.as("b"), col("a.z") === col("b.z") && col("a.n") < col("b.n"))
+      .groupBy(col("a.n").as("id_a"), col("b.n").as("id_b"))
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("1000000000000 DIV a.d")).cast("long").as("ra_q"))
+  }
+
+  /** k-core membership via fixed-round peeling: repeatedly drop nodes whose
+    * degree in the surviving induced subgraph is < k. `rounds` is fixed (not
+    * run-to-convergence) so the result is a pure function of the input and an
+    * unrolled-CTE oracle can replay it; peeling converges in far fewer rounds
+    * than that on real graphs (each round strictly shrinks the node set).
+    * Returns (id, core_deg) for surviving nodes. Per round: one shuffled
+    * degree aggregation + two semi-joins, lineage cut by localCheckpoint —
+    * the same per-round cost envelope as componentLabels, so the 100 TB
+    * story is identical.
+    */
+  def kCore(nf: NetworkFrame, k: Int, rounds: Int = 8): DataFrame = {
+    val sym = nf.symmetrizedEdges
+      .select(col("source"), col("target"))
+      .filter(col("source") =!= col("target")).distinct()
+      .localCheckpoint()
+    var surviving = nf.nodes.select("id").localCheckpoint()
+    for (_ <- 1 to rounds) {
+      surviving = induce(sym, surviving)
+        .groupBy(col("source").as("id"))
+        .agg(count(lit(1)).as("core_deg"))
+        .filter(col("core_deg") >= k).select("id").localCheckpoint()
+    }
+    induce(sym, surviving)
+      .groupBy(col("source").as("id"))
+      .agg(count(lit(1)).as("core_deg"))
+  }
+
   private def induce(edges: DataFrame, ids: DataFrame): DataFrame =
     edges
       .join(ids.withColumnRenamed("id", "source"), Seq("source"), "left_semi")

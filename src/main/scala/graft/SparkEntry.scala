@@ -338,6 +338,24 @@ SELECT count(*) AS n_triangles FROM ce ab JOIN ce bc ON ab.t = bc.s JOIN ce ac O
         .select(col("id"), col("qs").as("pr_q")).orderBy("id"),
       Some(pagerankSql(10, 85))),
 
+    // common-neighbor / resource-allocation link prediction (hub-capped
+    // wedge join; integer-quantized score so ranks are engine-exact)
+    ("q_link_predict", (s, dir) =>
+      GraphAlgorithms.linkPrediction(sparse(s, dir), hubCap = 8)
+        .orderBy("id_a", "id_b"),
+      Some(s"""$G, sy AS (SELECT source, target FROM sym WHERE source <> target),
+deg AS (SELECT source AS z, count(*) AS d FROM sy GROUP BY 1),
+kept AS (SELECT sy.source AS z, sy.target AS n, d FROM sy JOIN deg ON deg.z = sy.source WHERE d <= 8)
+SELECT a.n AS id_a, b.n AS id_b, count(*) AS cn, CAST(sum(1000000000000 // a.d) AS BIGINT) AS ra_q
+FROM kept a JOIN kept b ON a.z = b.z AND a.n < b.n GROUP BY 1,2 ORDER BY 1,2""")),
+
+    // k-core membership by fixed-round peeling; the oracle replays the same
+    // rounds as an unrolled CTE chain (same technique as q_pagerank)
+    ("q_kcore", (s, dir) =>
+      GraphAlgorithms.kCore(sparse(s, dir), k = 2, rounds = 8)
+        .orderBy("id"),
+      Some(kcoreSql(2, 8))),
+
     // deterministic quantized power iteration (see sortSpectral): the oracle
     // unrolls the same 10 integer-exact iterations as chained CTEs
     ("q_spectral", (s, dir) =>
@@ -701,6 +719,39 @@ CAST(quantile_disc(len(string_split(text, ' ')), 0.5) AS BIGINT) AS p50_tokens,
 CAST(quantile_disc(len(string_split(text, ' ')), 0.9) AS BIGINT) AS p90_tokens
 FROM documents GROUP BY 1 ORDER BY 1""")),
 
+    // corpus vocabulary: global top-k tokens by document frequency
+    ("q_vocab", (s, dir) =>
+      TextAnalysis.vocabulary(docs(s, dir), "doc_id", "text", 50)
+        .orderBy("rank"),
+      Some("""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tfc AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1,2),
+v AS (SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_total FROM tfc GROUP BY 1),
+rk AS (SELECT token, df, tf_total, row_number() OVER (ORDER BY df DESC, tf_total DESC, token) AS rn FROM v)
+SELECT token, df, tf_total, CAST(rn AS INT) AS rank FROM rk WHERE rn <= 50 ORDER BY 4""")),
+
+    // GPT-style sequence packing: concatenate per source in doc_id order,
+    // cut into 256-token context windows; integer-exact running offsets
+    ("q_pack", (s, dir) =>
+      TextAnalysis.packDocuments(docs(s, dir), "doc_id", "source", "text", 256)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+c AS (SELECT doc_id, source, n_tokens, CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS token_start FROM t)
+SELECT doc_id, source, n_tokens, token_start, CAST(token_start // 256 AS BIGINT) AS bin_first,
+CAST((token_start + n_tokens - 1) // 256 AS BIGINT) AS bin_last FROM c ORDER BY 1""")),
+
+    // corpus-wide span dedup: keep the first occurrence of every 8-token
+    // segment, reassemble documents from surviving segments
+    ("q_segment_dedup", (s, dir) =>
+      Dedup.segmentDedup(docs(s, dir), "doc_id", "text", 8)
+        .orderBy("id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+s AS (SELECT doc_id, l, unnest(range(0, len(l), 8)) AS seg_start FROM t),
+seg AS (SELECT doc_id, CAST(seg_start AS BIGINT) AS seg_start, array_to_string(l[seg_start+1:seg_start+8], ' ') AS seg FROM s),
+k AS (SELECT doc_id, seg_start, seg, row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, seg_start) AS rn FROM seg)
+SELECT doc_id AS id, count(*) AS n_segments, CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_start) AS clean_text
+FROM k GROUP BY 1 ORDER BY 1""")),
+
     // ====================== multimodal extensions ======================
 
     ("q_multimodal_decode", (s, dir) =>
@@ -813,6 +864,24 @@ params AS MATERIALIZED (SELECT 1000000000000 // count(*) AS base FROM nodes),
 v0 AS MATERIALIZED (SELECT id, CAST((SELECT base FROM params) AS BIGINT) AS qs FROM nodes),
 $steps
 SELECT n.id, v.qs AS pr_q FROM nodes n JOIN v$iters v ON n.id = v.id ORDER BY 1"""
+  }
+
+  /** Unrolled k-core peeling oracle: r{i} = nodes still alive after round i
+    * (degree >= k within the subgraph induced by r{i-1}); mirrors
+    * GraphAlgorithms.kCore round for round. MATERIALIZED per CTE or DuckDB
+    * re-inlines the chain exponentially.
+    */
+  private def kcoreSql(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT source AS id, count(*) AS d FROM sy WHERE source IN (SELECT id FROM r${i - 1}) AND target IN (SELECT id FROM r${i - 1}) GROUP BY 1),
+r$i AS MATERIALIZED (SELECT id FROM d$i WHERE d >= $k)"""
+    }.mkString(",\n")
+    s"""WITH nodes AS MATERIALIZED (SELECT c_custkey AS id FROM customer),
+se AS MATERIALIZED (SELECT o_custkey AS source, o_orderkey % (SELECT count(*) FROM customer) AS target FROM orders WHERE o_orderkey % 10 = 0),
+sy AS MATERIALIZED (SELECT source, target FROM (SELECT source, target FROM se UNION SELECT target, source FROM se) WHERE source <> target),
+r0 AS MATERIALIZED (SELECT id FROM nodes),
+$steps
+SELECT source AS id, count(*) AS core_deg FROM sy WHERE source IN (SELECT id FROM r$rounds) AND target IN (SELECT id FROM r$rounds) GROUP BY 1 ORDER BY 1"""
   }
 
   /** Embedding unnest prelude shared by the similarity oracles. */

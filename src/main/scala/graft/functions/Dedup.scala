@@ -232,4 +232,41 @@ object Dedup {
         Seq("shingle"), "left_semi")
       .select(idCol).distinct()
   }
+
+  /** Cross-document span-level exact dedup (the C4-style "remove repeated
+    * spans corpus-wide, keep the first occurrence" pass): documents are cut
+    * into non-overlapping `segLen`-token segments; for every distinct
+    * segment text the occurrence with the smallest (doc id, segment index)
+    * survives, and each document is reassembled from its surviving segments
+    * in order. Returns (id, n_segments, n_kept, clean_text).
+    *
+    * Scale shape: one explode (map-only), one window keyed on the segment
+    * digest (the keep-first decision — Spark plans a partial WindowGroupLimit
+    * so duplicate spans collapse map-side), one groupBy doc id to
+    * reassemble. No self-join and no pair space at any stage, so unlike
+    * similarity dedup this pass is safe at 100 TB by construction.
+    */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+                   segLen: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(segLen > 0, "positive segment length")
+    val segs = df
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("id"), col("__toks"),
+        explode(sequence(lit(0L), (size(col("__toks")) - 1).cast("long"),
+          lit(segLen.toLong))).as("seg_start"))
+      .select(col("id"), col("seg_start"),
+        array_join(slice(col("__toks"), col("seg_start") + 1, lit(segLen)), " ")
+          .as("seg"))
+    val w = Window.partitionBy(md5(col("seg"))).orderBy("id", "seg_start")
+    val kept = segs.withColumn("rn", row_number().over(w))
+      .withColumn("keep", col("rn") === 1)
+    kept.groupBy("id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("seg_start"), col("seg"))))),
+          s => s.getField("seg")), " ").as("clean_text"))
+  }
 }

@@ -193,4 +193,46 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("token"), col("tf"), col("score_q"), col("rank"))
   }
+
+  /** Corpus vocabulary: top-`k` tokens by document frequency (ties broken
+    * by total term frequency desc, then token asc), with global rank.
+    * One shuffle on the token (partial aggregation collapses per-doc
+    * repeats map-side), then a global top-k that Spark executes as
+    * TakeOrderedAndProject — only k rows ever reach the driver-side sort,
+    * so a 100 TB corpus with a billion-term vocabulary still ships k rows.
+    */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String,
+                 k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"), sum("tf").as("tf_total"))
+    val w = Window.orderBy(desc("df"), desc("tf_total"), asc("token"))
+    counts.orderBy(desc("df"), desc("tf_total"), asc("token")).limit(k)
+      .withColumn("rank", row_number().over(w))
+  }
+
+  /** Sequence packing for training: documents are concatenated in `orderCol`
+    * order within each `groupCol` stream and cut into fixed `budget`-token
+    * context windows (GPT-style packing — a document may straddle a window
+    * boundary). Emits per doc: its global token offset in the stream and the
+    * first/last window it lands in. One shuffle on the group key + one
+    * ordered window pass; the running sum is integer-exact so bin
+    * assignments are identical at any parallelism.
+    */
+  def packDocuments(df: DataFrame, idCol: String, groupCol: String,
+                    textCol: String, budget: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0, "positive token budget")
+    val w = Window.partitionBy(groupCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), col(groupCol),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("token_start", sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("bin_first", expr(s"token_start div ${budget}L"))
+      .withColumn("bin_last",
+        expr(s"(token_start + n_tokens - 1) div ${budget}L"))
+  }
 }
