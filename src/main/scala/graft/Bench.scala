@@ -31,7 +31,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // belt and braces: the driver tails stdout, which has been observed to
+    // truncate long lines — always leave a complete copy on disk too
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
+    try {
+      val w = new java.io.PrintWriter(out, "UTF-8")
+      try w.println(json) finally w.close()
+    } catch { case _: Throwable => () }
+    println(json)
+    Console.out.flush()
     spark.stop()
   }
 }

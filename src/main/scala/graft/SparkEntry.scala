@@ -142,7 +142,7 @@ SELECT id, c_name, c_nationkey FROM nodes UNION ALL SELECT s_suppkey + 1000000, 
 
     ("q_add_edges", (s, dir) => {
       val g = graph(s, dir)
-      val n = tbl(s, dir, "customer").count()
+      val n = custCount.getOrElseUpdate(dir, tbl(s, dir, "customer").count())
       val extra = tbl(s, dir, "orders").filter(col("o_orderstatus") === "F")
         .select((col("o_orderkey") % n).as("source"), col("o_custkey").as("target"),
           col("o_totalprice").as("weight"))
@@ -154,7 +154,7 @@ SELECT source FROM edges UNION ALL SELECT o_orderkey % (SELECT count(*) FROM cus
 
     ("q_reindex_nodes", (s, dir) => {
       val g = graph(s, dir)
-      val n = tbl(s, dir, "customer").count()
+      val n = custCount.getOrElseUpdate(dir, tbl(s, dir, "customer").count())
       g.reindexNodes(s.range(n + 5).toDF("id"))
         .nodes.select("id", "c_name").orderBy("id")
     },
@@ -343,7 +343,10 @@ SELECT count(*) AS n_triangles FROM ce ab JOIN ce bc ON ab.t = bc.s JOIN ce ac O
     ("q_link_predict", (s, dir) =>
       GraphAlgorithms.linkPrediction(sparse(s, dir), hubCap = 8)
         .orderBy("id_a", "id_b"),
-      Some(s"""$G, sy AS (SELECT source, target FROM sym WHERE source <> target),
+      // DISTINCT is load-bearing: DuckDB 1.0 does not dedup the UNION inside
+      // `sym` when the prelude is WITH RECURSIVE, so reciprocal edge pairs
+      // reach this CTE twice and would inflate `deg` / double-count wedges.
+      Some(s"""$G, sy AS (SELECT DISTINCT source, target FROM sym WHERE source <> target),
 deg AS (SELECT source AS z, count(*) AS d FROM sy GROUP BY 1),
 kept AS (SELECT sy.source AS z, sy.target AS n, d FROM sy JOIN deg ON deg.z = sy.source WHERE d <= 8)
 SELECT a.n AS id_a, b.n AS id_b, count(*) AS cn, CAST(sum(1000000000000 // a.d) AS BIGINT) AS ra_q
@@ -594,7 +597,7 @@ FROM t WHERE len(l) >= 5 ORDER BY 1""")),
       Some("""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
 tfc AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1,2),
 dfreq AS (SELECT token, count(*) AS df FROM tfc GROUP BY 1),
-scored AS (SELECT doc_id, tfc.token, tf, CAST(CAST(tf AS BIGINT) * 1000000 * (SELECT count(*) FROM documents) // df AS BIGINT) AS score_q
+scored AS (SELECT doc_id, tfc.token, tf, CAST(CAST(tf AS BIGINT) * 1000000 // df AS BIGINT) AS score_q
 FROM tfc JOIN dfreq ON tfc.token = dfreq.token),
 rk AS (SELECT doc_id, token, tf, score_q, row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, token) AS rn FROM scored)
 SELECT doc_id, token, tf, score_q, CAST(rn AS INT) AS rank FROM rk WHERE rn <= 5 ORDER BY 1, 5""")),

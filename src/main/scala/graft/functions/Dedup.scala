@@ -261,12 +261,16 @@ object Dedup {
     val w = Window.partitionBy(md5(col("seg"))).orderBy("id", "seg_start")
     val kept = segs.withColumn("rn", row_number().over(w))
       .withColumn("keep", col("rn") === 1)
+    // SQL semantics for the fully-deduplicated document: when no segment
+    // survives, clean_text is NULL (matching string_agg over all-NULL input),
+    // not the empty string array_join would otherwise produce.
+    val nKept = sum(when(col("keep"), 1L).otherwise(0L))
     kept.groupBy("id")
       .agg(count(lit(1)).as("n_segments"),
-        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
-        array_join(transform(
+        nKept.as("n_kept"),
+        when(nKept > 0, array_join(transform(
           array_sort(collect_list(when(col("keep"),
             struct(col("seg_start"), col("seg"))))),
-          s => s.getField("seg")), " ").as("clean_text"))
+          s => s.getField("seg")), " ")).as("clean_text"))
   }
 }

@@ -171,23 +171,25 @@ object TextAnalysis {
   }
 
   /** Top-k characteristic terms per document, scored by an integer-exact
-    * TF-IDF analogue: score = tf * 1e6 * N DIV df (reciprocal document
+    * TF-IDF analogue: score = tf * 1e6 DIV df (reciprocal document
     * frequency instead of log-idf — a monotone transform of 1/df, so the
     * per-document ranking matches; chosen because ln() differs in final ulps
-    * across engines while integral division is exact everywhere). One
-    * shuffle per aggregation + a per-doc top-k window (Spark plans the
-    * partial `WindowGroupLimit` below the exchange, so only k rows per doc
-    * cross the wire).
+    * across engines while integral division is exact everywhere). A corpus
+    * doc-count factor N is deliberately NOT multiplied in: it is constant
+    * across every term, cannot change any ranking, would cost one extra
+    * full-corpus count() job, and at billion-document scale tf*1e6*N
+    * silently wraps Long under non-ANSI Spark. One shuffle per aggregation
+    * + a per-doc top-k window (Spark plans the partial `WindowGroupLimit`
+    * below the exchange, so only k rows per doc cross the wire).
     */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val n = df.count()
     val tf = df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val scored = tf.join(dfreq, Seq("token"))
-      .withColumn("score_q", expr(s"(tf * 1000000L * ${n}L) div df"))
+      .withColumn("score_q", expr(s"(tf * 1000000L) div df"))
     val w = Window.partitionBy("doc_id").orderBy(desc("score_q"), asc("token"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -53,7 +53,9 @@ object Multimodal {
         // sizes share the layout. CORE (12) does not and is not supported.
         Set(40, 108, 124).contains(le32(14))) {
       val bitCount = u(28) | (u(29) << 8)
-      Some((le32(18), le32(22), math.max(1, bitCount / 8)))
+      // height is signed: top-down BMPs store a negative value whose
+      // magnitude is the pixel height
+      Some((le32(18), math.abs(le32(22)), math.max(1, bitCount / 8)))
     } else None
   }
 

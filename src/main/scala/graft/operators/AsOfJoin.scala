@@ -44,6 +44,14 @@ object AsOfJoin {
     require(keys.nonEmpty, "at least one equi-key required")
     val leftCols = left.columns.toSeq
 
+    // Each carried value rides inside a single-field struct: the struct is
+    // non-null whenever a right row exists, even when the value itself is
+    // NULL, so `last(..., ignoreNulls)` skips only the left rows' injected
+    // placeholders — a genuinely NULL right value is carried as NULL instead
+    // of falling back to an older non-null one (merge_asof/ASOF semantics).
+    def vType(c: String) = org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("v", right.schema(c).dataType)))
+
     val lTagged = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(0))
@@ -51,8 +59,7 @@ object AsOfJoin {
         tieCol.map(right.schema(_).dataType)
           .getOrElse(org.apache.spark.sql.types.IntegerType)))
       .select((leftCols.map(col) :+ col("__t") :+ col("__side") :+ col("__tie")) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType)
-          .as(s"__v_$c")): _*)
+        valueCols.map(c => lit(null).cast(vType(c)).as(s"__v_$c")): _*)
     val rTagged = right
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(1))
@@ -61,7 +68,7 @@ object AsOfJoin {
         if (keys.contains(c)) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c))
         :+ col("__t") :+ col("__side") :+ col("__tie")) ++
-        valueCols.map(c => col(c).as(s"__v_$c")): _*)
+        valueCols.map(c => struct(col(c).as("v")).as(s"__v_$c")): _*)
 
     // right rows sort before left rows at equal time (asof is `<=`); among
     // equal-time right rows the greatest tie sorts last, so `last` wins it
@@ -70,7 +77,8 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = lTagged.unionByName(rTagged)
       .select(col("*") +: valueCols.map(c =>
-        last(col(s"__v_$c"), ignoreNulls = true).over(w).as(s"__asof_$c")): _*)
+        last(col(s"__v_$c"), ignoreNulls = true).over(w)
+          .getField("v").as(s"__asof_$c")): _*)
 
     carried.filter(col("__side") === 0)
       .select(leftCols.map(col) ++

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Dedup
+import graft.operators.AsOfJoin
+
+/** Round-3 fixes: segment-dedup NULL semantics, as-of NULL carry-forward. */
+class Round3Spec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("segmentDedup emits NULL clean_text for a fully-duplicated document") {
+    // doc 2 is an exact copy of doc 1: every one of its segments loses the
+    // keep-first race, so n_kept = 0 and clean_text must be NULL (SQL
+    // string_agg semantics), not the empty string
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"),
+      (3L, "k l m n o p q r"))
+      .toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(docs, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getString(3))))).toMap
+    assert(out(1L)._1 == 2L && out(1L)._2.contains("a b c d e f g h i j"))
+    assert(out(2L) == ((0L, None)))
+    assert(out(3L)._1 == 1L && out(3L)._2.contains("k l m n o p q r"))
+  }
+
+  test("asofBackward carries a genuinely NULL right value as NULL") {
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val left = Seq(
+      (100L, 1L, t(10)), // most recent right row (t=8) has value NULL -> NULL
+      (101L, 1L, t(6))   // most recent right row (t=5) is non-null -> 5.0
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, 1L, t(5), Some(5.0)),
+      (2L, 1L, t(8), None) // NULL value must NOT fall back to 5.0
+    ).toDF("rid", "user_id", "ts", "value")
+    val out = AsOfJoin.asofBackward(left, right, Seq("user_id"), "ts", "ts",
+        Seq("value"), tieCol = Some("rid"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out == Map(100L -> None, 101L -> Some(5.0)))
+  }
+
+  test("BMP decode returns positive height for top-down bitmaps") {
+    import graft.multimodal.Multimodal
+    // BM + BITMAPINFOHEADER(40), 320 x -240 (top-down row order), 24bpp
+    val bmp = Array[Int](
+      'B', 'M', 0, 0, 0, 0, 0, 0, 0, 0, 54, 0, 0, 0,
+      40, 0, 0, 0,
+      0x40, 1, 0, 0,          // width 320 (LE)
+      0x10, 0xff, 0xff, 0xff, // height -240 (LE, signed)
+      1, 0, 24, 0, 0, 0).map(_.toByte)
+    val ds = Seq(Multimodal.MediaRecord(1L, bmp, "image/bmp")).toDS()
+    val out = Multimodal.decodeImages(ds).collect().head
+    assert((out.width, out.height, out.channels) == ((320, 240, 3)))
+  }
+}
