@@ -199,20 +199,54 @@ object LocalExports {
     ids.iterator.map(id => id -> GraphAlgorithms.kHopNeighborhood(nf, id, k, directed))
   }
 
+  // group keys for an axis, each as a Seq[Any] over g.bys, in sorted order
+  private def axisKeys(g: NodeGroupBy, nodes: DataFrame): Array[Seq[Any]] =
+    nodes.select(g.bys.map(col): _*).distinct()
+      .orderBy(g.bys.map(col): _*)
+      .collect().map(_.toSeq)
+
+  private def idsForKey(g: NodeGroupBy, nodes: DataFrame, key: Seq[Any]): DataFrame =
+    nodes.filter(g.bys.zip(key).map { case (c, v) => col(c) <=> lit(v) }
+      .reduce(_ && _)).select("id")
+
+  // single-column keys unwrap to the bare value (pandas group-name shape)
+  private def scalarize(key: Seq[Any]): Any =
+    if (key.size == 1) key.head else key
+
   /** Grouped subframe iteration — `NodeGroupBy.__iter__` (groupby.py:64-81):
     * the cartesian product of source-groups x target-groups, each subframe a
     * rectangular `loc` selection. `induced=true` keeps only the diagonal.
+    * Multi-column `bys` yield Seq-valued group keys (pandas tuple names).
     */
   def groupFrames(g: NodeGroupBy, induced: Boolean = false)
       : Iterator[((Any, Any), NetworkFrame)] = {
-    val keys = g.frame.nodes.select(g.by).distinct().orderBy(g.by).collect().map(_.get(0))
+    val sKeys = axisKeys(g, g.frame.sourceNodes)
+    val tKeys = axisKeys(g, g.frame.targetNodes)
     (for {
-      sk <- keys.iterator
-      tk <- keys.iterator if !induced || sk == tk
+      sk <- sKeys.iterator
+      tk <- tKeys.iterator if !induced || sk == tk
     } yield {
-      val rows = g.frame.nodes.filter(col(g.by) === lit(sk)).select("id")
-      val cols_ = g.frame.nodes.filter(col(g.by) === lit(tk)).select("id")
-      (sk, tk) -> g.frame.loc(rows, cols_)
+      val rows = idsForKey(g, g.frame.sourceNodes, sk)
+      val cols_ = idsForKey(g, g.frame.targetNodes, tk)
+      (scalarize(sk), scalarize(tk)) -> g.frame.loc(rows, cols_)
     })
+  }
+
+  /** Single-axis grouped iteration — `NodeGroupBy.__iter__` for axis=
+    * "source"/"target" (groupby.py:76-81): one subframe per group, the other
+    * side unrestricted. (The reference's own axis=0 branch calls single-arg
+    * `loc`, which its LocIndexer rejects (networkframe.py:1560-1568) — this
+    * implements the documented intent via the rectangular form.)
+    */
+  def groupFramesAxis(g: NodeGroupBy): Iterator[(Any, NetworkFrame)] = {
+    require(g.axis != "both", "use groupFrames for axis=both")
+    val all = g.frame.nodes.select("id")
+    val nodes = if (g.axis == "target") g.frame.targetNodes else g.frame.sourceNodes
+    axisKeys(g, nodes).iterator.map { k =>
+      val ids = idsForKey(g, nodes, k)
+      val sub = if (g.axis == "source") g.frame.loc(ids, all)
+                else g.frame.loc(all, ids)
+      scalarize(k) -> sub
+    }
   }
 }

@@ -223,7 +223,15 @@ final case class NetworkFrame(
   }
 
   /** Group the frame by a node attribute (networkframe.py:1000-1073). */
-  def groupbyNodes(by: String): NodeGroupBy = NodeGroupBy(this, by)
+  def groupbyNodes(by: String): NodeGroupBy = NodeGroupBy(this, Seq(by), "both")
+
+  /** Multi-column / single-axis grouping (networkframe.py:1000-1073): `by`
+    * may list several node columns (pandas list-valued `by`), and `axis`
+    * selects which endpoint's nodes are grouped — "source" (pandas 0),
+    * "target" (pandas 1), or "both".
+    */
+  def groupbyNodes(by: Seq[String], axis: String): NodeGroupBy =
+    NodeGroupBy(this, by, axis)
 
   /** Quotient / condensation graph (networkframe.py:1513-1538): new nodes =
     * distinct values of `nodes[by]`; new edges = per-(source-group,
@@ -380,11 +388,30 @@ object NetworkFrame {
   }
 }
 
-/** Grouped view of a NetworkFrame by a node attribute (groupby.py:7-161).
-  * Nothing materializes at construction; aggregation ops compile to an
-  * enrichment join + one hash aggregation (one shuffle on the group pair).
+/** Grouped view of a NetworkFrame by node attributes (groupby.py:7-161).
+  * `bys` may hold several columns (pandas list-valued `by`); `axis` is
+  * "source" (pandas 0), "target" (pandas 1), or "both" — fixed at
+  * construction like the reference (networkframe.py:1062-1070). Nothing
+  * materializes at construction; aggregation ops compile to an enrichment
+  * join + one hash aggregation (one shuffle on the group pair).
   */
-final case class NodeGroupBy(frame: NetworkFrame, by: String) {
+final case class NodeGroupBy(frame: NetworkFrame, bys: Seq[String],
+                             axis: String = "both") {
+  require(bys.nonEmpty, "at least one grouping column")
+  require(Set("source", "target", "both")(axis),
+    "axis must be 'source', 'target', or 'both'")
+
+  /** Single-key accessor; the edge-aggregation surface is single-key only,
+    * exactly like the reference (groupby.py:92-98).
+    */
+  def by: String = {
+    require(bys.size == 1,
+      "Currently can only apply edges to a single group in `by` (groupby.py:93-96)")
+    bys.head
+  }
+
+  private def requireBoth(): Unit = require(axis == "both",
+    "Currently can only apply edges when groupby is 'both' (groupby.py:97-98)")
 
   private def srcCol = s"source_$by"
   private def tgtCol = s"target_$by"
@@ -395,6 +422,7 @@ final case class NodeGroupBy(frame: NetworkFrame, by: String) {
     */
   def applyEdges(func: String, column: Option[String] = None,
                  weightName: String = "weight"): DataFrame = {
+    requireBoth()
     val enriched = frame.applyNodeFeatures(Seq(by), "both").edges
     val valueCol = column.map(col).getOrElse(lit(1))
     enriched.groupBy(col(srcCol).as("source"), col(tgtCol).as("target"))
@@ -412,21 +440,35 @@ final case class NodeGroupBy(frame: NetworkFrame, by: String) {
     * Python callables: the expression stays inside codegen.
     */
   def applyEdgesExpr(agg: Column, weightName: String = "weight"): DataFrame = {
+    requireBoth()
     val enriched = frame.applyNodeFeatures(Seq(by), "both").edges
     enriched.groupBy(col(srcCol).as("source"), col(tgtCol).as("target"))
       .agg(agg.as(weightName))
   }
 
-  /** Group-key → member-count summaries (groupby.py:42-62, :147-161). */
-  def sourceGroups: DataFrame = frame.nodes.groupBy(col(by)).agg(count(lit(1)).as("n_nodes"))
-  def targetGroups: DataFrame = sourceGroups
-  def groupKeys: DataFrame = frame.nodes.select(col(by)).distinct()
-
-  /** Group count; axis="both" non-induced is the source x target product
-    * (groupby.py:44-48).
+  /** Group-key → member-count summaries (groupby.py:42-62, :147-161), over
+    * the axis-appropriate bipartite node view; raises on the missing axis
+    * like the reference's ValueError.
     */
-  def nGroups(axis: String = "both", induced: Boolean = false): Long = {
-    val k = groupKeys.count()
-    if (axis == "both" && !induced) k * k else k
+  def sourceGroups: DataFrame = {
+    require(axis != "target", "No source groups, groupby was on targets only")
+    frame.sourceNodes.groupBy(bys.map(col): _*).agg(count(lit(1)).as("n_nodes"))
+  }
+  def targetGroups: DataFrame = {
+    require(axis != "source", "No target groups, groupby was on sources only")
+    frame.targetNodes.groupBy(bys.map(col): _*).agg(count(lit(1)).as("n_nodes"))
+  }
+  def groupKeys: DataFrame =
+    (if (axis == "target") frame.targetNodes else frame.sourceNodes)
+      .select(bys.map(col): _*).distinct()
+
+  /** Group count — the reference's `__len__` (groupby.py:42-52): axis="both"
+    * non-induced is the source-group x target-group product.
+    */
+  def nGroups(induced: Boolean = false): Long = axis match {
+    case "both" if !induced =>
+      sourceGroups.count() * targetGroups.count()
+    case "target" => targetGroups.count()
+    case _ => sourceGroups.count()
   }
 }

@@ -44,6 +44,48 @@ class Round3Spec extends AnyFunSuite with SparkFixture {
     assert(out == Map(100L -> None, 101L -> Some(5.0)))
   }
 
+  test("groupbyNodes axis=source yields one subframe per source group") {
+    // simpleNf: A,D red; B,C blue; edges A->B, A->C, B->C, C->D
+    val g = simpleNf.groupbyNodes(Seq("color"), "source")
+    assert(g.nGroups() == 2L)
+    val m = LocalExports.groupFramesAxis(g).toSeq
+      .map { case (k, f) => k -> f.edges.select("source", "target")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet }.toMap
+    // red sources: A->B, A->C (D has no out-edges); blue sources: B->C, C->D
+    assert(m("red") == Set(("A", "B"), ("A", "C")))
+    assert(m("blue") == Set(("B", "C"), ("C", "D")))
+  }
+
+  test("groupbyNodes axis=target yields one subframe per target group") {
+    val g = simpleNf.groupbyNodes(Seq("color"), "target")
+    val m = LocalExports.groupFramesAxis(g).toSeq
+      .map { case (k, f) => k -> f.edges.select("source", "target")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet }.toMap
+    // blue targets: A->B, A->C, B->C; red targets: C->D
+    assert(m("blue") == Set(("A", "B"), ("A", "C"), ("B", "C")))
+    assert(m("red") == Set(("C", "D")))
+    // reference parity: edge aggregation refuses non-"both" axes
+    intercept[IllegalArgumentException] { g.sizeEdges() }
+  }
+
+  test("groupbyNodes with list-valued by iterates composite group keys") {
+    import spark.implicits._
+    val nodes = Seq(("A", "red", 1L), ("B", "red", 1L), ("C", "blue", 1L),
+      ("D", "red", 2L)).toDF("id", "color", "size")
+    val edges = Seq(("A", "B", 1L), ("A", "C", 2L), ("C", "D", 3L))
+      .toDF("source", "target", "weight")
+    val g = NetworkFrame(nodes, edges).groupbyNodes(Seq("color", "size"), "both")
+    assert(g.nGroups() == 9L && g.nGroups(induced = true) == 3L)
+    val m = LocalExports.groupFrames(g).toSeq
+      .map { case (k, f) => k -> f.numEdges }.toMap
+    assert(m((Seq("red", 1L), Seq("red", 1L))) == 1L)   // A->B
+    assert(m((Seq("red", 1L), Seq("blue", 1L))) == 1L)  // A->C
+    assert(m((Seq("blue", 1L), Seq("red", 2L))) == 1L)  // C->D
+    assert(m((Seq("red", 2L), Seq("red", 1L))) == 0L)
+    // reference parity: list-valued by refuses edge aggregation
+    intercept[IllegalArgumentException] { g.applyEdges("size") }
+  }
+
   test("BMP decode returns positive height for top-down bitmaps") {
     import graft.multimodal.Multimodal
     // BM + BITMAPINFOHEADER(40), 320 x -240 (top-down row order), 24bpp
