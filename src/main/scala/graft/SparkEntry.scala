@@ -579,6 +579,18 @@ ELSE 'zh' END AS lang_pred, lang FROM h ORDER BY 1""")),
 CAST(list_sum(list_transform(string_split(text, ' '), w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_est
 FROM documents ORDER BY 1""")),
 
+    // unicode regex tokenizer variant: counts diverge from the whitespace
+    // split exactly where punctuation glues tokens together
+    ("q_token_counts_regex", (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCountUnicode(col("text")).cast("long").as("n_tokens_regex"),
+        size(array_distinct(TextAnalysis.tokensUnicode(lower(col("text")))))
+          .cast("long").as("n_distinct_regex")).orderBy("doc_id"),
+      Some("""SELECT doc_id,
+CAST(len(list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}]+'), w -> w <> '')) AS BIGINT) AS n_tokens_regex,
+CAST(len(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), w -> w <> ''))) AS BIGINT) AS n_distinct_regex
+FROM documents ORDER BY 1""")),
+
     ("q_fingerprints", (s, dir) =>
       docs(s, dir)
         .filter(size(TextAnalysis.tokens(col("text"))) >= 5)
@@ -793,6 +805,18 @@ SELECT doc_id AS id, CAST(fi AS INT) AS frame_index, md5(substr(text, CAST(fi AS
 CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value FROM events
 WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
 GROUP BY 1,2 ORDER BY 1,2""")),
+
+    // streaming graph maintenance: eventsAsEdges + effective-edges as one
+    // watermarked windowed agg, append mode — only watermark-finalized
+    // (window, edge) rows are emitted, mirrored by the oracle's WHERE
+    ("q_edges_stream", (s, dir) =>
+      EventStream.runEdgesStream(s, s"$dir/events.parquet", "1 hour",
+          "10 minutes", s"edges_stream_${Counter.next()}")
+        .orderBy("window_start", "source", "target"),
+      Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, user_id AS source, event_type AS target,
+count(*) AS n_parallel, CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS weight FROM events
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+GROUP BY 1,2,3 ORDER BY 1,2,3""")),
 
     // gap-based sessionization (session_window); the oracle rebuilds the
     // same sessions with lag + running-sum windows over exact microseconds

@@ -18,6 +18,18 @@ object TextAnalysis {
   /** Whitespace tokenization. Single-space split keeps oracle parity simple. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Unicode-aware tokenization: maximal runs of letters/digits (any
+    * script), so punctuation-glued forms like "end." or "(hello)" tokenize
+    * cleanly where the whitespace split would not. `\p{L}\p{N}` classes
+    * behave identically in Java regex (Spark codegen) and RE2 (DuckDB
+    * `regexp_split_to_array`), keeping oracle parity; boundary empties from
+    * leading/trailing separators are filtered on both sides.
+    */
+  def tokensUnicode(text: Column): Column =
+    filter(split(text, "[^\\p{L}\\p{N}]+"), w => length(w) > 0)
+
+  def tokenCountUnicode(text: Column): Column = size(tokensUnicode(text))
+
   /** Token count + a BPE-ish subword estimate: sum of ceil(len(w)/4) over
     * words — the standard "~4 chars per token" heuristic, computed exactly.
     */

@@ -75,6 +75,57 @@ object EventStream {
     events.select(col("user_id").as("source"), col("event_type").as("target"),
       col("value").as("weight"), col("ts"))
 
+  /** Streaming graph maintenance (SURVEY §2.9 phase 3): `eventsAsEdges`
+    * composed with the effective-edges aggregation as one watermarked
+    * windowed agg — parallel edges within each tumbling window collapse to a
+    * single weighted edge, continuously. Batch-or-stream like every other
+    * transform here; on a stream in append mode each (window, edge) row is
+    * final when emitted, so the sink can upsert the live edge table without
+    * reconciliation. One shuffle on (window, source, target); state bounded
+    * by windows in flight x live edge keys.
+    */
+  def effectiveEdgesWindowed(events: DataFrame,
+                             windowLen: String = "1 hour"): DataFrame =
+    eventsAsEdges(normalizeTs(events))
+      .groupBy(window(col("ts"), windowLen).as("w"),
+        col("source"), col("target"))
+      .agg(count(lit(1)).as("n_parallel"),
+        sum(col("weight").cast("decimal(20,6)")).as("w_dec"))
+      .select(col("w.start").as("window_start"), col("source"), col("target"),
+        col("n_parallel"), col("w_dec").cast("double").as("weight"))
+
+  /** Drive `effectiveEdgesWindowed` through the real streaming machinery in
+    * append mode (watermark-finalized windows only) — the continuous
+    * edge-table maintenance job, memory-sinked for verification.
+    */
+  def runEdgesStream(spark: SparkSession, parquetPath: String,
+                     windowLen: String = "1 hour",
+                     delay: String = "10 minutes",
+                     queryName: String = "edges_stream"): DataFrame = {
+    val schema = spark.read.parquet(parquetPath).schema
+    val srcPath = stageDir(parquetPath)
+    val src = spark.readStream.schema(schema).parquet(srcPath)
+    val agg = effectiveEdgesWindowed(withEventWatermark(src, delay), windowLen)
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName(queryName).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+
+  // the file-stream source requires a DIRECTORY; stage single files into a
+  // scratch dir via symlink
+  private def stageDir(parquetPath: String): String = {
+    val f = new java.io.File(parquetPath)
+    if (f.isDirectory) parquetPath
+    else {
+      val d = java.nio.file.Files.createTempDirectory("graft_stream_")
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve(f.getName), f.toPath.toAbsolutePath)
+      d.toString
+    }
+  }
+
   /** Run a batch-equivalent streaming pass over a parquet directory using the
     * memory sink — drives the exact streaming machinery (source -> watermark
     * -> stateful window agg -> sink) synchronously for tests/smoke.
@@ -83,18 +134,7 @@ object EventStream {
                        windowLen: String = "1 hour",
                        queryName: String = "event_stream_out"): DataFrame = {
     val schema = spark.read.parquet(parquetPath).schema
-    // the file-stream source requires a DIRECTORY; stage single files into a
-    // scratch dir via symlink
-    val srcPath = {
-      val f = new java.io.File(parquetPath)
-      if (f.isDirectory) parquetPath
-      else {
-        val d = java.nio.file.Files.createTempDirectory("graft_stream_")
-        java.nio.file.Files.createSymbolicLink(
-          d.resolve(f.getName), f.toPath.toAbsolutePath)
-        d.toString
-      }
-    }
+    val srcPath = stageDir(parquetPath)
     val src = spark.readStream.schema(schema).parquet(srcPath)
     val agg = windowedTypeCounts(withEventWatermark(src), windowLen)
     val q = agg.writeStream
@@ -125,16 +165,7 @@ object EventStream {
                          delay: String = "10 minutes",
                          queryName: String = "event_stream_append"): DataFrame = {
     val schema = spark.read.parquet(parquetPath).schema
-    val srcPath = {
-      val f = new java.io.File(parquetPath)
-      if (f.isDirectory) parquetPath
-      else {
-        val d = java.nio.file.Files.createTempDirectory("graft_stream_")
-        java.nio.file.Files.createSymbolicLink(
-          d.resolve(f.getName), f.toPath.toAbsolutePath)
-        d.toString
-      }
-    }
+    val srcPath = stageDir(parquetPath)
     val src = spark.readStream.schema(schema).parquet(srcPath)
     val agg = windowedTypeCounts(withEventWatermark(src, delay), windowLen)
     val q = agg.writeStream

@@ -86,6 +86,25 @@ class Round3Spec extends AnyFunSuite with SparkFixture {
     intercept[IllegalArgumentException] { g.applyEdges("size") }
   }
 
+  test("capPerGroup plans a map-side WindowGroupLimit below the exchange") {
+    import graft.functions.Sampling
+    val df = (1L to 100L).map(i => (i, s"g${i % 5}")).toDF("id", "grp")
+    val plan = Sampling.capPerGroup(df, "id", "grp", 3)
+      .queryExecution.executedPlan.toString
+    // the claimed scale property: only k rows per group survive each
+    // partition before the shuffle — red if Spark stops planning it
+    assert(plan.contains("WindowGroupLimit"))
+    assert(plan.contains("Partial"), s"expected a partial (map-side) group limit:\n$plan")
+  }
+
+  test("tfidfTopTerms plans a WindowGroupLimit for the per-doc top-k") {
+    import graft.functions.TextAnalysis
+    val docs = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
+    val plan = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"))
+  }
+
   test("BMP decode returns positive height for top-down bitmaps") {
     import graft.multimodal.Multimodal
     // BM + BITMAPINFOHEADER(40), 320 x -240 (top-down row order), 24bpp
