@@ -189,13 +189,20 @@ object GraphAlgorithms {
     * two-semi-join induction (networkframe.py:732-783). Ties broken by
     * smallest component label for determinism.
     */
-  def largestConnectedComponent(nf: NetworkFrame, connection: String = "weak"): NetworkFrame = {
+  def largestConnectedComponent(nf: NetworkFrame, connection: String = "weak",
+                                verbose: Boolean = false): NetworkFrame = {
     val labels = componentLabels(nf, connection)
     val top = labels.groupBy("component").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("component")).limit(1)
     val keep = labels.join(broadcast(top.select("component")), Seq("component"), "left_semi")
       .select("id")
     val n = nf.nodes.join(keep, Seq("id"), "left_semi")
+    if (verbose) {
+      // reference's removed-count print (networkframe.py:776-778); one extra
+      // pair of count jobs, so opt-in only
+      val removed = nf.numNodes - n.count()
+      println(s"Nodes removed when taking largest connected component: $removed")
+    }
     nf.copy(nodes = n, edges = induce(nf.edges, keep))
   }
 

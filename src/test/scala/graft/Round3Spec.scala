@@ -105,6 +105,24 @@ class Round3Spec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("WindowGroupLimit"))
   }
 
+  test("condenseMulti quotients by composite node keys") {
+    import spark.implicits._
+    val nodes = Seq(("A", "red", 1L), ("B", "red", 1L), ("C", "blue", 1L),
+      ("D", "red", 2L)).toDF("id", "color", "size")
+    val edges = Seq(("A", "B", 10L), ("A", "C", 20L), ("C", "D", 30L))
+      .toDF("source", "target", "weight")
+    val q = NetworkFrame(nodes, edges)
+      .condenseMulti(Seq("color", "size"), "sum", "w", Some("weight"))
+    assert(q.nodes.count() == 3L)
+    val m = q.edges.collect().map { r =>
+      val s = r.getStruct(0); val t = r.getStruct(1)
+      ((s.getString(0), s.getLong(1)), (t.getString(0), t.getLong(1))) -> r.getLong(2)
+    }.toMap
+    assert(m((("red", 1L), ("red", 1L))) == 10L)   // A->B
+    assert(m((("red", 1L), ("blue", 1L))) == 20L)  // A->C
+    assert(m((("blue", 1L), ("red", 2L))) == 30L)  // C->D
+  }
+
   test("BMP decode returns positive height for top-down bitmaps") {
     import graft.multimodal.Multimodal
     // BM + BITMAPINFOHEADER(40), 320 x -240 (top-down row order), 24bpp
