@@ -258,6 +258,40 @@ object GraphAlgorithms {
     visited
   }
 
+  /** Single-source hop distances: (id, dist) for every node within
+    * <= maxDepth unweighted hops of `nodeId` (seed at 0) — the distance
+    * table `select_component_from_node` computes and then discards
+    * (networkframe.py:990-996, scipy shortest_path). A node's first
+    * discovery round IS its hop distance, so this is bfsReachable's frontier
+    * expansion with the round number stamped on: O(depth) rounds, one
+    * shuffle each, frontier-sized state — no dense distance matrix.
+    */
+  def bfsDistances(nf: NetworkFrame, nodeId: Any, maxDepth: Int,
+                   directed: Boolean = false): DataFrame = {
+    require(maxDepth >= 0, "maxDepth must be non-negative")
+    val e0 = if (directed) nf.edges.select(col("source"), col("target"))
+             else nf.symmetrizedEdges
+    val e = e0.distinct().localCheckpoint()
+    var dist = nf.nodes.select(col("id")).filter(col("id") === lit(nodeId))
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = dist.select("id")
+    var hops = 0
+    var done = frontier.isEmpty
+    while (!done && hops < maxDepth) {
+      val next = e.join(frontier.withColumnRenamed("id", "source"), Seq("source"), "left_semi")
+        .select(col("target").as("id")).distinct()
+        .join(dist.select("id"), Seq("id"), "left_anti")
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        dist = dist.union(next.withColumn("dist", lit(hops + 1L))).localCheckpoint()
+        frontier = next
+      }
+      hops += 1
+    }
+    dist
+  }
+
   /** All-pairs <= k-hop reachability as a (id, neighbor) PAIR TABLE — the
     * scalable representation of the reference's dense N x N `k_hop_mask`
     * (networkframe.py:1279-1307; representation diverges, results match).

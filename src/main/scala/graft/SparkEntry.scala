@@ -301,6 +301,14 @@ SELECT id FROM r ORDER BY 1""")),
       Some(s"""$G, fr(id, d) AS (SELECT id, 0 FROM nodes WHERE id = 0 UNION SELECT s.target, fr.d + 1 FROM fr JOIN sym s ON s.source = fr.id WHERE fr.d < 2)
 SELECT DISTINCT id FROM fr ORDER BY 1""")),
 
+    // single-source hop distances (min over the recursive frontier is immune
+    // to the RECURSIVE-prelude sym duplication, like q_bfs_reach)
+    ("q_bfs_depth", (s, dir) =>
+      GraphAlgorithms.bfsDistances(sparse(s, dir), 0L, 4, directed = false)
+        .select(col("id"), col("dist")).orderBy("id"),
+      Some(s"""$G, fr(id, d) AS (SELECT id, 0 FROM nodes WHERE id = 0 UNION SELECT s.target, fr.d + 1 FROM fr JOIN sym s ON s.source = fr.id WHERE fr.d < 4)
+SELECT id, CAST(min(d) AS BIGINT) AS dist FROM fr GROUP BY 1 ORDER BY 1""")),
+
     ("q_k_hop_agg", (s, dir) => {
       val nf = sparse(s, dir)
       val pairs = GraphAlgorithms.kHopPairs(nf, 1, directed = false, dropSelf = true)
@@ -534,7 +542,39 @@ SELECT cell, CAST(i AS INT) AS i,
 CAST(CASE WHEN sx >= 0 THEN sx // n ELSE -((-sx) // n) END AS BIGINT) AS centroid_q
 FROM g ORDER BY 1,2""")),
 
+    // int8 scalar quantization of the embedding corpus: codes validated via
+    // an md5 over the ordered code list, plus worst reconstruction error
+    ("q_int8_quant", (s, dir) =>
+      Similarity.int8Quantize(emb(s, dir), "vec_id", "embedding")
+        .select(col("id"), col("scale_q"),
+          md5(array_join(transform(col("codes"), c => c.cast("string")), ","))
+            .as("codes_md5"),
+          col("max_err_q"))
+        .orderBy("id"),
+      Some("""WITH u AS (SELECT vec_id, s.i, CAST(floor(CAST(embedding[s.i] AS DOUBLE) * 10000000) AS BIGINT) AS x FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) s),
+sc AS (SELECT vec_id, max(abs(x)) AS scale_q FROM u GROUP BY 1),
+c AS (SELECT u.vec_id, u.i, u.x, sc.scale_q,
+  CASE WHEN sc.scale_q = 0 THEN 0 WHEN u.x >= 0 THEN (u.x * 127) // sc.scale_q ELSE -(((-u.x) * 127) // sc.scale_q) END AS code
+  FROM u JOIN sc ON u.vec_id = sc.vec_id),
+r AS (SELECT vec_id, i, x, scale_q, code,
+  CASE WHEN scale_q = 0 THEN 0 WHEN code >= 0 THEN (code * scale_q) // 127 ELSE -(((-code) * scale_q) // 127) END AS recon FROM c)
+SELECT vec_id AS id, any_value(scale_q) AS scale_q,
+md5(string_agg(CAST(code AS VARCHAR), ',' ORDER BY i)) AS codes_md5,
+max(abs(x - recon)) AS max_err_q
+FROM r GROUP BY 1 ORDER BY 1""")),
+
     // ====================== text analysis extensions ======================
+
+    // pattern redaction over the events props payload (digit runs -> <NUM>);
+    // the PII preset itself is spec-gated (no PII exists in the testdata)
+    ("q_redact", (s, dir) =>
+      TextAnalysis.redactPatterns(tbl(s, dir, "events"), "props",
+          Seq(("num", "[0-9]+", "<NUM>")))
+        .select(col("event_id"), col("n_num"), col("redacted"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_num,
+regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS redacted
+FROM events ORDER BY 1""")),
 
     ("q_text_quality", (s, dir) =>
       TextAnalysis.qualityFeatures(docs(s, dir).select("doc_id", "text"), "text")

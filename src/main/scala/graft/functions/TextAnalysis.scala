@@ -92,6 +92,37 @@ object TextAnalysis {
           - when(col("punct_ratio") < 0.2, lit(0L)).otherwise(lit(15L))).cast("long"))
   }
 
+  /** Canonical PII patterns for training-corpus scrubbing, written in the
+    * regex subset that behaves identically under Java regex (Spark codegen)
+    * and RE2 (DuckDB): character classes and bounded/greedy quantifiers
+    * only — no alternation, backreferences, or lookaround, so the
+    * leftmost-match semantics agree engine-to-engine.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
+    ("phone", "\\+?[0-9][0-9() \\-]{6,}[0-9]", "<PHONE>"))
+
+  /** Pattern redaction: per-pattern match counts (`n_<name>`) plus a
+    * `redacted` copy of the text with every match replaced by its
+    * placeholder, applied in list order (email before ipv4 before phone in
+    * the PII preset, so an address's digits are not half-eaten by the phone
+    * rule). Pure map-only codegen — regexp_count/regexp_replace — so it
+    * scans linearly at any corpus size.
+    */
+  def redactPatterns(df: DataFrame, textCol: String,
+                     patterns: Seq[(String, String, String)] = piiPatterns)
+      : DataFrame = {
+    require(patterns.nonEmpty, "at least one pattern")
+    val counted = patterns.foldLeft(df) { case (d, (name, re, _)) =>
+      d.withColumn(s"n_$name", regexp_count(col(textCol), lit(re)).cast("long"))
+    }
+    val redacted = patterns.foldLeft(col(textCol)) { case (c, (_, re, repl)) =>
+      regexp_replace(c, re, repl)
+    }
+    counted.withColumn("redacted", redacted)
+  }
+
   /** Whole-document fingerprint: MD5 of the normalized text. */
   def fingerprint(text: Column): Column = md5(lower(trim(text)))
 

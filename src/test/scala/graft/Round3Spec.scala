@@ -123,6 +123,48 @@ class Round3Spec extends AnyFunSuite with SparkFixture {
     assert(m((("blue", 1L), ("red", 2L))) == 30L)  // C->D
   }
 
+  test("redactPatterns PII preset scrubs emails, IPs, and phone numbers") {
+    import graft.functions.TextAnalysis
+    val docs = Seq(
+      (1L, "contact bob.smith+x@example.co.uk or call +1 (555) 123-4567 now"),
+      (2L, "server at 192.168.1.254 responded"),
+      (3L, "nothing sensitive here")).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPatterns(docs, "text")
+      .select("doc_id", "n_email", "n_ipv4", "n_phone", "redacted")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) == ((1L, 0L, 1L, "contact <EMAIL> or call <PHONE> now")))
+    assert(out(2L) == ((0L, 1L, 0L, "server at <IP> responded")))
+    assert(out(3L) == ((0L, 0L, 0L, "nothing sensitive here")))
+  }
+
+  test("int8Quantize round-trips within scale/127 and pins extremes to ±127") {
+    import graft.functions.Similarity
+    val emb = Seq(
+      (1L, Array(1.0f, -1.0f, 0.5f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))) // zero vector: scale 0, all codes 0
+      .toDF("vec_id", "embedding")
+    val out = Similarity.int8Quantize(emb, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getSeq[Int](3), r.getLong(5)))).toMap
+    val (scale1, codes1, err1) = out(1L)
+    assert(scale1 == 10000000L)
+    assert(codes1 == Seq(127, -127, 63, 0)) // 0.5 -> 63 (trunc toward zero)
+    assert(err1 <= scale1 / 127 + 1)
+    assert(out(2L) == ((0L, Seq(0, 0, 0, 0), 0L)))
+  }
+
+  test("bfsDistances stamps the first-discovery round as hop distance") {
+    // simpleNf undirected: A-B, A-C, B-C, C-D
+    val out = GraphAlgorithms.bfsDistances(simpleNf, "A", 5, directed = false)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("A" -> 0L, "B" -> 1L, "C" -> 1L, "D" -> 2L))
+    // directed from D: nothing reachable but the seed
+    val d = GraphAlgorithms.bfsDistances(simpleNf, "D", 5, directed = true)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d == Map("D" -> 0L))
+  }
+
   test("BMP decode returns positive height for top-down bitmaps") {
     import graft.multimodal.Multimodal
     // BM + BITMAPINFOHEADER(40), 320 x -240 (top-down row order), 24bpp
