@@ -82,9 +82,14 @@ object GraphAlgorithms {
     var remaining = nf.nodes.select(col("id")).localCheckpoint()
     var result: DataFrame = null
     var guard = 0
-    while (!remaining.isEmpty && guard < 200) {
+    // the remaining-node count is threaded through the loop instead of
+    // re-derived: every branch below already has to count its output once,
+    // so no isEmpty/count action is ever issued twice for the same frame
+    // (driver-action latency, not data volume, dominates the peel rounds)
+    var remainingCount = remaining.count()
+    while (remainingCount > 0 && guard < 200) {
       guard += 1
-      System.err.println(s"[graft] scc peel round $guard, remaining=${remaining.count()}")
+      System.err.println(s"[graft] scc peel round $guard, remaining=$remainingCount")
       var eR = e
         .join(remaining.withColumnRenamed("id", "source"), Seq("source"), "left_semi")
         .join(remaining.withColumnRenamed("id", "target"), Seq("target"), "left_semi")
@@ -96,7 +101,7 @@ object GraphAlgorithms {
       // small cyclic cores. Two Spark jobs per trim round (checkpoint +
       // count); trimmed nodes are assigned in ONE batch after the fixpoint.
       val trimStart = remaining
-      var before = remaining.count()
+      var before = remainingCount
       var trimming = before > 0
       while (trimming) {
         val ePure = eR.filter(col("source") =!= col("target"))
@@ -114,17 +119,19 @@ object GraphAlgorithms {
         trimming = after < before && after > 0
         before = after
       }
+      // `before` now holds the post-trim remaining count — no recount needed
+      remainingCount = before
+      // the trimmed set may be empty; unioning it unconditionally costs less
+      // than the isEmpty action it would take to find out
       val trimmedSingles = trimStart.join(remaining, Seq("id"), "left_anti")
         .select(col("id"), col("id").as("root"))
-      if (!trimmedSingles.isEmpty) {
-        result = if (result == null) trimmedSingles.localCheckpoint()
-                 else result.union(trimmedSingles).localCheckpoint()
-      }
+      result = if (result == null) trimmedSingles.localCheckpoint()
+               else result.union(trimmedSingles).localCheckpoint()
       eR = eR
         .join(remaining.withColumnRenamed("id", "source"), Seq("source"), "left_semi")
         .join(remaining.withColumnRenamed("id", "target"), Seq("target"), "left_semi")
         .localCheckpoint()
-      if (remaining.isEmpty) {
+      if (remainingCount == 0) {
         System.err.println(s"[graft] scc trim cleared round $guard")
       } else {
       // 1. forward max-color propagation to fixpoint
@@ -162,6 +169,7 @@ object GraphAlgorithms {
       }
       result = if (result == null) scc else result.union(scc).localCheckpoint()
       remaining = remaining.join(scc.select("id"), Seq("id"), "left_anti").localCheckpoint()
+      remainingCount = remaining.count()
       }
     }
     // relabel each SCC by its min member id
