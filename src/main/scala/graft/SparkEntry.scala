@@ -858,6 +858,20 @@ count(*) AS n_parallel, CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS wei
 WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
 GROUP BY 1,2,3 ORDER BY 1,2,3""")),
 
+    // stream-stream interval self-join (attribution: views within 4 hours
+    // before each click, per user) through the real watermarked join
+    ("q_stream_join", (s, dir) =>
+      EventStream.runIntervalJoinStream(s, s"$dir/events.parquet",
+          "click", "view", "4 hours", "10 minutes",
+          s"interval_join_${Counter.next()}")
+        .select(col("l_id"), col("r_id"), col("user_id"))
+        .orderBy("l_id", "r_id"),
+      Some("""SELECT l.event_id AS l_id, r.event_id AS r_id, l.user_id
+FROM events l JOIN events r ON l.user_id = r.user_id
+AND r.ts >= l.ts - INTERVAL 4 HOUR AND r.ts <= l.ts
+WHERE l.event_type = 'click' AND r.event_type = 'view'
+ORDER BY 1,2""")),
+
     // gap-based sessionization (session_window); the oracle rebuilds the
     // same sessions with lag + running-sum windows over exact microseconds
     ("q_sessions", (s, dir) =>

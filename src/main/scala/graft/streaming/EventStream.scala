@@ -94,6 +94,50 @@ object EventStream {
       .select(col("w.start").as("window_start"), col("source"), col("target"),
         col("n_parallel"), col("w_dec").cast("double").as("weight"))
 
+  /** Stream-stream interval self-join: each `leftType` event picks up every
+    * `rightType` event of the same user from the preceding `within` interval
+    * (attribution: views leading to a click, errors preceding a purchase).
+    * Batch input -> an ordinary range join; streaming input -> Spark's
+    * watermarked stream-stream join, where the time-range predicate bounds
+    * each side's buffered state to (watermark delay + within) — the state
+    * eviction contract that makes this run forever at ingest scale. Inner
+    * join, so rows emit as soon as both sides arrive (no finalization wait).
+    */
+  def intervalJoin(events: DataFrame, leftType: String, rightType: String,
+                   within: String): DataFrame = {
+    val ev = normalizeTs(events)
+    val l = ev.filter(col("event_type") === leftType)
+      .select(col("event_id").as("l_id"), col("user_id"), col("ts").as("l_ts"))
+    val r = ev.filter(col("event_type") === rightType)
+      .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+        col("ts").as("r_ts"))
+    l.join(r, col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $within") &&
+        col("r_ts") <= col("l_ts"))
+      .select(col("l_id"), col("r_id"), col("user_id"),
+        col("l_ts"), col("r_ts"))
+  }
+
+  /** Drive `intervalJoin` through the real stream-stream join machinery
+    * (two watermarked branches of one file source, memory sink).
+    */
+  def runIntervalJoinStream(spark: SparkSession, parquetPath: String,
+                            leftType: String = "click",
+                            rightType: String = "view",
+                            within: String = "10 minutes",
+                            delay: String = "10 minutes",
+                            queryName: String = "interval_join"): DataFrame = {
+    val schema = spark.read.parquet(parquetPath).schema
+    val src = spark.readStream.schema(schema).parquet(stageDir(parquetPath))
+    val joined = intervalJoin(withEventWatermark(src, delay), leftType,
+      rightType, within)
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName(queryName).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Drive `effectiveEdgesWindowed` through the real streaming machinery in
     * append mode (watermark-finalized windows only) — the continuous
     * edge-table maintenance job, memory-sinked for verification.

@@ -165,6 +165,22 @@ class Round3Spec extends AnyFunSuite with SparkFixture {
     assert(d == Map("D" -> 0L))
   }
 
+  test("intervalJoin bounds are inclusive and per-user") {
+    import graft.streaming.EventStream
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val ev = Seq(
+      (1L, t(600), 1L, "click", 0.0, "{}"),
+      (2L, t(0), 1L, "view", 0.0, "{}"),    // exactly window start: kept
+      (3L, t(600), 1L, "view", 0.0, "{}"),  // same instant as click: kept
+      (4L, t(601), 1L, "view", 0.0, "{}"),  // after the click: dropped
+      (5L, t(300), 2L, "view", 0.0, "{}"))  // other user: dropped
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventStream.intervalJoin(ev, "click", "view", "10 minutes")
+      .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L), (1L, 3L)))
+  }
+
   test("BMP decode returns positive height for top-down bitmaps") {
     import graft.multimodal.Multimodal
     // BM + BITMAPINFOHEADER(40), 320 x -240 (top-down row order), 24bpp
