@@ -300,6 +300,40 @@ object GraphAlgorithms {
     dist
   }
 
+  /** Weighted single-source shortest paths: `rounds` synchronous
+    * Bellman-Ford relaxations over integer-quantized weights
+    * (floor(w*100) — cent precision, exact in any engine). Distances are
+    * correct for every node whose shortest path has <= `rounds` hops, so
+    * pick rounds >= the weighted-path hop diameter of interest. Fixed round
+    * count, min-aggregation only — deterministic at any parallelism and
+    * replayable as an unrolled oracle CTE chain (the q_spectral/q_pagerank
+    * discipline). One join + one min-agg shuffle per round; parallel edges
+    * collapse to their min weight up front. Weights are assumed
+    * non-negative (no negative-cycle detection — a negative cycle would
+    * keep relaxing monotonically for all `rounds`).
+    */
+  def shortestPaths(nf: NetworkFrame, sourceId: Any, weightCol: String,
+                    rounds: Int, directed: Boolean = true): DataFrame = {
+    require(rounds >= 1, "at least one relaxation round")
+    val wq = floor(col(weightCol).cast("double") * 100).cast("long")
+    val base = nf.edges.select(col("source"), col("target"), wq.as("wq"))
+    val dirEdges = if (directed) base
+      else base.union(base.select(col("target").as("source"),
+        col("source").as("target"), col("wq")))
+    val e = dirEdges
+      .groupBy("source", "target").agg(min("wq").as("wq")).localCheckpoint()
+    var dist = nf.nodes.select(col("id")).filter(col("id") === lit(sourceId))
+      .withColumn("dq", lit(0L)).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val relax = e.join(dist.select(col("id").as("source"), col("dq").as("sd")),
+          Seq("source"))
+        .select(col("target").as("id"), (col("sd") + col("wq")).as("dq"))
+      dist = dist.union(relax).groupBy("id").agg(min("dq").as("dq"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
   /** All-pairs <= k-hop reachability as a (id, neighbor) PAIR TABLE — the
     * scalable representation of the reference's dense N x N `k_hop_mask`
     * (networkframe.py:1279-1307; representation diverges, results match).

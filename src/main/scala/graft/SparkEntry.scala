@@ -309,6 +309,14 @@ SELECT DISTINCT id FROM fr ORDER BY 1""")),
       Some(s"""$G, fr(id, d) AS (SELECT id, 0 FROM nodes WHERE id = 0 UNION SELECT s.target, fr.d + 1 FROM fr JOIN sym s ON s.source = fr.id WHERE fr.d < 4)
 SELECT id, CAST(min(d) AS BIGINT) AS dist FROM fr GROUP BY 1 ORDER BY 1""")),
 
+    // weighted SSSP: 6 Bellman-Ford rounds from node 0 over the undirected
+    // sparse graph, cent-quantized weights; oracle replays the same rounds
+    ("q_sssp", (s, dir) =>
+      GraphAlgorithms.shortestPaths(sparse(s, dir), 0L, "weight",
+          rounds = 6, directed = false)
+        .orderBy("id"),
+      Some(ssspSql(6))),
+
     ("q_k_hop_agg", (s, dir) => {
       val nf = sparse(s, dir)
       val pairs = GraphAlgorithms.kHopPairs(nf, 1, directed = false, dropSelf = true)
@@ -963,6 +971,23 @@ sy AS MATERIALIZED (SELECT source, target FROM (SELECT source, target FROM se UN
 r0 AS MATERIALIZED (SELECT id FROM nodes),
 $steps
 SELECT source AS id, count(*) AS core_deg FROM sy WHERE source IN (SELECT id FROM r$rounds) AND target IN (SELECT id FROM r$rounds) GROUP BY 1 ORDER BY 1"""
+  }
+
+  /** Unrolled Bellman-Ford oracle: d{i} = min-relaxation of d{i-1} over the
+    * cent-quantized symmetrized sparse edges; mirrors
+    * GraphAlgorithms.shortestPaths round for round.
+    */
+  private def ssspSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT id, min(dq) AS dq FROM (
+SELECT id, dq FROM d${i - 1}
+UNION ALL SELECT e.target AS id, d.dq + e.wq AS dq FROM we e JOIN d${i - 1} d ON d.id = e.source) GROUP BY 1)"""
+    }.mkString(",\n")
+    s"""WITH swe AS MATERIALIZED (SELECT o_custkey AS source, o_orderkey % (SELECT count(*) FROM customer) AS target, CAST(floor(o_totalprice * 100) AS BIGINT) AS wq FROM orders WHERE o_orderkey % 10 = 0),
+we AS MATERIALIZED (SELECT source, target, min(wq) AS wq FROM (SELECT source, target, wq FROM swe UNION ALL SELECT target, source, wq FROM swe) GROUP BY 1,2),
+d0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dq),
+$steps
+SELECT id, dq FROM d$rounds ORDER BY 1"""
   }
 
   /** Embedding unnest prelude shared by the similarity oracles. */

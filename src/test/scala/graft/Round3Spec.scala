@@ -181,6 +181,25 @@ class Round3Spec extends AnyFunSuite with SparkFixture {
     assert(out == Set((1L, 2L), (1L, 3L)))
   }
 
+  test("shortestPaths prefers a cheaper multi-hop route over a direct edge") {
+    import spark.implicits._
+    val nodes = Seq("A", "B", "C", "D").toDF("id")
+    val edges = Seq(
+      ("A", "B", 10.0), ("B", "C", 0.05), // A->B->C costs 10.05
+      ("A", "C", 99.0),                   // direct is worse
+      ("C", "D", 1.0)).toDF("source", "target", "weight")
+    val out = GraphAlgorithms.shortestPaths(NetworkFrame(nodes, edges), "A",
+        "weight", rounds = 4, directed = true)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // cent-quantized: 10.0 -> 1000, 0.05 -> 5 (floor of exact doubles)
+    assert(out == Map("A" -> 0L, "B" -> 1000L, "C" -> 1005L, "D" -> 1105L))
+    // undirected: D reaches back to A
+    val u = GraphAlgorithms.shortestPaths(NetworkFrame(nodes, edges), "D",
+        "weight", rounds = 4, directed = false)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(u("A") == 1105L)
+  }
+
   test("BMP decode returns positive height for top-down bitmaps") {
     import graft.multimodal.Multimodal
     // BM + BITMAPINFOHEADER(40), 320 x -240 (top-down row order), 24bpp
