@@ -550,6 +550,31 @@ SELECT cell, CAST(i AS INT) AS i,
 CAST(CASE WHEN sx >= 0 THEN sx // n ELSE -((-sx) // n) END AS BIGINT) AS centroid_q
 FROM g ORDER BY 1,2""")),
 
+    // multi-probe IVF: nprobe=2 cells per query, centroid ranking and
+    // candidate scoring both integer-exact (the oracle recomputes the same
+    // truncation-exact centroids and replays the two-stage ranking)
+    ("q_ann_ivf_probe", (s, dir) =>
+      Similarity.ivfTopKProbe(emb(s, dir), "vec_id", "embedding", "label",
+          k = 3, nprobe = 2)
+        .orderBy("query_id", "rank"),
+      Some(s"""$EMB_U,
+lb AS (SELECT vec_id, label FROM embeddings),
+norms AS (SELECT vec_id, sum(x * x) AS nn FROM u GROUP BY 1),
+g AS (SELECT label AS cell, i, sum(x) AS sx, count(*) AS n FROM u JOIN lb USING (vec_id) GROUP BY 1,2),
+cent AS (SELECT cell, i, CAST(CASE WHEN sx >= 0 THEN sx // n ELSE -((-sx) // n) END AS BIGINT) AS cq FROM g),
+cn AS (SELECT cell, sum(cq * cq) AS cn2 FROM cent GROUP BY 1),
+qc AS (SELECT u.vec_id, c.cell, sum(u.x * c.cq) AS d FROM u JOIN cent c ON c.i = u.i GROUP BY 1,2),
+ps AS (SELECT qc.vec_id, qc.cell, CAST(d AS DOUBLE) / (sqrt(CAST(nn AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) AS cs
+FROM qc JOIN norms ON norms.vec_id = qc.vec_id JOIN cn ON cn.cell = qc.cell),
+probed AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS pn FROM ps) WHERE pn <= 2),
+cand AS (SELECT p.vec_id AS qa, c.vec_id AS cb FROM probed p JOIN lb c ON c.label = p.cell AND c.vec_id <> p.vec_id),
+dq AS (SELECT cand.qa, cand.cb, sum(a.x * b.x) AS d
+FROM cand JOIN u a ON a.vec_id = cand.qa JOIN u b ON b.vec_id = cand.cb AND b.i = a.i GROUP BY 1,2),
+sims AS (SELECT qa, cb, CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS sv
+FROM dq JOIN norms na ON na.vec_id = qa JOIN norms nb ON nb.vec_id = cb),
+rk AS (SELECT qa, cb, row_number() OVER (PARTITION BY qa ORDER BY sv DESC, cb) AS rn FROM sims)
+SELECT qa AS query_id, cb AS neighbor_id, CAST(rn AS INT) AS rank FROM rk WHERE rn <= 3 ORDER BY 1,3""")),
+
     // int8 scalar quantization of the embedding corpus: codes validated via
     // an md5 over the ordered code list, plus worst reconstruction error
     ("q_int8_quant", (s, dir) =>
