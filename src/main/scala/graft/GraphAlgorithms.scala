@@ -300,6 +300,38 @@ object GraphAlgorithms {
     dist
   }
 
+  /** Community detection by synchronous label propagation, made
+    * deterministic: each round every node adopts the most frequent label
+    * among its neighbors (count desc, then SMALLEST label — the tie-break
+    * that standard async LPA leaves to chance), isolated nodes keep theirs.
+    * Fixed `rounds` so the result is a pure function of the graph,
+    * replayable by an unrolled oracle. Per round: one join (messages), one
+    * count aggregation, one per-node argmax window, one label update —
+    * all shuffles keyed on node id, state = one label per node. Synchronous
+    * LPA can two-cycle on bipartite-ish structures; a fixed even/odd round
+    * count makes that deterministic too.
+    */
+  def labelPropagation(nf: NetworkFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "at least one round")
+    val sym = nf.symmetrizedEdges.filter(col("source") =!= col("target"))
+      .distinct().localCheckpoint()
+    var labels = nf.nodes.select(col("id"), col("id").as("label")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val msgs = sym.join(labels.select(col("id").as("source"), col("label")),
+          Seq("source"))
+        .select(col("target").as("id"), col("label"))
+      val counts = msgs.groupBy("id", "label").agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(desc("c"), asc("label"))
+      val picked = counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("id"), col("label").as("next"))
+      labels = labels.join(picked, Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("next"), col("label")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** Weighted single-source shortest paths: `rounds` synchronous
     * Bellman-Ford relaxations over integer-quantized weights
     * (floor(w*100) — cent precision, exact in any engine). Distances are

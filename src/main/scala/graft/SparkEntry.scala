@@ -309,6 +309,13 @@ SELECT DISTINCT id FROM fr ORDER BY 1""")),
       Some(s"""$G, fr(id, d) AS (SELECT id, 0 FROM nodes WHERE id = 0 UNION SELECT s.target, fr.d + 1 FROM fr JOIN sym s ON s.source = fr.id WHERE fr.d < 4)
 SELECT id, CAST(min(d) AS BIGINT) AS dist FROM fr GROUP BY 1 ORDER BY 1""")),
 
+    // deterministic synchronous label propagation (4 rounds, min-label
+    // tie-break); the oracle replays each round's argmax as a CTE chain
+    ("q_label_prop", (s, dir) =>
+      GraphAlgorithms.labelPropagation(sparse(s, dir), rounds = 4)
+        .orderBy("id"),
+      Some(lpaSql(4))),
+
     // weighted SSSP: 6 Bellman-Ford rounds from node 0 over the undirected
     // sparse graph, cent-quantized weights; oracle replays the same rounds
     ("q_sssp", (s, dir) =>
@@ -996,6 +1003,26 @@ sy AS MATERIALIZED (SELECT source, target FROM (SELECT source, target FROM se UN
 r0 AS MATERIALIZED (SELECT id FROM nodes),
 $steps
 SELECT source AS id, count(*) AS core_deg FROM sy WHERE source IN (SELECT id FROM r$rounds) AND target IN (SELECT id FROM r$rounds) GROUP BY 1 ORDER BY 1"""
+  }
+
+  /** Unrolled label-propagation oracle: per round, m{i} counts neighbor
+    * labels, p{i} takes the count-desc/label-asc argmax, l{i} applies it
+    * (isolated nodes keep their label); mirrors
+    * GraphAlgorithms.labelPropagation round for round. Non-recursive
+    * prelude (the WITH RECURSIVE sym-dedup pitfall would corrupt counts).
+    */
+  private def lpaSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""m$i AS MATERIALIZED (SELECT s.target AS id, l.label, count(*) AS c FROM symd s JOIN l${i - 1} l ON l.id = s.source GROUP BY 1,2),
+p$i AS MATERIALIZED (SELECT id, label FROM (SELECT id, label, row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn FROM m$i) WHERE rn = 1),
+l$i AS MATERIALIZED (SELECT l.id, COALESCE(p.label, l.label) AS label FROM l${i - 1} l LEFT JOIN p$i p ON p.id = l.id)"""
+    }.mkString(",\n")
+    s"""WITH nodes AS MATERIALIZED (SELECT c_custkey AS id FROM customer),
+se AS MATERIALIZED (SELECT o_custkey AS source, o_orderkey % (SELECT count(*) FROM customer) AS target FROM orders WHERE o_orderkey % 10 = 0),
+symd AS MATERIALIZED (SELECT DISTINCT source, target FROM (SELECT source, target FROM se UNION ALL SELECT target, source FROM se) WHERE source <> target),
+l0 AS MATERIALIZED (SELECT id, id AS label FROM nodes),
+$steps
+SELECT id, label FROM l$rounds ORDER BY 1"""
   }
 
   /** Unrolled Bellman-Ford oracle: d{i} = min-relaxation of d{i-1} over the

@@ -200,6 +200,36 @@ class Round3Spec extends AnyFunSuite with SparkFixture {
     assert(u("A") == 1105L)
   }
 
+  test("ivfTopKProbe broadcasts the centroid table, no shuffle on it") {
+    import graft.functions.Similarity
+    val emb = (1L to 60L).map(i =>
+      (i, Array.tabulate(8)(d => ((i * 7 + d) % 13 - 6).toFloat), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.ivfTopKProbe(emb, "vec_id", "embedding", "label", 2, 2)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoop"),
+      s"centroid side should broadcast:\n$plan")
+    // every query visits exactly nprobe cells
+    val probes = out.select("query_id").distinct().count()
+    assert(probes == 60L)
+  }
+
+  test("labelPropagation converges two cliques to two communities") {
+    import spark.implicits._
+    // two triangles {0,1,2} and {10,11,12} joined by one bridge 2-10
+    val nodes = Seq(0L, 1L, 2L, 10L, 11L, 12L).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (2L, 10L))
+      .toDF("source", "target")
+    val out = GraphAlgorithms.labelPropagation(
+        NetworkFrame(nodes, edges), rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each triangle agrees internally; min-label tie-break keeps them distinct
+    assert(Set(out(0L), out(1L), out(2L)).size == 1)
+    assert(Set(out(10L), out(11L), out(12L)).size == 1)
+    assert(out(0L) != out(11L))
+  }
+
   test("BMP decode returns positive height for top-down bitmaps") {
     import graft.multimodal.Multimodal
     // BM + BITMAPINFOHEADER(40), 320 x -240 (top-down row order), 24bpp
