@@ -912,6 +912,17 @@ AND r.ts >= l.ts - INTERVAL 4 HOUR AND r.ts <= l.ts
 WHERE l.event_type = 'click' AND r.event_type = 'view'
 ORDER BY 1,2""")),
 
+    // custom per-key streaming state (flatMapGroupsWithState): exact
+    // cent-quantized running totals per user, validated against the
+    // ordered-window oracle
+    ("q_running_totals", (s, dir) =>
+      EventStream.runRunningTotalsStream(s, s"$dir/events.parquet",
+          s"running_totals_${Counter.next()}")
+        .orderBy("event_id"),
+      Some("""SELECT event_id, user_id,
+sum(CAST(floor(value * 100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS running_cents
+FROM events ORDER BY event_id""")),
+
     // gap-based sessionization (session_window); the oracle rebuilds the
     // same sessions with lag + running-sum windows over exact microseconds
     ("q_sessions", (s, dir) =>

@@ -230,6 +230,32 @@ class Round3Spec extends AnyFunSuite with SparkFixture {
     assert(out(0L) != out(11L))
   }
 
+  test("runningTotals carries flatMapGroupsWithState state across batches") {
+    import graft.streaming.EventStream
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_rt_stream").toString
+    val b1 = Seq((1L, t(10), 7L, "click", 1.5, "{}"),
+                 (2L, t(20), 7L, "view", 2.25, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    b1.coalesce(1).write.mode("append").parquet(dir)
+    val src = spark.readStream.schema(b1.schema).parquet(dir)
+    val q = EventStream.runningTotals(src)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_rt_spec").start()
+    try {
+      q.processAllAvailable()
+      Seq((3L, t(30), 7L, "click", 0.25, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("graft_rt_spec")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // batch 2's event continues from the 375-cent state, not from zero
+    assert(out == Map(1L -> 150L, 2L -> 375L, 3L -> 400L))
+  }
+
   test("BMP decode returns positive height for top-down bitmaps") {
     import graft.multimodal.Multimodal
     // BM + BITMAPINFOHEADER(40), 320 x -240 (top-down row order), 24bpp
