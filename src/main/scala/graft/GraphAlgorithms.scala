@@ -517,6 +517,37 @@ object GraphAlgorithms {
     nf.nodes.join(v, Seq("id"), "left_outer").orderBy(desc("qs"), asc("id"))
   }
 
+  /** Personalized PageRank: identical quantized iteration to `pageRank`,
+    * but ALL teleport mass returns to the seed node — the proximity score
+    * behind node recommendation / related-entity retrieval. Same per-round
+    * shuffles and the same oracle-replayable integer discipline; scores of
+    * nodes unreachable from the seed are exactly 0, so at 100 TB the output
+    * is effectively sparse (filter qs > 0 before materializing).
+    */
+  def personalizedPageRank(nf: NetworkFrame, seedId: Any,
+                           iterations: Int = 10, damping: Int = 85): DataFrame = {
+    val S = 1000000000000L
+    val e = nf.edges.select(col("source"), col("target")).distinct().localCheckpoint()
+    val outdeg = e.groupBy(col("source")).agg(count(lit(1)).as("od")).localCheckpoint()
+    val seedMass = when(col("id") === lit(seedId), lit(S)).otherwise(lit(0L))
+    var v = nf.nodes.select(col("id"), seedMass.as("qs")).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val contrib = e
+        .join(v.withColumnRenamed("id", "source"), Seq("source"))
+        .join(outdeg, Seq("source"))
+        .select(col("target").as("id"), expr("qs div od").as("c"))
+        .groupBy("id").agg(sum(col("c").cast("decimal(38,0)")).as("m"))
+      v = nf.nodes.select(col("id"))
+        .join(contrib, Seq("id"), "left_outer")
+        .withColumn("hold", when(col("id") === lit(seedId),
+          lit((100L - damping) * S)).otherwise(lit(0L)))
+        .selectExpr("id",
+          s"CAST((hold + $damping * coalesce(m, CAST(0 AS DECIMAL(38,0)))) DIV 100 AS BIGINT) AS qs")
+        .localCheckpoint()
+    }
+    nf.nodes.join(v, Seq("id"), "left_outer").orderBy(desc("qs"), asc("id"))
+  }
+
   /** Exact global triangle count over the undirected simple graph: edges
     * canonicalized to (min, max) endpoints, then the standard three-way
     * equi-join counts each triangle exactly once (a<b<c ordering falls out

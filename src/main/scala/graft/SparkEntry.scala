@@ -361,6 +361,14 @@ SELECT count(*) AS n_triangles FROM ce ab JOIN ce bc ON ab.t = bc.s JOIN ce ac O
         .select(col("id"), col("qs").as("pr_q")).orderBy("id"),
       Some(pagerankSql(10, 85))),
 
+    // personalized PageRank from node 0 (teleport mass returns to the seed);
+    // same unrolled-oracle technique as q_pagerank
+    ("q_ppr", (s, dir) =>
+      GraphAlgorithms.personalizedPageRank(sparse(s, dir), 0L,
+          iterations = 10, damping = 85)
+        .select(col("id"), col("qs").as("ppr_q")).orderBy("id"),
+      Some(pprSql(0L, 10, 85))),
+
     // common-neighbor / resource-allocation link prediction (hub-capped
     // wedge join; integer-quantized score so ranks are engine-exact)
     ("q_link_predict", (s, dir) =>
@@ -996,6 +1004,24 @@ params AS MATERIALIZED (SELECT 1000000000000 // count(*) AS base FROM nodes),
 v0 AS MATERIALIZED (SELECT id, CAST((SELECT base FROM params) AS BIGINT) AS qs FROM nodes),
 $steps
 SELECT n.id, v.qs AS pr_q FROM nodes n JOIN v$iters v ON n.id = v.id ORDER BY 1"""
+  }
+
+  /** Unrolled personalized-PageRank oracle: pagerankSql with the uniform
+    * base replaced by an all-mass-at-seed teleport vector; mirrors
+    * GraphAlgorithms.personalizedPageRank round for round.
+    */
+  private def pprSql(seed: Long, iters: Int, damping: Int): String = {
+    val hold = (100L - damping) * 1000000000000L
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS MATERIALIZED (SELECT e.target AS id, sum(v.qs // o.od) AS m FROM de e JOIN v${i - 1} v ON v.id = e.source JOIN od o ON o.source = e.source GROUP BY 1),
+v$i AS MATERIALIZED (SELECT n.id, CAST((CASE WHEN n.id = $seed THEN $hold ELSE 0 END + $damping * COALESCE(c.m, 0)) // 100 AS BIGINT) AS qs FROM nodes n LEFT JOIN c$i c ON n.id = c.id)"""
+    }.mkString(",\n")
+    s"""WITH nodes AS MATERIALIZED (SELECT c_custkey AS id FROM customer),
+de AS MATERIALIZED (SELECT DISTINCT o_custkey AS source, o_orderkey % (SELECT count(*) FROM customer) AS target FROM orders WHERE o_orderkey % 10 = 0),
+od AS MATERIALIZED (SELECT source, count(*) AS od FROM de GROUP BY 1),
+v0 AS MATERIALIZED (SELECT id, CAST(CASE WHEN id = $seed THEN 1000000000000 ELSE 0 END AS BIGINT) AS qs FROM nodes),
+$steps
+SELECT n.id, v.qs AS ppr_q FROM nodes n JOIN v$iters v ON n.id = v.id ORDER BY 1"""
   }
 
   /** Unrolled k-core peeling oracle: r{i} = nodes still alive after round i

@@ -256,6 +256,23 @@ class Round3Spec extends AnyFunSuite with SparkFixture {
     assert(out == Map(1L -> 150L, 2L -> 375L, 3L -> 400L))
   }
 
+  test("personalizedPageRank keeps mass near the seed, zero when unreachable") {
+    // twoCompNf: directed cycle 0->1->2->0, pair 3->4, isolated 5
+    // 40 iterations: the 3-cycle's rotation mode decays as 0.85^k, so the
+    // stationary ordering (seed highest, decaying along the cycle) holds
+    val out = GraphAlgorithms.personalizedPageRank(twoCompNf, 0L,
+        iterations = 40, damping = 85)
+      .select("id", "qs")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(0L) > out(1L) && out(1L) > out(2L)) // decay along the cycle
+    assert(out(3L) == 0L && out(4L) == 0L && out(5L) == 0L) // unreachable
+    // global pageRank by contrast gives every node its teleport floor
+    val g = GraphAlgorithms.pageRank(twoCompNf, 10, 85)
+      .select("id", "qs")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g(5L) > 0L)
+  }
+
   test("BMP decode returns positive height for top-down bitmaps") {
     import graft.multimodal.Multimodal
     // BM + BITMAPINFOHEADER(40), 320 x -240 (top-down row order), 24bpp
