@@ -397,6 +397,22 @@ FROM kept a JOIN kept b ON a.z = b.z AND a.n < b.n GROUP BY 1,2 ORDER BY 1,2""")
         .select(col("id"), col("qs").as("score")).orderBy("id"),
       Some(spectralSql(10))),
 
+    // salted skew join: per-target enrichment of edges against the node
+    // table with the key salted over 8 partitions; row-identical to the
+    // plain join (the oracle IS the plain join)
+    ("q_salted_join", (s, dir) => {
+      val g = graph(s, dir)
+      graft.operators.SkewJoin.saltedJoin(
+          g.edges.select(col("target").as("id"), col("weight")),
+          g.nodes.select(col("id"), col("c_mktsegment")),
+          Seq("id"), salts = 8, saltBy = Seq("weight"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sumD(col("weight")).as("w"))
+        .orderBy("c_mktsegment")
+    },
+      Some(s"""$G SELECT n.c_mktsegment, count(*) AS n, CAST(sum(CAST(e.weight AS DECIMAL(18,2))) AS DOUBLE) AS w
+FROM edges e JOIN nodes n ON e.target = n.id GROUP BY 1 ORDER BY 1""")),
+
     // ====================== dedup extensions ======================
 
     ("q_dedup_exact", (s, dir) =>

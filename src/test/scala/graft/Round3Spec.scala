@@ -273,6 +273,20 @@ class Round3Spec extends AnyFunSuite with SparkFixture {
     assert(g(5L) > 0L)
   }
 
+  test("saltedJoin matches the plain join and salts the shuffle key") {
+    import graft.operators.SkewJoin
+    val edges = (1L to 300L).map(i => (i % 3, i)).toDF("id", "payload") // 3 hot keys
+    val dim = Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("id", "tag")
+    val salted = SkewJoin.saltedJoin(edges, dim, Seq("id"), 8, Seq("payload"))
+    val plain = edges.join(dim, Seq("id"))
+    assert(salted.count() == plain.count())
+    assert(salted.groupBy("tag").count().collect().map(r =>
+        r.getString(0) -> r.getLong(1)).toMap ==
+      plain.groupBy("tag").count().collect().map(r =>
+        r.getString(0) -> r.getLong(1)).toMap)
+    assert(salted.queryExecution.executedPlan.toString.contains("__salt"))
+  }
+
   test("BMP decode returns positive height for top-down bitmaps") {
     import graft.multimodal.Multimodal
     // BM + BITMAPINFOHEADER(40), 320 x -240 (top-down row order), 24bpp
