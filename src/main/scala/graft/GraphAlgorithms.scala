@@ -548,6 +548,78 @@ object GraphAlgorithms {
     nf.nodes.join(v, Seq("id"), "left_outer").orderBy(desc("qs"), asc("id"))
   }
 
+  /** Local clustering coefficient: per node, the fraction of its neighbor
+    * pairs that are themselves connected — 2*tri(v) / (deg(v)*(deg(v)-1)),
+    * emitted as the millionths-quantized `lcc_q` (integral division, exact
+    * in any engine) alongside the raw degree and triangle counts. Triangle
+    * discovery reuses the canonical-edge three-way join of `triangleCount`
+    * (each triangle credited to all three corners); degree is the
+    * undirected simple-graph neighbor count. Two join shuffles + two aggs —
+    * the same scale shape as the global count.
+    */
+  def clusteringCoefficient(nf: NetworkFrame): DataFrame = {
+    val ce = nf.edges.select(
+        least(col("source"), col("target")).as("s"),
+        greatest(col("source"), col("target")).as("t"))
+      .filter(col("s") =!= col("t")).distinct().localCheckpoint()
+    val tris = ce.as("ab")
+      .join(ce.as("bc"), col("ab.t") === col("bc.s"))
+      .join(ce.as("ac"),
+        col("ac.s") === col("ab.s") && col("ac.t") === col("bc.t"))
+      .select(col("ab.s").as("a"), col("ab.t").as("b"), col("bc.t").as("c"))
+    val triPerNode = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("tri"))
+    val deg = ce.select(col("s").as("id")).union(ce.select(col("t").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    nf.nodes.select(col("id"))
+      .join(deg, Seq("id"), "left_outer")
+      .join(triPerNode, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("deg"), lit(0L)).as("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
+      .withColumn("lcc_q", when(col("deg") >= 2,
+        expr("(2 * tri * 1000000) div (deg * (deg - 1))")).otherwise(lit(0L)))
+  }
+
+  /** Deterministic "random" walks for embedding-corpus generation
+    * (DeepWalk/node2vec-style input): one walk per node, `steps` hops over
+    * the symmetrized simple graph, where step i of walk w moves to neighbor
+    * index md5(w ":" i) mod deg(cur) in the target-sorted adjacency —
+    * a hash replaces the RNG, so the corpus is a pure function of the graph
+    * (reproducible across engines, reruns, and partitionings; the DuckDB
+    * oracle replays it). Nodes with no neighbors stay put. Per step: one
+    * join against the ordered adjacency — O(steps) rounds, walk-count-sized
+    * state, no adjacency materialization on the driver.
+    */
+  def randomWalks(nf: NetworkFrame, steps: Int): DataFrame = {
+    require(steps >= 1, "at least one step")
+    val sym = nf.symmetrizedEdges.filter(col("source") =!= col("target"))
+      .distinct()
+    val adj = sym.withColumn("nidx", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("target")) - 1)
+      .localCheckpoint()
+    val deg = sym.groupBy("source").agg(count(lit(1)).as("deg")).localCheckpoint()
+    var cur = nf.nodes.select(col("id").as("walk_id"), col("id").as("cur"))
+      .localCheckpoint()
+    var out = cur.withColumn("step", lit(0))
+    for (i <- 1 to steps) {
+      val pick = conv(substring(md5(concat(col("walk_id").cast("string"),
+          lit(":"), lit(i.toString))), 1, 8), 16, 10).cast("long")
+      val stepped = cur
+        .join(deg.withColumnRenamed("source", "cur"), Seq("cur"), "left_outer")
+        .withColumn("nidx", (pick % col("deg")).cast("int"))
+        .join(adj.select(col("source").as("cur"), col("nidx"), col("target")),
+          Seq("cur", "nidx"), "left_outer")
+        .select(col("walk_id"), coalesce(col("target"), col("cur")).as("cur"))
+        .localCheckpoint()
+      cur = stepped
+      out = out.union(cur.withColumn("step", lit(i)))
+    }
+    out.select(col("walk_id"), col("step"), col("cur").as("node"))
+  }
+
   /** Exact global triangle count over the undirected simple graph: edges
     * canonicalized to (min, max) endpoints, then the standard three-way
     * equi-join counts each triangle exactly once (a<b<c ordering falls out

@@ -361,6 +361,27 @@ SELECT count(*) AS n_triangles FROM ce ab JOIN ce bc ON ab.t = bc.s JOIN ce ac O
         .select(col("id"), col("qs").as("pr_q")).orderBy("id"),
       Some(pagerankSql(10, 85))),
 
+    // per-node local clustering coefficient (millionths-quantized)
+    ("q_clustering", (s, dir) =>
+      GraphAlgorithms.clusteringCoefficient(sparse(s, dir)).orderBy("id"),
+      Some(s"""WITH nodes AS (SELECT c_custkey AS id FROM customer),
+se AS (SELECT o_custkey AS source, o_orderkey % (SELECT count(*) FROM customer) AS target FROM orders WHERE o_orderkey % 10 = 0),
+ce AS (SELECT DISTINCT least(source, target) AS s, greatest(source, target) AS t FROM se WHERE source <> target),
+tri AS (SELECT id, count(*) AS tri FROM (
+SELECT unnest([ab.s, ab.t, bc.t]) AS id
+FROM ce ab JOIN ce bc ON ab.t = bc.s JOIN ce ac ON ac.s = ab.s AND ac.t = bc.t) GROUP BY 1),
+dg AS (SELECT id, count(*) AS deg FROM (SELECT s AS id FROM ce UNION ALL SELECT t FROM ce) GROUP BY 1)
+SELECT n.id, COALESCE(dg.deg, 0) AS deg, COALESCE(tri.tri, 0) AS tri,
+CASE WHEN COALESCE(dg.deg, 0) >= 2 THEN (2 * COALESCE(tri.tri, 0) * 1000000) // (dg.deg * (dg.deg - 1)) ELSE 0 END AS lcc_q
+FROM nodes n LEFT JOIN dg ON dg.id = n.id LEFT JOIN tri ON tri.id = n.id ORDER BY 1""")),
+
+    // deterministic hash-seeded random walks (DeepWalk-style corpus);
+    // the oracle replays every hop with the same md5 index arithmetic
+    ("q_walks", (s, dir) =>
+      GraphAlgorithms.randomWalks(sparse(s, dir), steps = 4)
+        .orderBy("walk_id", "step"),
+      Some(walksSql(4))),
+
     // personalized PageRank from node 0 (teleport mass returns to the seed);
     // same unrolled-oracle technique as q_pagerank
     ("q_ppr", (s, dir) =>
@@ -1020,6 +1041,29 @@ params AS MATERIALIZED (SELECT 1000000000000 // count(*) AS base FROM nodes),
 v0 AS MATERIALIZED (SELECT id, CAST((SELECT base FROM params) AS BIGINT) AS qs FROM nodes),
 $steps
 SELECT n.id, v.qs AS pr_q FROM nodes n JOIN v$iters v ON n.id = v.id ORDER BY 1"""
+  }
+
+  /** Unrolled deterministic-walk oracle: w{i} moves each walk to the
+    * md5(walk ":" i) mod deg neighbor in the target-sorted adjacency;
+    * mirrors GraphAlgorithms.randomWalks hop for hop.
+    */
+  private def walksSql(steps: Int): String = {
+    val stepCtes = (1 to steps).map { i =>
+      s"""w$i AS MATERIALIZED (SELECT w.walk_id, COALESCE(a.target, w.cur) AS cur
+FROM w${i - 1} w
+LEFT JOIN dg ON dg.source = w.cur
+LEFT JOIN adj a ON a.source = w.cur AND a.nidx = CAST(concat('0x', substr(md5(concat(CAST(w.walk_id AS VARCHAR), ':', '$i')), 1, 8)) AS BIGINT) % dg.deg)"""
+    }.mkString(",\n")
+    val unions = (0 to steps).map(i =>
+      s"SELECT walk_id, $i AS step, cur AS node FROM w$i").mkString("\nUNION ALL ")
+    s"""WITH nodes AS MATERIALIZED (SELECT c_custkey AS id FROM customer),
+se AS MATERIALIZED (SELECT o_custkey AS source, o_orderkey % (SELECT count(*) FROM customer) AS target FROM orders WHERE o_orderkey % 10 = 0),
+symd AS MATERIALIZED (SELECT DISTINCT source, target FROM (SELECT source, target FROM se UNION ALL SELECT target, source FROM se) WHERE source <> target),
+adj AS MATERIALIZED (SELECT source, target, row_number() OVER (PARTITION BY source ORDER BY target) - 1 AS nidx FROM symd),
+dg AS MATERIALIZED (SELECT source, count(*) AS deg FROM symd GROUP BY 1),
+w0 AS MATERIALIZED (SELECT id AS walk_id, id AS cur FROM nodes),
+$stepCtes
+SELECT walk_id, CAST(step AS INT) AS step, node FROM ($unions) ORDER BY 1, 2"""
   }
 
   /** Unrolled personalized-PageRank oracle: pagerankSql with the uniform

@@ -287,6 +287,36 @@ class Round3Spec extends AnyFunSuite with SparkFixture {
     assert(salted.queryExecution.executedPlan.toString.contains("__salt"))
   }
 
+  test("clusteringCoefficient golden values on the triangle+tail fixture") {
+    // simpleNf: triangle A-B-C plus tail C-D
+    val out = GraphAlgorithms.clusteringCoefficient(simpleNf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("A") == ((2L, 1L, 1000000L)))
+    assert(out("B") == ((2L, 1L, 1000000L)))
+    assert(out("C") == ((3L, 1L, 333333L))) // 2*1e6/(3*2), floor
+    assert(out("D") == ((1L, 0L, 0L)))
+  }
+
+  test("randomWalks are fixed-length, stay on edges, and reproduce exactly") {
+    val nf = twoCompNf // cycle 0-1-2, pair 3-4, isolated 5
+    val w1 = GraphAlgorithms.randomWalks(nf, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(w1.size == 6 * 4) // 6 walks x (start + 3 steps)
+    // isolated node never moves
+    assert((0 to 3).forall(s => w1((5L, s)) == 5L))
+    // every hop follows a symmetrized edge
+    val edges = Set((0L, 1L), (1L, 2L), (2L, 0L), (3L, 4L))
+    val sym = edges ++ edges.map(_.swap)
+    for (w <- Seq(0L, 1L, 2L, 3L, 4L); s <- 1 to 3)
+      assert(sym.contains((w1((w, s - 1)), w1((w, s)))),
+        s"walk $w step $s: ${w1((w, s - 1))} -> ${w1((w, s))}")
+    // pure function of the graph: a second run is identical
+    val w2 = GraphAlgorithms.randomWalks(nf, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(w1 == w2)
+  }
+
   test("BMP decode returns positive height for top-down bitmaps") {
     import graft.multimodal.Multimodal
     // BM + BITMAPINFOHEADER(40), 320 x -240 (top-down row order), 24bpp
