@@ -517,6 +517,40 @@ object GraphAlgorithms {
     nf.nodes.join(v, Seq("id"), "left_outer").orderBy(desc("qs"), asc("id"))
   }
 
+  /** Weighted PageRank: mass ships proportionally to cent-quantized edge
+    * weight instead of uniformly — contribution of u to v is
+    * (qs * wq(u,v)) DIV wout(u) in decimal arithmetic (exact; no
+    * remainders drift across engines). Same per-round shuffles and
+    * teleport update as `pageRank`; zero-total-weight sources hold their
+    * mass like dangling nodes.
+    */
+  def pageRankWeighted(nf: NetworkFrame, weightCol: String,
+                       iterations: Int = 10, damping: Int = 85): DataFrame = {
+    val S = 1000000000000L
+    val wq = floor(col(weightCol).cast("double") * 100).cast("long")
+    val e = nf.edges.select(col("source"), col("target"), wq.as("wq"))
+      .groupBy("source", "target").agg(sum(col("wq")).as("wq"))
+      .filter(col("wq") > 0).localCheckpoint()
+    val wout = e.groupBy(col("source")).agg(sum(col("wq")).as("wt")).localCheckpoint()
+    val n = nf.nodes.count()
+    val base = S / n
+    var v = nf.nodes.select(col("id"), lit(base).as("qs")).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val contrib = e
+        .join(v.withColumnRenamed("id", "source"), Seq("source"))
+        .join(wout, Seq("source"))
+        .select(col("target").as("id"),
+          expr("CAST((CAST(qs AS DECIMAL(38,0)) * wq) DIV wt AS DECIMAL(38,0))").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("m"))
+      v = nf.nodes.select(col("id"))
+        .join(contrib, Seq("id"), "left_outer")
+        .selectExpr("id",
+          s"CAST((${(100L - damping) * base} + $damping * coalesce(m, CAST(0 AS DECIMAL(38,0)))) DIV 100 AS BIGINT) AS qs")
+        .localCheckpoint()
+    }
+    nf.nodes.join(v, Seq("id"), "left_outer").orderBy(desc("qs"), asc("id"))
+  }
+
   /** Personalized PageRank: identical quantized iteration to `pageRank`,
     * but ALL teleport mass returns to the seed node — the proximity score
     * behind node recommendation / related-entity retrieval. Same per-round

@@ -382,6 +382,14 @@ FROM nodes n LEFT JOIN dg ON dg.id = n.id LEFT JOIN tri ON tri.id = n.id ORDER B
         .orderBy("walk_id", "step"),
       Some(walksSql(4))),
 
+    // weight-proportional PageRank over the sparse graph (cent-quantized
+    // order values as edge weights); unrolled-oracle replay as usual
+    ("q_pagerank_weighted", (s, dir) =>
+      GraphAlgorithms.pageRankWeighted(sparse(s, dir), "weight",
+          iterations = 10, damping = 85)
+        .select(col("id"), col("qs").as("wpr_q")).orderBy("id"),
+      Some(wprSql(10, 85))),
+
     // personalized PageRank from node 0 (teleport mass returns to the seed);
     // same unrolled-oracle technique as q_pagerank
     ("q_ppr", (s, dir) =>
@@ -649,6 +657,20 @@ max(abs(x - recon)) AS max_err_q
 FROM r GROUP BY 1 ORDER BY 1""")),
 
     // ====================== text analysis extensions ======================
+
+    // mergeable Flajolet-Martin cardinality sketch over the corpus token
+    // stream (the no-shuffle distinct-count estimate at 100 TB); the
+    // deliverable is the per-bucket max-rho sketch itself
+    ("q_card_sketch", (s, dir) =>
+      TextAnalysis.cardinalitySketch(
+          docs(s, dir).select(explode(TextAnalysis.tokens(col("text"))).as("token")),
+          "token", 64)
+        .orderBy("bucket"),
+      Some("""WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+h AS (SELECT md5(token) AS hx FROM t),
+sk AS (SELECT CAST(CAST(concat('0x', substr(hx, 1, 8)) AS BIGINT) % 64 AS INT) AS bucket,
+CAST(33 - length(bin(CAST(concat('0x', substr(hx, 9, 8)) AS BIGINT))) AS INT) AS rho FROM h)
+SELECT bucket, max(rho) AS max_rho FROM sk GROUP BY 1 ORDER BY 1""")),
 
     // pattern redaction over the events props payload (digit runs -> <NUM>);
     // the PII preset itself is spec-gated (no PII exists in the testdata)
@@ -1064,6 +1086,24 @@ dg AS MATERIALIZED (SELECT source, count(*) AS deg FROM symd GROUP BY 1),
 w0 AS MATERIALIZED (SELECT id AS walk_id, id AS cur FROM nodes),
 $stepCtes
 SELECT walk_id, CAST(step AS INT) AS step, node FROM ($unions) ORDER BY 1, 2"""
+  }
+
+  /** Unrolled weighted-PageRank oracle: contributions are
+    * qs * wq DIV wout in HUGEINT (the qs*wq product overflows BIGINT);
+    * mirrors GraphAlgorithms.pageRankWeighted round for round.
+    */
+  private def wprSql(iters: Int, damping: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS MATERIALIZED (SELECT e.target AS id, sum(CAST(v.qs AS HUGEINT) * e.wq // w.wt) AS m FROM we e JOIN v${i - 1} v ON v.id = e.source JOIN wo w ON w.source = e.source GROUP BY 1),
+v$i AS MATERIALIZED (SELECT n.id, CAST((${100 - damping} * (SELECT base FROM params) + $damping * COALESCE(c.m, 0)) // 100 AS BIGINT) AS qs FROM nodes n LEFT JOIN c$i c ON n.id = c.id)"""
+    }.mkString(",\n")
+    s"""WITH nodes AS MATERIALIZED (SELECT c_custkey AS id FROM customer),
+we AS MATERIALIZED (SELECT source, target, sum(wq) AS wq FROM (SELECT o_custkey AS source, o_orderkey % (SELECT count(*) FROM customer) AS target, CAST(floor(o_totalprice * 100) AS BIGINT) AS wq FROM orders WHERE o_orderkey % 10 = 0) GROUP BY 1,2 HAVING sum(wq) > 0),
+wo AS MATERIALIZED (SELECT source, sum(wq) AS wt FROM we GROUP BY 1),
+params AS MATERIALIZED (SELECT 1000000000000 // count(*) AS base FROM nodes),
+v0 AS MATERIALIZED (SELECT id, CAST((SELECT base FROM params) AS BIGINT) AS qs FROM nodes),
+$steps
+SELECT n.id, v.qs AS wpr_q FROM nodes n JOIN v$iters v ON n.id = v.id ORDER BY 1"""
   }
 
   /** Unrolled personalized-PageRank oracle: pagerankSql with the uniform

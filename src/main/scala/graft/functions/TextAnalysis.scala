@@ -123,6 +123,32 @@ object TextAnalysis {
     counted.withColumn("redacted", redacted)
   }
 
+  /** Deterministic Flajolet-Martin cardinality sketch over a key column:
+    * bucket = first 8 md5 hex chars mod `buckets`, rho = 1 + leading-zero
+    * count of the NEXT 8 hex chars (as a 32-bit value), sketch = max rho
+    * per bucket. The sketch is the deliverable: it is mergeable (max is
+    * associative/commutative), map-side combinable, and ~`buckets` ints of
+    * state regardless of input size — how you estimate a distinct count
+    * (vocabulary size, unique URLs) across 100 TB without the exact
+    * count-distinct shuffle. md5 replaces the RNG-seeded hash families, so
+    * the sketch is a pure function of the data — engine-exact and
+    * oracle-replayable, unlike approx_count_distinct's opaque HLL. Feed
+    * per-bucket maxima to any HLL-family estimator driver-side.
+    */
+  def cardinalitySketch(df: DataFrame, keyCol: String,
+                        buckets: Int = 64): DataFrame = {
+    require(buckets >= 1, "at least one bucket")
+    val h = md5(col(keyCol).cast("string"))
+    val bucket = (conv(substring(h, 1, 8), 16, 10).cast("long") % buckets)
+      .cast("int")
+    val v = conv(substring(h, 9, 8), 16, 10).cast("long")
+    // rho = 1 + leading-zero count of the 32-bit value, via the length of
+    // its unpadded binary rendering (a zero value renders "0" -> rho 32)
+    val rho = (lit(33) - length(conv(v, 10, 2))).cast("int")
+    df.select(bucket.as("bucket"), rho.as("rho"))
+      .groupBy("bucket").agg(max("rho").as("max_rho"))
+  }
+
   /** Whole-document fingerprint: MD5 of the normalized text. */
   def fingerprint(text: Column): Column = md5(lower(trim(text)))
 

@@ -317,6 +317,37 @@ class Round3Spec extends AnyFunSuite with SparkFixture {
     assert(w1 == w2)
   }
 
+  test("cardinalitySketch is mergeable: sketch(A ∪ B) = max(sketch(A), sketch(B))") {
+    import graft.functions.TextAnalysis
+    val a = (1L to 400L).toDF("k")
+    val b = (300L to 700L).toDF("k")
+    def sk(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.cardinalitySketch(df, "k", 16)
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val (sa, sb) = (sk(a), sk(b))
+    val merged = (sa.keySet ++ sb.keySet).map(k =>
+      k -> math.max(sa.getOrElse(k, 0), sb.getOrElse(k, 0))).toMap
+    assert(sk(a.union(b)) == merged)
+  }
+
+  test("pageRankWeighted sends mass along the heavy edge") {
+    import spark.implicits._
+    // hub 0 points at 1 (weight 9) and 2 (weight 1): 1 must outrank 2
+    val nodes = Seq(0L, 1L, 2L).toDF("id")
+    val edges = Seq((0L, 1L, 9.0), (0L, 2L, 1.0), (1L, 0L, 1.0), (2L, 0L, 1.0))
+      .toDF("source", "target", "weight")
+    val out = GraphAlgorithms.pageRankWeighted(NetworkFrame(nodes, edges),
+        "weight", iterations = 20)
+      .select("id", "qs")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) > out(2L))
+    // unweighted PageRank by contrast treats the two targets identically
+    val u = GraphAlgorithms.pageRank(NetworkFrame(nodes, edges), 20)
+      .select("id", "qs")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(u(1L) == u(2L))
+  }
+
   test("BMP decode returns positive height for top-down bitmaps") {
     import graft.multimodal.Multimodal
     // BM + BITMAPINFOHEADER(40), 320 x -240 (top-down row order), 24bpp
