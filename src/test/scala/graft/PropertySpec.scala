@@ -69,4 +69,71 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       assert(sizes == sizes.sorted)
     }
   }
+
+  test("bfsDistances agrees with kHopNeighborhood shells") {
+    forAll(5) { g =>
+      val nf = mk(g)
+      val dist = GraphAlgorithms.bfsDistances(nf, 0L, 3, directed = false)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // the <= k ball from the distance table equals the k-hop neighborhood
+      (0 to 2).foreach { k =>
+        val ball = dist.filter(_._2 <= k).keySet
+        val hood = GraphAlgorithms.kHopNeighborhood(nf, 0L, k, directed = false)
+          .nodes.select("id").as[Long].collect().toSet
+        assert(ball == hood, s"k=$k ball=$ball hood=$hood")
+      }
+    }
+  }
+
+  test("shortestPaths: seed at 0, every distance witnessed by an edge relaxation") {
+    forAll(5) { g =>
+      val nf = mk(g).copy(edges =
+        g._2.map { case (s, t) => (s, t, ((s * 7 + t * 3) % 10 + 1).toDouble) }
+          .toDF("source", "target", "weight"))
+      val d = GraphAlgorithms.shortestPaths(nf, 0L, "weight", rounds = 4,
+          directed = false)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      if (d.contains(0L)) assert(d(0L) == 0L)
+      // every non-seed distance is some predecessor's distance + edge weight
+      val wq = g._2.flatMap { case (s, t) =>
+        val w = ((s * 7 + t * 3) % 10 + 1) * 100
+        Seq((s, t, w), (t, s, w))
+      }.groupBy(e => (e._1, e._2)).map { case (k, es) => k -> es.map(_._3).min }
+      d.filter(kv => kv._1 != 0L || kv._2 != 0L).foreach { case (v, dv) =>
+        assert(wq.exists { case ((s, t), w) => t == v && d.get(s).exists(_ + w == dv) },
+          s"unwitnessed distance $v -> $dv")
+      }
+    }
+  }
+
+  test("cardinalitySketch buckets only grow as rows are added") {
+    (1 to 4).foreach { i =>
+      import graft.functions.TextAnalysis
+      val base = (1L to (i * 50L)).toDF("k")
+      val more = (1L to (i * 50L + 77L)).toDF("k")
+      def sk(df: org.apache.spark.sql.DataFrame) =
+        TextAnalysis.cardinalitySketch(df, "k", 8)
+          .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      val (a, b) = (sk(base), sk(more))
+      assert(a.forall { case (bucket, rho) => b.getOrElse(bucket, 0) >= rho })
+    }
+  }
+
+  test("saltedJoin equals the plain join on random graphs") {
+    forAll(5) { g =>
+      import graft.operators.SkewJoin
+      val probe = g._2.zipWithIndex.map { case ((s, t), i) => (s, t, i.toLong) }
+        .toDF("id", "other", "row")
+      val build = g._1.toDF("id", "grp")
+      if (g._2.nonEmpty) {
+        val salted = SkewJoin.saltedJoin(probe, build, Seq("id"), 4, Seq("row"))
+          .select("id", "other", "row", "grp")
+          .collect().map(_.toSeq).toSet
+        val plain = probe.join(build, Seq("id"))
+          .select("id", "other", "row", "grp")
+          .collect().map(_.toSeq).toSet
+        assert(salted == plain)
+      }
+    }
+  }
 }
