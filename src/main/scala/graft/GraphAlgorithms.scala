@@ -366,6 +366,26 @@ object GraphAlgorithms {
     dist
   }
 
+  /** Double-sweep diameter lower bound: BFS from the smallest node id,
+    * hop to the farthest node found (ties: min id), BFS again — the second
+    * sweep's eccentricity is the classic 2-BFS diameter estimate (exact on
+    * trees, a tight lower bound in practice). Two `bfsDistances` fixpoints
+    * plus two single-row driver reads; output is one row
+    * (seed, far_id, diameter_lb). `maxDepth` caps both sweeps, so a
+    * 100 TB graph costs 2*maxDepth rounds regardless of size.
+    */
+  def estimateDiameter(nf: NetworkFrame, maxDepth: Int,
+                       directed: Boolean = false): DataFrame = {
+    val seed = nf.nodes.agg(min(col("id"))).first().get(0)
+    val d1 = bfsDistances(nf, seed, maxDepth, directed)
+    val far = d1.orderBy(desc("dist"), asc("id")).limit(1).first().get(0)
+    val dia = bfsDistances(nf, far, maxDepth, directed)
+      .agg(max(col("dist"))).first().getLong(0)
+    nf.nodes.sparkSession.range(1).select(
+      lit(seed).as("seed"), lit(far).as("far_id"),
+      lit(dia).as("diameter_lb"))
+  }
+
   /** All-pairs <= k-hop reachability as a (id, neighbor) PAIR TABLE — the
     * scalable representation of the reference's dense N x N `k_hop_mask`
     * (networkframe.py:1279-1307; representation diverges, results match).

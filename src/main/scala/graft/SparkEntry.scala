@@ -316,6 +316,18 @@ SELECT id, CAST(min(d) AS BIGINT) AS dist FROM fr GROUP BY 1 ORDER BY 1""")),
         .orderBy("id"),
       Some(lpaSql(4))),
 
+    // double-sweep diameter lower bound (min(d) consumers are immune to the
+    // RECURSIVE sym duplication)
+    ("q_diameter", (s, dir) =>
+      GraphAlgorithms.estimateDiameter(sparse(s, dir), maxDepth = 8),
+      Some(s"""$G, s0 AS (SELECT min(id) AS id FROM nodes),
+f1(id, d) AS (SELECT id, 0 FROM s0 UNION SELECT s.target, f1.d + 1 FROM f1 JOIN sym s ON s.source = f1.id WHERE f1.d < 8),
+d1 AS (SELECT id, min(d) AS d FROM f1 GROUP BY 1),
+far AS (SELECT id FROM d1 ORDER BY d DESC, id LIMIT 1),
+f2(id, d) AS (SELECT id, 0 FROM far UNION SELECT s.target, f2.d + 1 FROM f2 JOIN sym s ON s.source = f2.id WHERE f2.d < 8),
+d2 AS (SELECT id, min(d) AS d FROM f2 GROUP BY 1)
+SELECT (SELECT id FROM s0) AS seed, (SELECT id FROM far) AS far_id, (SELECT CAST(max(d) AS BIGINT) FROM d2) AS diameter_lb""")),
+
     // weighted SSSP: 6 Bellman-Ford rounds from node 0 over the undirected
     // sparse graph, cent-quantized weights; oracle replays the same rounds
     ("q_sssp", (s, dir) =>

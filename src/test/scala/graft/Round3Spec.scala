@@ -348,6 +348,18 @@ class Round3Spec extends AnyFunSuite with SparkFixture {
     assert(u(1L) == u(2L))
   }
 
+  test("estimateDiameter double-sweep is exact on a path graph") {
+    import spark.implicits._
+    val nodes = (0L to 4L).toDF("id")
+    val edges = Seq((1L, 0L), (1L, 2L), (2L, 3L), (3L, 4L)) // path 0-1-2-3-4
+      .toDF("source", "target")
+    val r = GraphAlgorithms.estimateDiameter(NetworkFrame(nodes, edges), 10)
+      .first()
+    assert(r.getLong(0) == 0L)  // seed = min id
+    assert(r.getLong(1) == 4L)  // farthest from 0
+    assert(r.getLong(2) == 4L)  // true diameter of the path
+  }
+
   test("BMP decode returns positive height for top-down bitmaps") {
     import graft.multimodal.Multimodal
     // BM + BITMAPINFOHEADER(40), 320 x -240 (top-down row order), 24bpp
