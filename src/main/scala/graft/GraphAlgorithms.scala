@@ -674,6 +674,33 @@ object GraphAlgorithms {
     out.select(col("walk_id"), col("step"), col("cur").as("node"))
   }
 
+  /** Degree assortativity (Pearson correlation of endpoint degrees over the
+    * symmetrized simple graph's directed edge list — Newman's r). Every
+    * accumulation is an exact integer (decimal sums of degree products);
+    * doubles appear only in the final correlation expression over identical
+    * operands, so the scalar is engine-exact. Two aggregations + one
+    * enrichment join — one number from any graph size.
+    */
+  def degreeAssortativity(nf: NetworkFrame): DataFrame = {
+    val sym = nf.symmetrizedEdges.filter(col("source") =!= col("target"))
+      .distinct()
+    val deg = sym.groupBy(col("source").as("id")).agg(count(lit(1)).as("d"))
+    val pairs = sym
+      .join(deg.select(col("id").as("source"), col("d").as("x")), Seq("source"))
+      .join(deg.select(col("id").as("target"), col("d").as("y")), Seq("target"))
+    pairs.agg(
+        count(lit(1)).as("m"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sx2"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("sy2"))
+      .selectExpr("m",
+        """CAST((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (sqrt(CAST(m AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * sqrt(CAST(m AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS DOUBLE) AS assortativity""")
+  }
+
   /** Exact global triangle count over the undirected simple graph: edges
     * canonicalized to (min, max) endpoints, then the standard three-way
     * equi-join counts each triangle exactly once (a<b<c ordering falls out

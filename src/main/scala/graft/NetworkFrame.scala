@@ -274,6 +274,23 @@ final case class NetworkFrame(
       .withColumn("degree", col("out_degree") + col("in_degree"))
   }
 
+  /** Weighted degrees (node strength): per-node sums of a cent-quantized
+    * edge weight over out-, in-, and both directions — the weighted
+    * companion of `degrees()`, same two aggregations + two outer joins.
+    */
+  def strengths(weightCol: String): DataFrame = {
+    val wq = floor(col(weightCol).cast("double") * 100).cast("long")
+    val out = edges.select(col("source").as("id"), wq.as("wq"))
+      .groupBy("id").agg(sum("wq").as("out_strength_q"))
+    val in = edges.select(col("target").as("id"), wq.as("wq"))
+      .groupBy("id").agg(sum("wq").as("in_strength_q"))
+    nodes.select(col("id"))
+      .join(out, Seq("id"), "left_outer")
+      .join(in, Seq("id"), "left_outer")
+      .na.fill(0L, Seq("out_strength_q", "in_strength_q"))
+      .withColumn("strength_q", col("out_strength_q") + col("in_strength_q"))
+  }
+
   /** Dense adjacency as a wide DataFrame (networkframe.py:500-543): pivot on
     * target with an explicit (driver-bounded) value list. Export-only op —
     * schema width is bounded by the driver; do not use on large id spaces.

@@ -373,6 +373,29 @@ SELECT count(*) AS n_triangles FROM ce ab JOIN ce bc ON ab.t = bc.s JOIN ce ac O
         .select(col("id"), col("qs").as("pr_q")).orderBy("id"),
       Some(pagerankSql(10, 85))),
 
+    // weighted degrees (node strength) over the full order graph
+    ("q_strengths", (s, dir) =>
+      graph(s, dir).strengths("weight").orderBy("id"),
+      Some(s"""$G, wq AS (SELECT source, target, CAST(floor(weight * 100) AS BIGINT) AS w FROM edges),
+o AS (SELECT source AS id, sum(w) AS os FROM wq GROUP BY 1),
+i AS (SELECT target AS id, sum(w) AS isx FROM wq GROUP BY 1)
+SELECT n.id, COALESCE(o.os, 0) AS out_strength_q, COALESCE(i.isx, 0) AS in_strength_q,
+COALESCE(o.os, 0) + COALESCE(i.isx, 0) AS strength_q
+FROM nodes n LEFT JOIN o ON o.id = n.id LEFT JOIN i ON i.id = n.id ORDER BY 1""")),
+
+    // Newman degree assortativity of the sparse graph (one scalar row)
+    ("q_assortativity", (s, dir) =>
+      GraphAlgorithms.degreeAssortativity(sparse(s, dir)),
+      Some("""WITH se AS (SELECT o_custkey AS source, o_orderkey % (SELECT count(*) FROM customer) AS target FROM orders WHERE o_orderkey % 10 = 0),
+symd AS (SELECT DISTINCT source, target FROM (SELECT source, target FROM se UNION ALL SELECT target, source FROM se) WHERE source <> target),
+dg AS (SELECT source AS id, count(*) AS d FROM symd GROUP BY 1),
+p AS (SELECT dx.d AS x, dy.d AS y FROM symd s JOIN dg dx ON dx.id = s.source JOIN dg dy ON dy.id = s.target),
+a AS (SELECT count(*) AS m, sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sx2, sum(y * y) AS sy2 FROM p)
+SELECT m, CAST((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+/ (sqrt(CAST(m AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+ * sqrt(CAST(m AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS DOUBLE) AS assortativity
+FROM a""")),
+
     // per-node local clustering coefficient (millionths-quantized)
     ("q_clustering", (s, dir) =>
       GraphAlgorithms.clusteringCoefficient(sparse(s, dir)).orderBy("id"),

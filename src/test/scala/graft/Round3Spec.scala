@@ -360,6 +360,26 @@ class Round3Spec extends AnyFunSuite with SparkFixture {
     assert(r.getLong(2) == 4L)  // true diameter of the path
   }
 
+  test("strengths sums cent-quantized weights per direction") {
+    val out = simpleNf.strengths("weight") // A->B 1, A->C 2, B->C 3, C->D 4
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("A") == ((300L, 0L, 300L)))
+    assert(out("B") == ((300L, 100L, 400L)))
+    assert(out("C") == ((400L, 500L, 900L)))
+    assert(out("D") == ((0L, 400L, 400L)))
+  }
+
+  test("degreeAssortativity is -1 on a star graph") {
+    import spark.implicits._
+    val nodes = (0L to 5L).toDF("id")
+    val edges = (1L to 5L).map(i => (0L, i)).toDF("source", "target")
+    val r = GraphAlgorithms.degreeAssortativity(NetworkFrame(nodes, edges))
+      .first()
+    assert(r.getLong(0) == 10L) // 5 undirected edges, both directions
+    assert(math.abs(r.getDouble(1) - (-1.0)) < 1e-9)
+  }
+
   test("BMP decode returns positive height for top-down bitmaps") {
     import graft.multimodal.Multimodal
     // BM + BITMAPINFOHEADER(40), 320 x -240 (top-down row order), 24bpp
