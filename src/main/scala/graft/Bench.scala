@@ -31,15 +31,20 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // belt and braces: the driver tails stdout, which has been observed to
-    // truncate long lines — always leave a complete copy on disk too
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // the full per-query dict lives on disk; stdout gets each query as its
+    // own short line plus a SHORT final summary line, so a tail window of
+    // any size always ends with complete, parseable JSON (the r3 one-line
+    // dict outgrew the driver's tail and parsed as null)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
     try {
       val w = new java.io.PrintWriter(out, "UTF-8")
-      try w.println(json) finally w.close()
+      try w.println(full) finally w.close()
     } catch { case _: Throwable => () }
-    println(json)
+    results.foreach { case (k, v) =>
+      println(s"""{"query":"$k","sec":$v}""")
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir","file":"$out"}""")
     Console.out.flush()
     spark.stop()
   }

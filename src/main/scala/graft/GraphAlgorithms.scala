@@ -101,6 +101,7 @@ object GraphAlgorithms {
       // small cyclic cores. Two Spark jobs per trim round (checkpoint +
       // count); trimmed nodes are assigned in ONE batch after the fixpoint.
       val trimStart = remaining
+      val preTrimCount = remainingCount
       var before = remainingCount
       var trimming = before > 0
       while (trimming) {
@@ -127,10 +128,14 @@ object GraphAlgorithms {
         .select(col("id"), col("id").as("root"))
       result = if (result == null) trimmedSingles.localCheckpoint()
                else result.union(trimmedSingles).localCheckpoint()
-      eR = eR
-        .join(remaining.withColumnRenamed("id", "source"), Seq("source"), "left_semi")
-        .join(remaining.withColumnRenamed("id", "target"), Seq("target"), "left_semi")
-        .localCheckpoint()
+      // eR was induced on the pre-trim node set at the top of the loop;
+      // re-induce only when the trim fixpoint actually removed nodes
+      if (remainingCount != preTrimCount && remainingCount > 0) {
+        eR = eR
+          .join(remaining.withColumnRenamed("id", "source"), Seq("source"), "left_semi")
+          .join(remaining.withColumnRenamed("id", "target"), Seq("target"), "left_semi")
+          .localCheckpoint()
+      }
       if (remainingCount == 0) {
         System.err.println(s"[graft] scc trim cleared round $guard")
       } else {
@@ -138,10 +143,25 @@ object GraphAlgorithms {
       var colors = remaining.select(col("id"), col("id").as("color")).localCheckpoint()
       var stable = false
       while (!stable) {
-        val msgs = eR.join(colors.withColumnRenamed("id", "source"), Seq("source"))
-          .select(col("target").as("id"), col("color"))
-        val next = colors.union(msgs).groupBy("id")
-          .agg(max("color").as("color")).localCheckpoint()
+        // join-based (not union+groupBy) like componentLabels: the doubling
+        // self-join below trips Catalyst's Union constraint rewrite
+        val maxMsgs = eR.join(colors.withColumnRenamed("id", "source"), Seq("source"))
+          .groupBy(col("target").as("id")).agg(max("color").as("mc"))
+        val prop = colors.join(maxMsgs, Seq("id"), "left_outer")
+          .select(col("id"),
+            greatest(col("color"), coalesce(col("mc"), col("color"))).as("color"))
+          .localCheckpoint()
+        // pointer doubling (mirror of componentLabels): color(v) is the id
+        // of a node known to reach v, so anything known to reach color(v)
+        // also reaches v — follow color(color(v)) for an extra hop per
+        // round. Colors only ever increase toward the fixpoint, so this is
+        // monotone-safe and cuts O(color-eccentricity) rounds to ~O(log).
+        val next = prop.as("a")
+          .join(prop.select(col("id").as("cid"), col("color").as("c2")).as("b"),
+            col("a.color") === col("cid"), "left_outer")
+          .select(col("a.id").as("id"),
+            greatest(col("a.color"), coalesce(col("c2"), col("a.color"))).as("color"))
+          .localCheckpoint()
         stable = next.join(colors.withColumnRenamed("color", "prev"), Seq("id"))
           .filter(col("color") =!= col("prev")).limit(1).count() == 0
         colors = next
@@ -188,9 +208,17 @@ object GraphAlgorithms {
     * (networkframe.py:881-929).
     */
   def labelNodesByComponent(nf: NetworkFrame, name: String = "component",
-                            connection: String = "weak"): NetworkFrame = {
-    val labels = componentLabels(nf, connection).withColumnRenamed("component", name)
-    nf.copy(nodes = nf.nodes.join(labels, Seq("id"), "left_outer"))
+                            connection: String = "weak"): NetworkFrame =
+    labelNodesWithLabels(nf, componentLabels(nf, connection), name)
+
+  /** As `labelNodesByComponent`, but reusing a precomputed (id, component)
+    * label frame — the fixpoint is the expensive part, so callers running
+    * several component queries should derive labels once and fan out.
+    */
+  def labelNodesWithLabels(nf: NetworkFrame, labels: DataFrame,
+                           name: String = "component"): NetworkFrame = {
+    val l = labels.select(col("id"), col("component").as(name))
+    nf.copy(nodes = nf.nodes.join(l, Seq("id"), "left_outer"))
   }
 
   /** Restrict to the largest component — group-count + top-1, then the usual
@@ -198,8 +226,12 @@ object GraphAlgorithms {
     * smallest component label for determinism.
     */
   def largestConnectedComponent(nf: NetworkFrame, connection: String = "weak",
-                                verbose: Boolean = false): NetworkFrame = {
-    val labels = componentLabels(nf, connection)
+                                verbose: Boolean = false): NetworkFrame =
+    largestComponentFromLabels(nf, componentLabels(nf, connection), verbose)
+
+  /** As `largestConnectedComponent`, but reusing a precomputed label frame. */
+  def largestComponentFromLabels(nf: NetworkFrame, labels: DataFrame,
+                                 verbose: Boolean = false): NetworkFrame = {
     val top = labels.groupBy("component").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("component")).limit(1)
     val keep = labels.join(broadcast(top.select("component")), Seq("component"), "left_semi")
@@ -377,6 +409,7 @@ object GraphAlgorithms {
   def estimateDiameter(nf: NetworkFrame, maxDepth: Int,
                        directed: Boolean = false): DataFrame = {
     val seed = nf.nodes.agg(min(col("id"))).first().get(0)
+    require(seed != null, "estimateDiameter: graph has no nodes")
     val d1 = bfsDistances(nf, seed, maxDepth, directed)
     val far = d1.orderBy(desc("dist"), asc("id")).limit(1).first().get(0)
     val dia = bfsDistances(nf, far, maxDepth, directed)
@@ -541,8 +574,10 @@ object GraphAlgorithms {
     * weight instead of uniformly — contribution of u to v is
     * (qs * wq(u,v)) DIV wout(u) in decimal arithmetic (exact; no
     * remainders drift across engines). Same per-round shuffles and
-    * teleport update as `pageRank`; zero-total-weight sources hold their
-    * mass like dangling nodes.
+    * teleport update as `pageRank`; sources with zero total weight (and
+    * dangling nodes) ship nothing — their damped mass is dropped, not
+    * redistributed, so total mass shrinks toward the teleport floor each
+    * round (consistent with `pageRank` and the oracle).
     */
   def pageRankWeighted(nf: NetworkFrame, weightCol: String,
                        iterations: Int = 10, damping: Int = 85): DataFrame = {
@@ -650,10 +685,7 @@ object GraphAlgorithms {
     require(steps >= 1, "at least one step")
     val sym = nf.symmetrizedEdges.filter(col("source") =!= col("target"))
       .distinct()
-    val adj = sym.withColumn("nidx", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("source").orderBy("target")) - 1)
-      .localCheckpoint()
+    val adj = adjacencyIndex(sym).localCheckpoint()
     val deg = sym.groupBy("source").agg(count(lit(1)).as("deg")).localCheckpoint()
     var cur = nf.nodes.select(col("id").as("walk_id"), col("id").as("cur"))
       .localCheckpoint()
@@ -672,6 +704,33 @@ object GraphAlgorithms {
       out = out.union(cur.withColumn("step", lit(i)))
     }
     out.select(col("walk_id"), col("step"), col("cur").as("node"))
+  }
+
+  /** Target-sorted adjacency with a dense 0-based per-source neighbor index
+    * `nidx` — semantically `row_number() OVER (PARTITION BY source ORDER BY
+    * target) - 1`, but hub-proof: a range-repartitioned global sort +
+    * `zipWithIndex` assigns a global position (no single task ever sorts a
+    * mega-hub's whole adjacency; each range partition holds a slice), then
+    * one map-side-combinable min-aggregate per source turns global position
+    * into the per-source rank. Output is a pure function of the edge set,
+    * independent of partitioning. Input must be distinct (source, target).
+    */
+  def adjacencyIndex(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = edges.sparkSession
+    val sorted = edges.select(col("source"), col("target"))
+      .repartitionByRange(col("source"), col("target"))
+      .sortWithinPartitions(col("source"), col("target"))
+    val schema = StructType(sorted.schema.fields :+
+      StructField("gpos", LongType, false))
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    val g = spark.createDataFrame(rdd, schema)
+    val base = g.groupBy("source").agg(min("gpos").as("base"))
+    g.join(base, Seq("source"))
+      .select(col("source"), col("target"),
+        (col("gpos") - col("base")).cast("int").as("nidx"))
   }
 
   /** Degree assortativity (Pearson correlation of endpoint degrees over the

@@ -263,6 +263,32 @@ final case class NetworkFrame(
     NetworkFrame(n, e, directed)
   }
 
+  /** One layer of a multilayer frame (the reference DECLARES a
+    * MultilayerNetworkFrame whose every body is `pass`, multilayer.py:4-23;
+    * this stakes out that surface on our schema): layers live as an edge
+    * column, so selecting a layer is a pushdown-friendly edge filter. Node
+    * set is unchanged (layers share the node universe); compose with
+    * `removeUnusedNodes()` for the induced view.
+    */
+  def layer(layerCol: String, value: Any): NetworkFrame =
+    copy(edges = edges.filter(col(layerCol) === lit(value)))
+
+  /** Condense EVERY layer in one grouped aggregation — layer is just an
+    * extra shuffle key alongside the endpoint groups, so 10 or 10,000
+    * layers cost the same single-shuffle plan (no per-layer driver loop).
+    * Returns the quotient edge table (layer, source-group, target-group,
+    * aggregate).
+    */
+  def condenseByLayer(layerCol: String, by: String, func: String = "size",
+                      weightName: String = "weight",
+                      column: Option[String] = None): DataFrame = {
+    val enriched = applyNodeFeatures(Seq(by), "both").edges
+    val valueCol = column.map(col).getOrElse(lit(1))
+    enriched.groupBy(col(layerCol).as("layer"),
+        col(s"source_$by").as("source"), col(s"target_$by").as("target"))
+      .agg(NetworkFrame.namedAgg(func, valueCol).as(weightName))
+  }
+
   /** In/out/total degree per node (isolated nodes get 0). */
   def degrees(): DataFrame = {
     val out = edges.groupBy(col("source").as("id")).agg(count(lit(1)).as("out_degree"))
@@ -279,7 +305,14 @@ final case class NetworkFrame(
     * companion of `degrees()`, same two aggregations + two outer joins.
     */
   def strengths(weightCol: String): DataFrame = {
-    val wq = floor(col(weightCol).cast("double") * 100).cast("long")
+    // DECIMAL weights quantize in exact decimal arithmetic (0.29 * 100 is
+    // exactly 29, where the double path floors 28.999... to 28); DOUBLE
+    // weights keep double arithmetic to match engines that floor in binary
+    val wq = edges.schema(weightCol).dataType match {
+      case _: org.apache.spark.sql.types.DecimalType =>
+        floor(col(weightCol) * 100).cast("long")
+      case _ => floor(col(weightCol).cast("double") * 100).cast("long")
+    }
     val out = edges.select(col("source").as("id"), wq.as("wq"))
       .groupBy("id").agg(sum("wq").as("out_strength_q"))
     val in = edges.select(col("target").as("id"), wq.as("wq"))

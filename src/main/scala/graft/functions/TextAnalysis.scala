@@ -103,6 +103,16 @@ object TextAnalysis {
     ("ipv4", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
     ("phone", "\\+?[0-9][0-9() \\-]{6,}[0-9]", "<PHONE>"))
 
+  /** Financial-identifier presets, same engine-portable regex subset:
+    * IBAN-shaped tokens (2 letters + 2 check digits + 10-30 alphanumerics)
+    * and 16-digit card numbers with optional space/dash group separators.
+    * IBAN first, so a card-like digit tail inside an IBAN is not half-eaten
+    * by the card rule.
+    */
+  val financialPatterns: Seq[(String, String, String)] = Seq(
+    ("iban", "[A-Z]{2}[0-9]{2}[A-Z0-9]{10,30}", "<IBAN>"),
+    ("card", "[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}", "<CARD>"))
+
   /** Pattern redaction: per-pattern match counts (`n_<name>`) plus a
     * `redacted` copy of the text with every match replaced by its
     * placeholder, applied in list order (email before ipv4 before phone in

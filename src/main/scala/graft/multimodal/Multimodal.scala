@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   * batches (the Scala analogue of a Pandas-UDF-over-mapInPandas pipeline:
   * same schema contract, same batch shape, same partitioning story).
   *
-  * The actual codec step is a STUB — image/audio libraries are not in this
-  * container — implemented as a clearly-marked deterministic fake so the
+  * `decodePixels` is a REAL decoder for the formats the JDK ships codecs
+  * for (PNG/BMP/GIF/JPEG via javax.imageio). Formats beyond that — and the
+  * video demux in `sampleFrames` — remain clearly-marked deterministic
+  * STUBS (no external codec libraries in this container), so the
   * Spark-side plumbing (schemas, encoders, batching, partition sizing) is
-  * real and testable. Swap `stubDecode*` for a real decoder (e.g. JNI/
-  * javax.imageio) without touching any plan structure.
+  * real and testable either way. Swap the stub branch for a JNI decoder
+  * without touching any plan structure.
   */
 object Multimodal {
 
@@ -91,6 +93,59 @@ object Multimodal {
             case None => stubDecodeImage(r.media)
           }
           ImageFeatures(r.id, w, h, c, r.media.length.toLong, f)
+        }
+      }
+    }
+  }
+
+  /** Real per-channel pixel statistics. */
+  case class PixelStats(id: Long, width: Int, height: Int, channels: Int,
+                        decoded: Boolean, channel_mean: Array[Float])
+
+  /** REAL pixel decode for the formats the JDK ships codecs for — PNG, BMP,
+    * GIF, JPEG via `javax.imageio` (java.desktop module; no external
+    * libraries, headless-safe) — with the header-parse/stub fallback
+    * (`decoded = false`) for anything ImageIO cannot read. Per-band sample
+    * sums accumulate in integers, so the channel means are exact and
+    * reproducible. Same narrow batch-per-partition mapPartitions shape as
+    * `decodeImages`: no shuffle, payload-bounded partitions.
+    */
+  def decodePixels(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[PixelStats] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val img =
+            try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.media)))
+            catch { case _: Throwable => None }
+          img match {
+            case Some(im) =>
+              val raster = im.getRaster
+              val w = im.getWidth; val h = im.getHeight
+              val bands = raster.getNumBands
+              val sums = new Array[Long](bands)
+              val buf = new Array[Int](bands)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  raster.getPixel(x, y, buf)
+                  var b = 0
+                  while (b < bands) { sums(b) += buf(b); b += 1 }
+                  x += 1
+                }
+                y += 1
+              }
+              val n = w.toLong * h
+              PixelStats(r.id, w, h, bands, decoded = true,
+                Array.tabulate(bands)(b => (sums(b).toDouble / n / 255.0).toFloat))
+            case None =>
+              val (w, h, c) = decodeHeader(r.media).getOrElse {
+                val s = stubDecodeImage(r.media); (s._1, s._2, s._3)
+              }
+              PixelStats(r.id, w, h, c, decoded = false, Array.empty[Float])
+          }
         }
       }
     }

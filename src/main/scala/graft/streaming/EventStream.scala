@@ -160,7 +160,9 @@ object EventStream {
              rows: Iterator[(Long, Long, java.sql.Timestamp, Long)],
              state: GroupState[Long]): Iterator[(Long, Long, Long)] = {
       var total = state.getOption.getOrElse(0L)
-      val out = rows.toArray.sortBy(r => (r._3.getTime, r._1)).map { r =>
+      // full-precision order: getTime is millis only; getNanos carries the
+      // sub-millisecond part, matching the oracle's ORDER BY ts, event_id
+      val out = rows.toArray.sortBy(r => (r._3.getTime, r._3.getNanos, r._1)).map { r =>
         total += r._4
         (r._1, user, total)
       }

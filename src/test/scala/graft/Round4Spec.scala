@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-4 fixes: sub-millisecond running-total ordering, SCC fast paths,
+  * decimal-exact strengths, de-skewed walk index, empty-graph guards.
+  */
+class Round4Spec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("runningTotals orders same-millisecond events by microsecond ts") {
+    import graft.streaming.EventStream
+    import java.sql.Timestamp
+    // two events of one user inside ONE millisecond, 500 µs apart, with
+    // event ids in the OPPOSITE order of time: a millisecond-only sort key
+    // would fold id 4 first and corrupt the intermediate totals
+    val early = new Timestamp(10000L); early.setNanos(0)
+    val late = new Timestamp(10000L); late.setNanos(500000) // +500 µs
+    val ev = Seq(
+      (5L, early, 7L, "click", 2.0, "{}"), // first in time, larger id
+      (4L, late, 7L, "view", 1.0, "{}"))   // 500 µs later, smaller id
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventStream.runningTotals(ev)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // oracle ORDER BY ts, event_id: id 5 folds first (200), then id 4 (300)
+    assert(out == Map(5L -> 200L, 4L -> 300L))
+  }
+
+  test("strengths quantizes DECIMAL weights exactly (no double drift)") {
+    val nodes = Seq("A", "B").toDF("id")
+    val edges = Seq(("A", "B", "0.29"), ("A", "B", "0.01"))
+      .toDF("source", "target", "w")
+      .withColumn("weight", col("w").cast("decimal(18,2)")).drop("w")
+    val out = NetworkFrame(nodes, edges).strengths("weight")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // decimal-exact: 0.29 -> 29 cents (the double path floors
+    // 28.999999999999996 to 28), plus 0.01 -> 1
+    assert(out("A") == 30L)
+    assert(out("B") == 0L)
+  }
+
+  test("estimateDiameter rejects an empty graph instead of NPEing") {
+    val nf = NetworkFrame(
+      Seq.empty[(String, String)].toDF("id", "color"),
+      Seq.empty[(String, String)].toDF("source", "target"))
+    intercept[IllegalArgumentException] {
+      GraphAlgorithms.estimateDiameter(nf, 5)
+    }
+  }
+
+  test("adjacencyIndex matches row_number semantics without a Window sort") {
+    // 50k-degree hub: the windowed formulation funnels the whole adjacency
+    // through one task's sort; the range-partitioned index must not plan a
+    // Window at all
+    val hub = (1L to 50000L).map(i => (0L, i)).toDF("source", "target")
+      .union(Seq((1L, 7L), (1L, 3L), (1L, 5L)).toDF("source", "target"))
+    val idx = GraphAlgorithms.adjacencyIndex(hub)
+    assert(!idx.queryExecution.executedPlan.toString.contains("Window"),
+      "adjacency index must not be built with a window sort")
+    val got = idx.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // hub neighbors 1..50000 rank densely in target order
+    assert(got((0L, 1L)) == 0 && got((0L, 25000L)) == 24999 &&
+      got((0L, 50000L)) == 49999)
+    // second source ranks independently of the hub's positions
+    assert(got((1L, 3L)) == 0 && got((1L, 5L)) == 1 && got((1L, 7L)) == 2)
+    assert(got.size == 50003)
+  }
+
+  test("decodePixels really decodes a PNG (exact channel means)") {
+    import graft.multimodal.Multimodal
+    import java.awt.image.BufferedImage
+    // 2x1 RGB PNG: pixel (255,0,0) and (0,0,255) -> means (0.5, 0, 0.5)
+    val im = new BufferedImage(2, 1, BufferedImage.TYPE_3BYTE_BGR)
+    im.setRGB(0, 0, 0xff0000)
+    im.setRGB(1, 0, 0x0000ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    val ds = Seq(
+      Multimodal.MediaRecord(1L, bos.toByteArray, "image/png"),
+      Multimodal.MediaRecord(2L, "not an image".getBytes("UTF-8"), "text/plain"))
+      .toDS()
+    val out = Multimodal.decodePixels(ds).collect().map(p => p.id -> p).toMap
+    val png = out(1L)
+    assert((png.width, png.height, png.channels, png.decoded) == ((2, 1, 3, true)))
+    assert(png.channel_mean.toSeq == Seq(0.5f, 0.0f, 0.5f))
+    // non-image payload falls back to the stub path, flagged undecoded
+    assert(!out(2L).decoded && out(2L).channel_mean.isEmpty)
+  }
+
+  test("redactPatterns financial preset scrubs IBANs and card numbers") {
+    import graft.functions.TextAnalysis
+    val docs = Seq(
+      (1L, "wire to DE44500105175407324931 by friday"),
+      (2L, "card 4111 1111-1111 1111 on file"),
+      (3L, "order 1234 of 5678 units")) // short digit runs: untouched
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.redactPatterns(docs, "text",
+        TextAnalysis.financialPatterns)
+      .select("doc_id", "n_iban", "n_card", "redacted")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // n_card = 1 here: counts are taken on the ORIGINAL text (the contract,
+    // matching the oracle), and the IBAN's 20-digit tail contains a
+    // 16-digit run; the redaction itself is sequential, so the rendered
+    // text still shows one clean <IBAN>
+    assert(out(1L) == ((1L, 1L, "wire to <IBAN> by friday")))
+    assert(out(2L) == ((0L, 1L, "card <CARD> on file")))
+    assert(out(3L) == ((0L, 0L, "order 1234 of 5678 units")))
+  }
+
+  test("saltedJoin shuffles on (key, salt) with AQE disabled") {
+    import graft.operators.SkewJoin
+    val conf = spark.conf
+    val aqe = conf.get("spark.sql.adaptive.enabled")
+    val bcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = (1L to 1000L).map(i => (i % 3, i)).toDF("id", "payload")
+      val build = Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("id", "tag")
+      val plan = SkewJoin.saltedJoin(probe, build, Seq("id"), 8, Seq("payload"))
+        .queryExecution.executedPlan.toString
+      // the physical shuffle key must be the (id, __salt) composite — that
+      // is the whole point: a hot id spreads across 8 reducers
+      assert("hashpartitioning\\(id#\\d+L?, __salt".r.findFirstIn(plan).isDefined,
+        s"expected an Exchange hash-partitioned on (id, __salt):\n$plan")
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+    }
+  }
+}
