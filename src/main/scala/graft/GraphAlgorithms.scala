@@ -24,6 +24,7 @@ object GraphAlgorithms {
     */
   def componentLabels(nf: NetworkFrame, connection: String = "weak"): DataFrame = {
     if (connection == "strong" && nf.directed) return strongComponentLabels(nf)
+    withoutConstraintPropagation(nf.edges) {
     val sym = nf.symmetrizedEdges
     val e = sym.distinct().localCheckpoint()
 
@@ -63,6 +64,7 @@ object GraphAlgorithms {
     }
     System.err.println(s"[graft] componentLabels converged in $rounds rounds")
     labels
+    }
   }
 
   /** Strongly connected components via forward-max coloring (Orzan-style
@@ -77,7 +79,87 @@ object GraphAlgorithms {
     * expected on random id assignment; each inner fixpoint is one
     * join+aggregate shuffle per round with checkpointed lineage.
     */
-  def strongComponentLabels(nf: NetworkFrame): DataFrame = {
+  /** Plain one-shuffle propagation rounds before the SCC coloring fixpoint
+    * engages pointer doubling — small cyclic cores converge well before
+    * this and never pay the doubling join; a genuinely long chain (the
+    * 100 TB worry) provably has eccentricity > this bound by the time it
+    * engages, and then closes in O(log L) further rounds.
+    */
+  private[graft] val sccDoublingAfter = 24
+
+  /** Scope a body with Catalyst constraint propagation disabled, restoring
+    * the previous setting after. `localCheckpoint` preserves the origin
+    * plan's constraint set inside the resulting LogicalRDD, so a
+    * driver-side fixpoint that rebuilds joins over its own checkpointed
+    * output compounds constraint sets round-over-round and optimizer time
+    * grows geometrically (measured in round 4: 5 s -> 101 s of driver gap
+    * per round within seven rounds of an anti-join frontier loop).
+    * Constraints buy nothing inside these loops — every input is already a
+    * checkpointed LogicalRDD with no scan left to push filters into — so
+    * they are switched off for the loop's duration.
+    */
+  private def withoutConstraintPropagation[T](df: DataFrame)(body: => T): T = {
+    val conf = df.sparkSession.conf
+    val key = "spark.sql.constraintPropagation.enabled"
+    val prev = conf.get(key, "true")
+    conf.set(key, "false")
+    try body finally conf.set(key, prev)
+  }
+
+  /** Max-id propagation to fixpoint: each node's `color` converges to the
+    * largest node id that reaches it along `edges` (including itself).
+    * Runs `doublingAfter` plain one-shuffle rounds first — a round-4 solo
+    * A/B (BENCH_NOTES) showed engaging the doubling join from round 1
+    * reproducibly REGRESSES 18.4 s -> ~50 s at sf0.1, because small cyclic
+    * cores converge before the extra self-join + checkpoint per round pays
+    * for itself — then adds a pointer-doubling hop per round
+    * (color(v) <- max(color(v), color(color(v))), monotone-safe since
+    * colors only increase) so a genuinely long chain (the 100 TB worry)
+    * closes in O(log L) further rounds instead of O(L). The doubling hop is
+    * a no-op only under adversarially ascending id orderings (color(v)=v
+    * until the max wave arrives); on random id placement color(v) points
+    * far away and the hop compresses the chain geometrically.
+    */
+  private def maxColorFixpoint(edges: DataFrame, nodes: DataFrame,
+                               doublingAfter: Int, tag: String): DataFrame = {
+    var colors = nodes.select(col("id"), col("id").as("color")).localCheckpoint()
+    var stable = false
+    var rounds = 0
+    while (!stable) {
+      val next = if (rounds < doublingAfter) {
+        val msgs = edges.join(colors.withColumnRenamed("id", "source"), Seq("source"))
+          .select(col("target").as("id"), col("color"))
+        colors.union(msgs).groupBy("id")
+          .agg(max("color").as("color")).localCheckpoint()
+      } else {
+        // join-based propagation here (not union+groupBy): the doubling
+        // self-join of a union+groupBy plan trips Catalyst's Union
+        // constraint rewrite
+        val maxMsgs = edges.join(colors.withColumnRenamed("id", "source"), Seq("source"))
+          .groupBy(col("target").as("id")).agg(max("color").as("mc"))
+        val prop = colors.join(maxMsgs, Seq("id"), "left_outer")
+          .select(col("id"),
+            greatest(col("color"), coalesce(col("mc"), col("color"))).as("color"))
+          .localCheckpoint()
+        prop.as("a")
+          .join(prop.select(col("id").as("cid"), col("color").as("c2")).as("b"),
+            col("a.color") === col("cid"), "left_outer")
+          .select(col("a.id").as("id"),
+            greatest(col("a.color"), coalesce(col("c2"), col("a.color"))).as("color"))
+          .localCheckpoint()
+      }
+      stable = next.join(colors.withColumnRenamed("color", "prev"), Seq("id"))
+        .filter(col("color") =!= col("prev")).limit(1).count() == 0
+      colors = next
+      rounds += 1
+    }
+    System.err.println(s"[graft] scc $tag coloring converged in $rounds rounds")
+    colors
+  }
+
+  def strongComponentLabels(nf: NetworkFrame,
+                            doublingAfter: Int = sccDoublingAfter): DataFrame =
+      withoutConstraintPropagation(nf.edges) {
     val e = nf.edges.select(col("source"), col("target")).distinct().localCheckpoint()
     var remaining = nf.nodes.select(col("id")).localCheckpoint()
     var result: DataFrame = null
@@ -139,54 +221,58 @@ object GraphAlgorithms {
       if (remainingCount == 0) {
         System.err.println(s"[graft] scc trim cleared round $guard")
       } else {
-      // 1. forward max-color propagation to fixpoint
-      var colors = remaining.select(col("id"), col("id").as("color")).localCheckpoint()
-      var stable = false
-      while (!stable) {
-        // join-based (not union+groupBy) like componentLabels: the doubling
-        // self-join below trips Catalyst's Union constraint rewrite
-        val maxMsgs = eR.join(colors.withColumnRenamed("id", "source"), Seq("source"))
-          .groupBy(col("target").as("id")).agg(max("color").as("mc"))
-        val prop = colors.join(maxMsgs, Seq("id"), "left_outer")
-          .select(col("id"),
-            greatest(col("color"), coalesce(col("mc"), col("color"))).as("color"))
-          .localCheckpoint()
-        // pointer doubling (mirror of componentLabels): color(v) is the id
-        // of a node known to reach v, so anything known to reach color(v)
-        // also reaches v — follow color(color(v)) for an extra hop per
-        // round. Colors only ever increase toward the fixpoint, so this is
-        // monotone-safe and cuts O(color-eccentricity) rounds to ~O(log).
-        val next = prop.as("a")
-          .join(prop.select(col("id").as("cid"), col("color").as("c2")).as("b"),
-            col("a.color") === col("cid"), "left_outer")
-          .select(col("a.id").as("id"),
-            greatest(col("a.color"), coalesce(col("c2"), col("a.color"))).as("color"))
-          .localCheckpoint()
-        stable = next.join(colors.withColumnRenamed("color", "prev"), Seq("id"))
-          .filter(col("color") =!= col("prev")).limit(1).count() == 0
-        colors = next
-      }
-      // 2. SCC(r) = backward reachable set of root r within color class r
+      // 1. forward max-color propagation to fixpoint: color(v) = max id
+      // that reaches v. Roots are nodes with color == own id, and every
+      // member of color class c has id <= c (color >= own id always), so
+      // the root is the max id of its class.
+      val colors = maxColorFixpoint(eR, remaining, doublingAfter, "fwd")
+      // 2. backward pass as a SECOND coloring, not a frontier BFS: keep
+      // only intra-class edges (any v->root path of an SCC member stays
+      // inside the class), reverse them, and propagate max id again. Then
+      // revColor(v) == color(v) iff the class root reaches v backward,
+      // i.e. v -> root forward — combined with color(v) = c meaning
+      // root -> v forward, that is exactly v in SCC(root). Same plan shape
+      // as the forward pass (one shuffle per round + the doubling escape
+      // hatch), and — unlike the anti-join frontier loop it replaces — no
+      // round-over-round plan growth.
       val ec = eR
         .join(colors.select(col("id").as("source"), col("color").as("cs")), Seq("source"))
         .join(colors.select(col("id").as("target"), col("color").as("ct")), Seq("target"))
         .filter(col("cs") === col("ct"))
-        .select(col("target").as("source"), col("source").as("target"),
-          col("cs").as("color")) // reversed, color-stamped
+        .select(col("target").as("source"), col("source").as("target"))
         .localCheckpoint()
-      var scc = colors.filter(col("color") === col("id"))
-        .select(col("id"), col("id").as("root")).localCheckpoint()
-      var frontier = scc
-      while (!frontier.isEmpty) {
-        val next = ec
-          .join(frontier.select(col("id").as("source"), col("root")), Seq("source"))
-          .filter(col("color") === col("root"))
-          .select(col("target").as("id"), col("root")).distinct()
-          .join(scc, Seq("id"), "left_anti")
-          .localCheckpoint()
-        frontier = next
-        if (!next.isEmpty) scc = scc.union(next).localCheckpoint()
+      // 2a. cheap path first: propagate ONLY the root ids backward (flag
+      // propagation seeded with root ids, -1 elsewhere). Converges in
+      // (max SCC backward depth + 1) rounds — typically far fewer than the
+      // full coloring's class-diameter rounds, because ids of non-SCC
+      // bridge nodes inside a class never need to ripple (measured at
+      // sf0.1: 19 full-coloring rounds vs SCC depth ~a third of that).
+      // Pointer doubling cannot apply to flags (the -1 sentinel would
+      // many-to-many explode the doubling join), so the loop is capped at
+      // `doublingAfter` rounds; a genuinely deep graph that hits the cap
+      // falls back to the doubling-capable full coloring.
+      var rev = colors.select(col("id"),
+          when(col("color") === col("id"), col("id")).otherwise(lit(-1L)).as("color"))
+        .localCheckpoint()
+      var revStable = false
+      var revRounds = 0
+      while (!revStable && revRounds < doublingAfter) {
+        val msgs = ec.join(rev.withColumnRenamed("id", "source"), Seq("source"))
+          .select(col("target").as("id"), col("color"))
+        val next = rev.union(msgs).groupBy("id")
+          .agg(max("color").as("color")).localCheckpoint()
+        revStable = next.join(rev.withColumnRenamed("color", "prev"), Seq("id"))
+          .filter(col("color") =!= col("prev")).limit(1).count() == 0
+        rev = next
+        revRounds += 1
       }
+      System.err.println(
+        s"[graft] scc bwd flag pass ${if (revStable) "converged" else "capped"} in $revRounds rounds")
+      if (!revStable) rev = maxColorFixpoint(ec, remaining, doublingAfter, "bwd")
+      val scc = colors.join(rev.withColumnRenamed("color", "rc"), Seq("id"))
+        .filter(col("color") === col("rc"))
+        .select(col("id"), col("color").as("root"))
+        .localCheckpoint()
       result = if (result == null) scc else result.union(scc).localCheckpoint()
       remaining = remaining.join(scc.select("id"), Seq("id"), "left_anti").localCheckpoint()
       remainingCount = remaining.count()

@@ -89,6 +89,24 @@ class Round4Spec extends AnyFunSuite with SparkFixture {
     assert(!out(2L).decoded && out(2L).channel_mean.isEmpty)
   }
 
+  test("SCC coloring doubling path closes a long scrambled cycle correctly") {
+    // a directed 12-cycle with ids scrambled by a coprime stride: plain
+    // max-color propagation needs ~11 rounds, so with doublingAfter=4 both
+    // the forward and backward fixpoints cross the threshold and exercise
+    // the doubling branch (scrambled ids make color(v) point away from v,
+    // so the hop genuinely compresses); the whole cycle is ONE SCC labeled
+    // by its min id
+    val n = 12
+    val ids = (0 until n).map(i => ((i * 7) % n).toLong)
+    val nodes = ids.toDF("id")
+    val edges = (0 until n).map(i => (ids(i), ids((i + 1) % n)))
+      .toDF("source", "target")
+    val out = GraphAlgorithms.strongComponentLabels(NetworkFrame(nodes, edges),
+        doublingAfter = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == n && out.values.forall(_ == 0L))
+  }
+
   test("redactPatterns financial preset scrubs IBANs and card numbers") {
     import graft.functions.TextAnalysis
     val docs = Seq(
