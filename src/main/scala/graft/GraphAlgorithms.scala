@@ -370,7 +370,7 @@ object GraphAlgorithms {
     * frontier is empty or maxHops reached.
     */
   private def bfsReachable(nf: NetworkFrame, nodeId: Any, directed: Boolean,
-                           maxHops: Int): DataFrame = {
+                           maxHops: Int): DataFrame = withoutConstraintPropagation(nf.edges) {
     val e0 = if (directed) nf.edges.select(col("source"), col("target"))
              else nf.symmetrizedEdges
     val e = e0.distinct().localCheckpoint()
@@ -403,7 +403,7 @@ object GraphAlgorithms {
     * shuffle each, frontier-sized state — no dense distance matrix.
     */
   def bfsDistances(nf: NetworkFrame, nodeId: Any, maxDepth: Int,
-                   directed: Boolean = false): DataFrame = {
+                   directed: Boolean = false): DataFrame = withoutConstraintPropagation(nf.edges) {
     require(maxDepth >= 0, "maxDepth must be non-negative")
     val e0 = if (directed) nf.edges.select(col("source"), col("target"))
              else nf.symmetrizedEdges
@@ -439,7 +439,7 @@ object GraphAlgorithms {
     * LPA can two-cycle on bipartite-ish structures; a fixed even/odd round
     * count makes that deterministic too.
     */
-  def labelPropagation(nf: NetworkFrame, rounds: Int): DataFrame = {
+  def labelPropagation(nf: NetworkFrame, rounds: Int): DataFrame = withoutConstraintPropagation(nf.edges) {
     require(rounds >= 1, "at least one round")
     val sym = nf.symmetrizedEdges.filter(col("source") =!= col("target"))
       .distinct().localCheckpoint()
@@ -473,7 +473,7 @@ object GraphAlgorithms {
     * keep relaxing monotonically for all `rounds`).
     */
   def shortestPaths(nf: NetworkFrame, sourceId: Any, weightCol: String,
-                    rounds: Int, directed: Boolean = true): DataFrame = {
+                    rounds: Int, directed: Boolean = true): DataFrame = withoutConstraintPropagation(nf.edges) {
     require(rounds >= 1, "at least one relaxation round")
     val wq = floor(col(weightCol).cast("double") * 100).cast("long")
     val base = nf.edges.select(col("source"), col("target"), wq.as("wq"))
@@ -523,7 +523,7 @@ object GraphAlgorithms {
     * 100 TB scale add degree capping / bucketed edges.
     */
   def kHopPairs(nf: NetworkFrame, k: Int, directed: Boolean = false,
-                dropSelf: Boolean = true): DataFrame = {
+                dropSelf: Boolean = true): DataFrame = withoutConstraintPropagation(nf.edges) {
     require(k >= 1, "k must be >= 1")
     val e0 = if (directed) nf.edges.select(col("source"), col("target"))
              else nf.symmetrizedEdges
@@ -597,7 +597,7 @@ object GraphAlgorithms {
     * non-negative (Perron) — no eigenvector sign ambiguity.
     */
   def sortSpectral(nf: NetworkFrame, weightCol: String = "weight",
-                   iterations: Int = 30): DataFrame = {
+                   iterations: Int = 30): DataFrame = withoutConstraintPropagation(nf.edges) {
     val D38 = "decimal(38,0)"
     val sym = nf.edges.select(col("source"), col("target"),
         col(weightCol).cast("decimal(18,2)").as("w"))
@@ -644,7 +644,7 @@ object GraphAlgorithms {
     * by localCheckpoint — O(iterations) rounds regardless of graph size.
     */
   def pageRank(nf: NetworkFrame, iterations: Int = 10,
-               damping: Int = 85): DataFrame = {
+               damping: Int = 85): DataFrame = withoutConstraintPropagation(nf.edges) {
     val S = 1000000000000L
     val e = nf.edges.select(col("source"), col("target")).distinct().localCheckpoint()
     val outdeg = e.groupBy(col("source")).agg(count(lit(1)).as("od")).localCheckpoint()
@@ -676,7 +676,7 @@ object GraphAlgorithms {
     * round (consistent with `pageRank` and the oracle).
     */
   def pageRankWeighted(nf: NetworkFrame, weightCol: String,
-                       iterations: Int = 10, damping: Int = 85): DataFrame = {
+                       iterations: Int = 10, damping: Int = 85): DataFrame = withoutConstraintPropagation(nf.edges) {
     val S = 1000000000000L
     val wq = floor(col(weightCol).cast("double") * 100).cast("long")
     val e = nf.edges.select(col("source"), col("target"), wq.as("wq"))
@@ -710,7 +710,7 @@ object GraphAlgorithms {
     * is effectively sparse (filter qs > 0 before materializing).
     */
   def personalizedPageRank(nf: NetworkFrame, seedId: Any,
-                           iterations: Int = 10, damping: Int = 85): DataFrame = {
+                           iterations: Int = 10, damping: Int = 85): DataFrame = withoutConstraintPropagation(nf.edges) {
     val S = 1000000000000L
     val e = nf.edges.select(col("source"), col("target")).distinct().localCheckpoint()
     val outdeg = e.groupBy(col("source")).agg(count(lit(1)).as("od")).localCheckpoint()
@@ -777,7 +777,7 @@ object GraphAlgorithms {
     * join against the ordered adjacency — O(steps) rounds, walk-count-sized
     * state, no adjacency materialization on the driver.
     */
-  def randomWalks(nf: NetworkFrame, steps: Int): DataFrame = {
+  def randomWalks(nf: NetworkFrame, steps: Int): DataFrame = withoutConstraintPropagation(nf.edges) {
     require(steps >= 1, "at least one step")
     val sym = nf.symmetrizedEdges.filter(col("source") =!= col("target"))
       .distinct()
@@ -916,7 +916,7 @@ object GraphAlgorithms {
     * the same per-round cost envelope as componentLabels, so the 100 TB
     * story is identical.
     */
-  def kCore(nf: NetworkFrame, k: Int, rounds: Int = 8): DataFrame = {
+  def kCore(nf: NetworkFrame, k: Int, rounds: Int = 8): DataFrame = withoutConstraintPropagation(nf.edges) {
     val sym = nf.symmetrizedEdges
       .select(col("source"), col("target"))
       .filter(col("source") =!= col("target")).distinct()
@@ -931,6 +931,63 @@ object GraphAlgorithms {
     induce(sym, surviving)
       .groupBy(col("source").as("id"))
       .agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** Edge reciprocity of a directed graph: the fraction of distinct
+    * non-self directed edges whose reverse edge also exists, quantized as
+    * n_reciprocal * 1e6 DIV n_edges. One (source, target)-keyed left join
+    * against the reversed edge set plus one global aggregate — no per-node
+    * state, so the plan is a single co-partitioned shuffle at any scale.
+    * Undefined (empty output sum) on an edgeless graph.
+    */
+  def reciprocity(nf: NetworkFrame): DataFrame = {
+    val e = nf.edges.select(col("source"), col("target"))
+      .filter(col("source") =!= col("target")).distinct()
+    val rev = e.select(col("target").as("source"), col("source").as("target"))
+      .withColumn("m", lit(1L))
+    e.join(rev, Seq("source", "target"), "left_outer")
+      .agg(count(lit(1)).as("n_edges"),
+        coalesce(sum("m"), lit(0L)).as("n_reciprocal"))
+      .select(col("n_edges"), col("n_reciprocal"),
+        expr("n_reciprocal * 1000000 div n_edges").as("reciprocity_q"))
+  }
+
+  /** Sampled harmonic centrality: h(v) = sum over seeds s != v of
+    * 1e6 DIV dist(s, v) on the symmetrized graph, seeds = the k smallest
+    * node ids (deterministic). All k BFS trees grow in ONE simultaneous
+    * frontier loop keyed on (seed, node) — per round one join shuffle over
+    * the combined frontier plus one anti-join against the visited set, so
+    * k seeds cost one loop, not k. Unreached pairs contribute 0; `maxDepth`
+    * bounds the rounds (and matches the oracle's recursion bound).
+    */
+  def harmonicCentrality(nf: NetworkFrame, k: Int = 8, maxDepth: Int = 12):
+      DataFrame = withoutConstraintPropagation(nf.edges) {
+    require(k >= 1 && maxDepth >= 1, "need at least one seed and one hop")
+    val e = nf.symmetrizedEdges.distinct().localCheckpoint()
+    var dist = nf.nodes.select(col("id")).orderBy("id").limit(k)
+      .select(col("id").as("seed"), col("id"), lit(0L).as("d"))
+      .localCheckpoint()
+    var frontier = dist
+    var hops = 0
+    var done = frontier.isEmpty
+    while (!done && hops < maxDepth) {
+      val next = e.join(frontier.withColumnRenamed("id", "source"), Seq("source"))
+        .select(col("seed"), col("target").as("id"), (col("d") + 1).as("d"))
+        .distinct()
+        .join(dist.select("seed", "id"), Seq("seed", "id"), "left_anti")
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        dist = dist.union(next).localCheckpoint()
+        frontier = next
+      }
+      hops += 1
+    }
+    nf.nodes.select(col("id"))
+      .join(dist.filter(col("d") > 0)
+          .groupBy("id").agg(sum(expr("1000000 div d")).as("hsum")),
+        Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("hsum"), lit(0L)).as("harmonic_q"))
   }
 
   private def induce(edges: DataFrame, ids: DataFrame): DataFrame =

@@ -438,6 +438,31 @@ SELECT m, CAST((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * C
  * sqrt(CAST(m AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS DOUBLE) AS assortativity
 FROM a""")),
 
+    // edge reciprocity of the sparse directed graph (one scalar row):
+    // reversed-edge left join + global aggregate, millionths-quantized
+    ("q_reciprocity", (s, dir) =>
+      GraphAlgorithms.reciprocity(sparse(s, dir)),
+      Some(s"""$G, e AS (SELECT DISTINCT source, target FROM sedges WHERE source <> target),
+r AS (SELECT CASE WHEN e2.source IS NULL THEN 0 ELSE 1 END AS m
+FROM e LEFT JOIN e e2 ON e.source = e2.target AND e.target = e2.source)
+SELECT CAST(count(*) AS BIGINT) AS n_edges, CAST(sum(m) AS BIGINT) AS n_reciprocal,
+CAST(sum(m) * 1000000 // count(*) AS BIGINT) AS reciprocity_q FROM r""")),
+
+    // sampled harmonic centrality from the 8 smallest node ids: ONE
+    // simultaneous multi-source BFS keyed on (seed, node); the oracle
+    // replays it as a bounded recursive CTE over the same sym edges
+    ("q_harmonic", (s, dir) =>
+      GraphAlgorithms.harmonicCentrality(sparse(s, dir), k = 8, maxDepth = 12)
+        .orderBy("id"),
+      Some(s"""$G, seeds AS (SELECT id FROM nodes ORDER BY id LIMIT 8),
+bfs(seed, id, d) AS (
+  SELECT id, id, 0 FROM seeds
+  UNION
+  SELECT b.seed, s.target, b.d + 1 FROM bfs b JOIN sym s ON s.source = b.id WHERE b.d < 12),
+md AS (SELECT seed, id, min(d) AS d FROM bfs GROUP BY 1, 2)
+SELECT n.id, CAST(COALESCE(sum(1000000 // d) FILTER (WHERE d > 0), 0) AS BIGINT) AS harmonic_q
+FROM nodes n LEFT JOIN md ON md.id = n.id GROUP BY 1 ORDER BY 1""")),
+
     // per-node local clustering coefficient (millionths-quantized)
     ("q_clustering", (s, dir) =>
       GraphAlgorithms.clusteringCoefficient(sparse(s, dir)).orderBy("id"),
@@ -985,6 +1010,18 @@ v AS (SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_total FROM tfc
 rk AS (SELECT token, df, tf_total, row_number() OVER (ORDER BY df DESC, tf_total DESC, token) AS rn FROM v)
 SELECT token, df, tf_total, CAST(rn AS INT) AS rank FROM rk WHERE rn <= 50 ORDER BY 4""")),
 
+    // corpus-trained bigram frequency scoring — the integer-exact analogue
+    // of a bigram LM fluency score (no cross-engine float log): train
+    // bigram counts over the corpus, score docs by avg bigram frequency
+    ("q_bigram_lm", (s, dir) =>
+      TextAnalysis.bigramLm(docs(s, dir), "doc_id", "text").orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(l) - 1), i -> l[i] || ' ' || l[i + 1])) AS bigram FROM t WHERE len(l) >= 2),
+cf AS (SELECT bigram, count(*) AS f FROM bg GROUP BY 1),
+ds AS (SELECT doc_id, count(*) AS n_bigrams, sum(f) AS fs FROM bg JOIN cf USING (bigram) GROUP BY 1)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, CAST(fs AS BIGINT) AS freq_sum,
+CAST((fs * 1000000) // n_bigrams AS BIGINT) AS lm_score_q FROM ds ORDER BY 1""")),
+
     // GPT-style sequence packing: concatenate per source in doc_id order,
     // cut into 256-token context windows; integer-exact running offsets
     ("q_pack", (s, dir) =>
@@ -1072,6 +1109,20 @@ FROM events l JOIN events r ON l.user_id = r.user_id
 AND r.ts >= l.ts - INTERVAL 4 HOUR AND r.ts <= l.ts
 WHERE l.event_type = 'click' AND r.event_type = 'view'
 ORDER BY 1,2""")),
+
+    // stream-static broadcast enrichment: the streaming event source joined
+    // to the static customer dimension (stateless broadcast join inside the
+    // microbatch), rolled up by (segment, event type)
+    ("q_stream_enrich", (s, dir) =>
+      EventStream.runEnrichedStream(s, s"$dir/events.parquet",
+          tbl(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+          "c_custkey", "c_mktsegment", s"enriched_${Counter.next()}")
+        .select(col("c_mktsegment").as("segment"), col("event_type"),
+          col("n"), col("cents"))
+        .orderBy("segment", "event_type"),
+      Some("""SELECT c.c_mktsegment AS segment, e.event_type, count(*) AS n,
+CAST(sum(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events e JOIN customer c ON e.user_id = c.c_custkey GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // custom per-key streaming state (flatMapGroupsWithState): exact
     // cent-quantized running totals per user, validated against the

@@ -316,4 +316,31 @@ object TextAnalysis {
       .withColumn("bin_last",
         expr(s"(token_start + n_tokens - 1) div ${budget}L"))
   }
+
+  /** Corpus-trained bigram scoring — the integer-exact analogue of a bigram
+    * language-model fluency signal: bigram counts are trained over the whole
+    * corpus (one map-side-combinable groupBy on the bigram), then each
+    * document scores as the average corpus frequency of its bigrams,
+    * quantized as freq_sum * 1e6 DIV n_bigrams. Low scores flag incoherent
+    * token sequences the way low LM log-prob does, with no cross-engine
+    * float log. Shuffle keys: bigram for training and scoring (hub bigrams
+    * like "of the" are split by AQE skew handling), then the doc id for the
+    * per-document rollup; documents with fewer than two tokens are dropped.
+    * The decimal accumulator keeps freq_sum exact past long range at scale.
+    */
+  def bigramLm(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = df.select(col(idCol), split(col(textCol), " ").as("l"))
+      .filter(size(col("l")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(l) - 1), i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"))
+        .as("bigram"))
+    val freq = bg.groupBy("bigram").agg(count(lit(1)).as("f"))
+    bg.join(freq, Seq("bigram"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("f").cast("decimal(38,0)")).as("fs"))
+      .select(col(idCol), col("n_bigrams"),
+        col("fs").cast("long").as("freq_sum"),
+        expr("CAST((fs * 1000000) DIV n_bigrams AS BIGINT)").as("lm_score_q"))
+  }
 }

@@ -211,6 +211,30 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Stream-static broadcast enrichment: a streaming fact source joined to a
+    * static dimension table — the canonical streaming feature-enrichment
+    * shape. The static side is broadcast, so the join is stateless (no
+    * watermark, no streaming state beyond the running aggregate); counts and
+    * exact cent totals roll up by (dimension attribute, event type). At
+    * 100 TB the same plan runs continuously with the dimension refreshed per
+    * microbatch; only the memory sink is test-harness-specific.
+    */
+  def runEnrichedStream(spark: SparkSession, parquetPath: String,
+                        dim: DataFrame, dimKey: String, attrCol: String,
+                        queryName: String = "enriched_stream"): DataFrame = {
+    val schema = spark.read.parquet(parquetPath).schema
+    val src = spark.readStream.schema(schema).parquet(stageDir(parquetPath))
+    val agg = src.join(broadcast(dim), src("user_id") === dim(dimKey))
+      .groupBy(col(attrCol), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("cents"))
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName(queryName).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+
   // the file-stream source requires a DIRECTORY; stage single files into a
   // scratch dir via symlink
   private def stageDir(parquetPath: String): String = {

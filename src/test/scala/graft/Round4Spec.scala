@@ -149,4 +149,64 @@ class Round4Spec extends AnyFunSuite with SparkFixture {
       conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
     }
   }
+
+  test("bigramLm scores docs by average corpus bigram frequency") {
+    import graft.functions.TextAnalysis
+    // corpus bigrams: "a b" appears 3x (docs 1, 2, 3), "b c" 2x (1, 2),
+    // "c a" 1x (2); doc 4 has a single token -> dropped
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c a"), (3L, "a b"), (4L, "x"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLm(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((2L, 5L, 2500000L)))  // (3 + 2) * 1e6 / 2
+    assert(out(2L) == ((3L, 6L, 2000000L)))  // (3 + 2 + 1) * 1e6 / 3
+    assert(out(3L) == ((1L, 3L, 3000000L)))  // 3 * 1e6 / 1
+    assert(!out.contains(4L))
+  }
+
+  test("reciprocity counts mutual directed pairs exactly") {
+    // edges: 1->2, 2->1 (mutual), 1->3 (one-way), 3->3 (self: dropped),
+    // plus a duplicate 1->2 (deduped)
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 3L), (1L, 2L))
+      .toDF("source", "target")
+    val r = GraphAlgorithms.reciprocity(NetworkFrame(nodes, edges)).collect()(0)
+    assert(r.getLong(0) == 3L)       // 1->2, 2->1, 1->3
+    assert(r.getLong(1) == 2L)       // the mutual pair, both directions
+    assert(r.getLong(2) == 666666L)  // 2e6 / 3 floored
+  }
+
+  test("harmonicCentrality sums inverse BFS distances from the seed set") {
+    // path 1 - 2 - 3 - 4 (undirected via symmetrization), node 9 isolated;
+    // seeds = 2 smallest ids = {1, 2}
+    val nodes = Seq(1L, 2L, 3L, 4L, 9L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("source", "target")
+    val out = GraphAlgorithms.harmonicCentrality(NetworkFrame(nodes, edges),
+        k = 2, maxDepth = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 1000000L)            // d(2,1)=1
+    assert(out(2L) == 1000000L)            // d(1,2)=1
+    assert(out(3L) == 500000L + 1000000L)  // d(1,3)=2, d(2,3)=1
+    assert(out(4L) == 333333L + 500000L)   // d(1,4)=3, d(2,4)=2
+    assert(out(9L) == 0L)                  // unreached
+  }
+
+  test("stream-static enrichment matches the equivalent batch join") {
+    import graft.streaming.EventStream
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("graft_enrich_").toString
+    val ev = Seq(
+      (1L, new Timestamp(1000L), 10L, "click", 1.23, "{}"),
+      (2L, new Timestamp(2000L), 10L, "click", 2.00, "{}"),
+      (3L, new Timestamp(3000L), 11L, "view", 0.50, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val dim = Seq((10L, "AUTO"), (11L, "STEEL")).toDF("k", "seg")
+    val out = EventStream.runEnrichedStream(spark, s"$dir/events.parquet",
+        dim, "k", "seg", "enrich_spec")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out(("AUTO", "click")) == ((2L, 323L)))  // 123 + 200 cents
+    assert(out(("STEEL", "view")) == ((1L, 50L)))
+  }
 }
