@@ -55,9 +55,21 @@ object Dedup {
     * candidate near-duplicates.
     */
   def lshBuckets(df: DataFrame, idCol: String, textCol: String,
-                 numHashes: Int = 16, bands: Int = 4, shingleLen: Int = 3): DataFrame = {
+                 numHashes: Int = 16, bands: Int = 4, shingleLen: Int = 3): DataFrame =
+    lshBucketsFromSignatures(
+      minhashSignatures(df, idCol, textCol, numHashes, shingleLen), numHashes, bands)
+
+  /** LSH banding over precomputed (id, h, minhash) signatures. The signature
+    * pass (shingle explode x numHashes md5s) is the expensive stage of every
+    * MinHash consumer, so a pipeline running several of them — bucketing,
+    * candidate pairs, clustering — should derive signatures ONCE (persist
+    * them in the warehouse at scale) and fan out, like the cached
+    * component-labels pattern.
+    */
+  def lshBucketsFromSignatures(sig: DataFrame, numHashes: Int = 16,
+                               bands: Int = 4): DataFrame = {
     val rowsPerBand = numHashes / bands
-    minhashSignatures(df, idCol, textCol, numHashes, shingleLen)
+    sig
       .withColumn("band", floor(col("h") / lit(rowsPerBand)).cast("int"))
       .groupBy("id", "band")
       // deterministic band digest: rows ordered by h via sort_array on (h, minhash)
@@ -70,17 +82,19 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 16, bands: Int = 4,
-                      shingleLen: Int = 3): DataFrame = {
+                      shingleLen: Int = 3): DataFrame =
     // signatures feed three subtrees (bucketing + both candidate sides);
     // materialize once — numHashes rows per doc, always small
-    val sig = minhashSignatures(df, idCol, textCol, numHashes, shingleLen)
-      .localCheckpoint()
-    val rowsPerBand = numHashes / bands
-    val b = sig
-      .withColumn("band", floor(col("h") / lit(rowsPerBand)).cast("int"))
-      .groupBy("id", "band")
-      .agg(md5(array_join(transform(sort_array(collect_list(struct(col("h"), col("minhash")))),
-        s => s.getField("minhash")), "|")).as("bucket"))
+    minhashLshPairsFromSignatures(
+      minhashSignatures(df, idCol, textCol, numHashes, shingleLen).localCheckpoint(),
+      numHashes, bands)
+
+  /** Candidate pairs over precomputed signatures (already materialized by
+    * the caller — parquet-backed or checkpointed).
+    */
+  def minhashLshPairsFromSignatures(sig: DataFrame, numHashes: Int = 16,
+                                    bands: Int = 4): DataFrame = {
+    val b = lshBucketsFromSignatures(sig, numHashes, bands)
     val cand = b.as("x").join(b.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
@@ -157,11 +171,22 @@ object Dedup {
     */
   def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
                       minJaccard: Double, numHashes: Int = 16, bands: Int = 4,
-                      shingleLen: Int = 3): DataFrame = {
-    val pairs = minhashLshPairs(df, idCol, textCol, numHashes, bands, shingleLen)
+                      shingleLen: Int = 3): DataFrame =
+    nearDupClustersFromSignatures(df, idCol,
+      minhashSignatures(df, idCol, textCol, numHashes, shingleLen).localCheckpoint(),
+      minJaccard, numHashes, bands)
+
+  /** Clustering over precomputed signatures; `ids` supplies the id universe
+    * (singleton docs label themselves).
+    */
+  def nearDupClustersFromSignatures(ids: DataFrame, idCol: String,
+                                    sig: DataFrame, minJaccard: Double,
+                                    numHashes: Int = 16,
+                                    bands: Int = 4): DataFrame = {
+    val pairs = minhashLshPairsFromSignatures(sig, numHashes, bands)
       .filter(col("est_jaccard") >= minJaccard)
       .select(col("id_a").as("source"), col("id_b").as("target"))
-    val nodes = df.select(col(idCol).as("id"))
+    val nodes = ids.select(col(idCol).as("id"))
     graft.GraphAlgorithms.componentLabels(graft.NetworkFrame(nodes, pairs), "weak")
       .select(col("id").as(idCol), col("component").as("cluster_rep"))
   }
