@@ -933,6 +933,49 @@ object GraphAlgorithms {
       .agg(count(lit(1)).as("core_deg"))
   }
 
+  /** HITS hubs/authorities (Kleinberg), integer-exact: each iteration sums
+    * hub mass into authorities along in-edges, then authority mass into
+    * hubs along out-edges, with every pass max-normalized back to the 1e6
+    * scale by exact integral division in DECIMAL (power iteration is
+    * scale-invariant, so max normalization converges to the same ordering
+    * as the usual L2 — the `sortSpectral` technique, keeping the result
+    * bit-reproducible at any parallelism). A fixed iteration count makes
+    * the output a pure function of the graph, replayable by an unrolled
+    * oracle. Per iteration: two join+aggregate shuffle pairs and two
+    * scalar max reads; state is one score per node per direction.
+    */
+  def hits(nf: NetworkFrame, iterations: Int = 8): DataFrame =
+      withoutConstraintPropagation(nf.edges) {
+    require(iterations >= 1, "at least one iteration")
+    val D38 = "decimal(38,0)"
+    val e = nf.edges.select(col("source"), col("target")).distinct().localCheckpoint()
+    val nodes = nf.nodes.select(col("id")).localCheckpoint()
+    def renorm(raw: DataFrame): DataFrame = {
+      val mx = raw.agg(max(col("s"))).first().getDecimal(0)
+      val out =
+        if (mx == null || mx.signum == 0) nodes.select(col("id"), lit(0L).as("q"))
+        else nodes.join(raw, Seq("id"), "left_outer")
+          .selectExpr("id",
+            s"CAST((COALESCE(s, 0) * 1000000) DIV CAST('${mx.toPlainString}' AS DECIMAL(38,0)) AS BIGINT) AS q")
+      out.localCheckpoint()
+    }
+    var h = nodes.select(col("id"), lit(1000000L).as("q")).localCheckpoint()
+    var a: DataFrame = h
+    for (_ <- 1 to iterations) {
+      a = renorm(e.join(h.withColumnRenamed("id", "source"), Seq("source"))
+        .groupBy(col("target").as("id"))
+        .agg(sum(col("q").cast(D38)).as("s")))
+      h = renorm(e.join(a.select(col("id").as("target"), col("q")), Seq("target"))
+        .groupBy(col("source").as("id"))
+        .agg(sum(col("q").cast(D38)).as("s")))
+    }
+    nodes
+      .join(h.select(col("id"), col("q").as("hub_q")), Seq("id"), "left_outer")
+      .join(a.select(col("id"), col("q").as("auth_q")), Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("hub_q"), lit(0L)).as("hub_q"),
+        coalesce(col("auth_q"), lit(0L)).as("auth_q"))
+  }
+
   /** Edge reciprocity of a directed graph: the fraction of distinct
     * non-self directed edges whose reverse edge also exists, quantized as
     * n_reciprocal * 1e6 DIV n_edges. One (source, target)-keyed left join

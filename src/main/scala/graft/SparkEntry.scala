@@ -460,6 +460,12 @@ SELECT m, CAST((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * C
  * sqrt(CAST(m AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS DOUBLE) AS assortativity
 FROM a""")),
 
+    // HITS hubs/authorities over the sparse graph, integer-exact with
+    // per-pass max renormalization; the oracle unrolls all 8 iterations
+    ("q_hits", (s, dir) =>
+      GraphAlgorithms.hits(sparse(s, dir), iterations = 8).orderBy("id"),
+      Some(hitsSql(8))),
+
     // edge reciprocity of the sparse directed graph (one scalar row):
     // reversed-edge left join + global aggregate, millionths-quantized
     ("q_reciprocity", (s, dir) =>
@@ -1221,6 +1227,23 @@ SELECT n.id, v.qs AS score FROM nodes n JOIN v$iters v ON n.id = v.id ORDER BY 1
   /** DuckDB mirror of GraphAlgorithms.pageRank: same quantized-integer
     * iteration, unrolled; every CTE MATERIALIZED (see spectralSql).
     */
+  /** Unrolled HITS oracle: av{i}/hv{i} mirror GraphAlgorithms.hits pass for
+    * pass (authority pull, max renorm, hub pull, max renorm — all integral).
+    */
+  private def hitsSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""ar$i AS MATERIALIZED (SELECT e.target AS id, sum(h.q) AS s FROM de e JOIN hv${i - 1} h ON h.id = e.source GROUP BY 1),
+av$i AS MATERIALIZED (SELECT n.id, CAST(COALESCE(ar.s, 0) * 1000000 // (SELECT max(s) FROM ar$i) AS BIGINT) AS q FROM nodes n LEFT JOIN ar$i ar ON ar.id = n.id),
+hr$i AS MATERIALIZED (SELECT e.source AS id, sum(a.q) AS s FROM de e JOIN av$i a ON a.id = e.target GROUP BY 1),
+hv$i AS MATERIALIZED (SELECT n.id, CAST(COALESCE(hr.s, 0) * 1000000 // (SELECT max(s) FROM hr$i) AS BIGINT) AS q FROM nodes n LEFT JOIN hr$i hr ON hr.id = n.id)"""
+    }.mkString(",\n")
+    s"""WITH nodes AS MATERIALIZED (SELECT c_custkey AS id FROM customer),
+de AS MATERIALIZED (SELECT DISTINCT o_custkey AS source, o_orderkey % (SELECT count(*) FROM customer) AS target FROM orders WHERE o_orderkey % 10 = 0),
+hv0 AS MATERIALIZED (SELECT id, 1000000 AS q FROM nodes),
+$steps
+SELECT n.id, h.q AS hub_q, a.q AS auth_q FROM nodes n JOIN hv$iters h ON h.id = n.id JOIN av$iters a ON a.id = n.id ORDER BY 1"""
+  }
+
   private def pagerankSql(iters: Int, damping: Int): String = {
     val steps = (1 to iters).map { i =>
       s"""c$i AS MATERIALIZED (SELECT e.target AS id, sum(v.qs // o.od) AS m FROM de e JOIN v${i - 1} v ON v.id = e.source JOIN od o ON o.source = e.source GROUP BY 1),

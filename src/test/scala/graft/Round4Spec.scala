@@ -192,6 +192,19 @@ class Round4Spec extends AnyFunSuite with SparkFixture {
     assert(out(9L) == 0L)                  // unreached
   }
 
+  test("hits separates pure hubs from the pure authority") {
+    // 1 -> 3 and 2 -> 3: nodes 1 and 2 are equal pure hubs, 3 the only
+    // authority; one iteration reaches the fixpoint (hand-computed:
+    // a(3) = 2e6 -> renorm 1e6; h(1) = h(2) = 1e6, h(3) = 0)
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((1L, 3L), (2L, 3L)).toDF("source", "target")
+    val out = GraphAlgorithms.hits(NetworkFrame(nodes, edges), iterations = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((1000000L, 0L)))
+    assert(out(2L) == ((1000000L, 0L)))
+    assert(out(3L) == ((0L, 1000000L)))
+  }
+
   test("stream-static enrichment matches the equivalent batch join") {
     import graft.streaming.EventStream
     import java.sql.Timestamp
