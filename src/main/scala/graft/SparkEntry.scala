@@ -1141,6 +1141,16 @@ AND r.ts >= l.ts - INTERVAL 4 HOUR AND r.ts <= l.ts
 WHERE l.event_type = 'click' AND r.event_type = 'view'
 ORDER BY 1,2""")),
 
+    // watermark-bounded streaming dedup (dropDuplicatesWithinWatermark)
+    // keyed on (user, type): key-only projection makes the streamed result
+    // equal batch DISTINCT independent of intra-batch arrival order
+    ("q_stream_dedup", (s, dir) =>
+      EventStream.runDedupStream(s, s"$dir/events.parquet",
+          Seq("user_id", "event_type"), "10 minutes",
+          s"dedup_stream_${Counter.next()}")
+        .orderBy("user_id", "event_type"),
+      Some("""SELECT DISTINCT user_id, event_type FROM events ORDER BY 1, 2""")),
+
     // stream-static broadcast enrichment: the streaming event source joined
     // to the static customer dimension (stateless broadcast join inside the
     // microbatch), rolled up by (segment, event type)

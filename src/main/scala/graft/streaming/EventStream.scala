@@ -211,6 +211,26 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Drive `streamingDedup` over a parquet directory through the real
+    * microbatch machinery, projecting only the dedup keys — key-only output
+    * keeps the result independent of which duplicate arrives first inside a
+    * batch, so the streamed result equals the batch DISTINCT regardless of
+    * partition processing order.
+    */
+  def runDedupStream(spark: SparkSession, parquetPath: String,
+                     keys: Seq[String], delay: String = "10 minutes",
+                     queryName: String = "dedup_stream"): DataFrame = {
+    val schema = spark.read.parquet(parquetPath).schema
+    val src = spark.readStream.schema(schema).parquet(stageDir(parquetPath))
+    val d = streamingDedup(src, keys, delay)
+      .select(keys.map(col): _*)
+    val q = d.writeStream.outputMode("append").format("memory")
+      .queryName(queryName).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Stream-static broadcast enrichment: a streaming fact source joined to a
     * static dimension table — the canonical streaming feature-enrichment
     * shape. The static side is broadcast, so the join is stateless (no
