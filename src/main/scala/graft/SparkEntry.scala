@@ -717,6 +717,29 @@ FROM dq JOIN norms na ON na.vec_id = qa JOIN norms nb ON nb.vec_id = cb),
 rk AS (SELECT qa, bucket, cb, row_number() OVER (PARTITION BY qa ORDER BY sv DESC, cb) AS rn FROM sims)
 SELECT qa AS query_id, bucket, cb AS neighbor_id, CAST(rn AS INT) AS rank FROM rk WHERE rn <= 3 ORDER BY 1,4""")),
 
+    // recall@3 of the sign-LSH ANN vs the exact top-3 on a 1-in-50 query
+    // sample — the retrieval-quality gauge; exact cost is bounded by the
+    // sample rate, the approximate side stays bucket-joined
+    ("q_ann_recall", (s, dir) =>
+      Similarity.annRecall(emb(s, dir), "vec_id", "embedding", 3, 8, 50)
+        .orderBy("query_id"),
+      Some(s"""$EMB_U,
+norms AS (SELECT vec_id, sum(x * x) AS nn FROM u GROUP BY 1),
+edq AS (SELECT q.vec_id AS qa, c.vec_id AS cb, sum(q.x * c.x) AS d
+FROM u q JOIN u c ON q.i = c.i AND q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id GROUP BY 1,2),
+esims AS (SELECT qa, cb, CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS sv
+FROM edq JOIN norms na ON na.vec_id = qa JOIN norms nb ON nb.vec_id = cb),
+ek AS (SELECT qa, cb FROM (SELECT qa, cb, row_number() OVER (PARTITION BY qa ORDER BY sv DESC, cb) AS rn FROM esims) WHERE rn <= 3),
+bk AS (SELECT vec_id, CAST(list_sum(list_transform(generate_series(1, 8), j -> CASE WHEN embedding[j] > 0 THEN CAST(power(2, j - 1) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket FROM embeddings),
+cand AS (SELECT q.vec_id AS qa, c.vec_id AS cb FROM bk q JOIN bk c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id WHERE q.vec_id % 50 = 0),
+ak AS (SELECT qa, cb FROM (SELECT s.qa, s.cb, row_number() OVER (PARTITION BY s.qa ORDER BY s.sv DESC, s.cb) AS rn
+FROM esims s JOIN cand ON cand.qa = s.qa AND cand.cb = s.cb) WHERE rn <= 3),
+hits AS (SELECT e.qa, count(*) AS n_hit FROM ek e JOIN ak a ON a.qa = e.qa AND a.cb = e.cb GROUP BY 1),
+ex AS (SELECT qa, count(*) AS n_exact FROM ek GROUP BY 1)
+SELECT ex.qa AS query_id, CAST(ex.n_exact AS BIGINT) AS n_exact, CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+CAST(COALESCE(h.n_hit, 0) * 1000000 // ex.n_exact AS BIGINT) AS recall_q
+FROM ex LEFT JOIN hits h ON h.qa = ex.qa ORDER BY 1""")),
+
     ("q_ann_ivf", (s, dir) =>
       Similarity.ivfTopK(emb(s, dir), "vec_id", "embedding", "label", 3)
         .orderBy("query_id", "rank"),
