@@ -906,6 +906,38 @@ object GraphAlgorithms {
         sum(expr("1000000000000 DIV a.d")).cast("long").as("ra_q"))
   }
 
+  /** Neighborhood Jaccard similarity for candidate node pairs — the graph
+    * analogue of document n-gram Jaccard: J(a,b) = |N(a) n N(b)| /
+    * |N(a) u N(b)| over undirected neighbor sets, quantized at 1e6,
+    * emitted only for pairs sharing at least one neighbor. Candidate
+    * generation is the same hub-capped wedge join as `linkPrediction` (a
+    * degree-d hub closes d^2/2 wedges while carrying almost no similarity
+    * signal — the Zipf-head bound again), and degrees are taken over the
+    * same capped adjacency, so the output is a true Jaccard of the
+    * capped neighbor sets (mirroring `ngramJaccardPairs`' df-cap
+    * semantics).
+    */
+  def neighborhoodJaccard(nf: NetworkFrame, hubCap: Int = 1000): DataFrame = {
+    val adj = nf.symmetrizedEdges
+      .select(col("source").as("z"), col("target").as("n"))
+      .filter(col("z") =!= col("n")).distinct()
+    val kept = adj
+      .withColumn("d", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("z")))
+      .filter(col("d") <= hubCap)
+      .select("z", "n")
+      .localCheckpoint()
+    val deg = kept.groupBy(col("n").as("id")).agg(count(lit(1)).as("dg"))
+    kept.as("a")
+      .join(kept.as("b"), col("a.z") === col("b.z") && col("a.n") < col("b.n"))
+      .groupBy(col("a.n").as("id_a"), col("b.n").as("id_b"))
+      .agg(count(lit(1)).as("cn"))
+      .join(deg.select(col("id").as("id_a"), col("dg").as("da")), Seq("id_a"))
+      .join(deg.select(col("id").as("id_b"), col("dg").as("db")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("cn"),
+        expr("cn * 1000000 div (da + db - cn)").as("jaccard_q"))
+  }
+
   /** k-core membership via fixed-round peeling: repeatedly drop nodes whose
     * degree in the surviving induced subgraph is < k. `rounds` is fixed (not
     * run-to-convergence) so the result is a pure function of the input and an

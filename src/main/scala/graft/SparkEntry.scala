@@ -542,6 +542,20 @@ kept AS (SELECT sy.source AS z, sy.target AS n, d FROM sy JOIN deg ON deg.z = sy
 SELECT a.n AS id_a, b.n AS id_b, count(*) AS cn, CAST(sum(1000000000000 // a.d) AS BIGINT) AS ra_q
 FROM kept a JOIN kept b ON a.z = b.z AND a.n < b.n GROUP BY 1,2 ORDER BY 1,2""")),
 
+    // neighborhood Jaccard of node pairs sharing a neighbor (hub-capped
+    // wedge join; true Jaccard of the capped neighbor sets)
+    ("q_node_jaccard", (s, dir) =>
+      GraphAlgorithms.neighborhoodJaccard(sparse(s, dir), hubCap = 8)
+        .orderBy("id_a", "id_b"),
+      Some(s"""$G, sy AS (SELECT DISTINCT source, target FROM sym WHERE source <> target),
+dz AS (SELECT source AS z, count(*) AS d FROM sy GROUP BY 1),
+kept AS (SELECT sy.source AS z, sy.target AS n FROM sy JOIN dz ON dz.z = sy.source WHERE d <= 8),
+dg AS (SELECT n AS id, count(*) AS dgc FROM kept GROUP BY 1),
+cp AS (SELECT a.n AS id_a, b.n AS id_b, count(*) AS cn FROM kept a JOIN kept b ON a.z = b.z AND a.n < b.n GROUP BY 1,2)
+SELECT cp.id_a, cp.id_b, CAST(cp.cn AS BIGINT) AS cn,
+CAST(cp.cn * 1000000 // (da.dgc + db.dgc - cp.cn) AS BIGINT) AS jaccard_q
+FROM cp JOIN dg da ON da.id = cp.id_a JOIN dg db ON db.id = cp.id_b ORDER BY 1, 2""")),
+
     // k-core membership by fixed-round peeling; the oracle replays the same
     // rounds as an unrolled CTE chain (same technique as q_pagerank)
     ("q_kcore", (s, dir) =>

@@ -205,6 +205,22 @@ class Round4Spec extends AnyFunSuite with SparkFixture {
     assert(out(3L) == ((0L, 1000000L)))
   }
 
+  test("neighborhoodJaccard computes exact capped-set Jaccard per pair") {
+    // triangle 1-2-3 plus pendant 3-4: N(1)={2,3} N(2)={1,3} N(3)={1,2,4}
+    // N(4)={3}; e.g. J(1,4) = |{3}| / |{2,3} u {3}| = 1/2
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .toDF("source", "target")
+    val out = GraphAlgorithms.neighborhoodJaccard(NetworkFrame(nodes, edges))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out((1L, 2L)) == ((1L, 333333L)))  // {3} / {1,2,3}
+    assert(out((1L, 3L)) == ((1L, 250000L)))  // {2} / {1,2,3,4}... sets of size 2,3
+    assert(out((2L, 3L)) == ((1L, 250000L)))
+    assert(out((1L, 4L)) == ((1L, 500000L)))
+    assert(out((2L, 4L)) == ((1L, 500000L)))
+    assert(out.size == 5)
+  }
+
   test("stream-static enrichment matches the equivalent batch join") {
     import graft.streaming.EventStream
     import java.sql.Timestamp
