@@ -906,6 +906,24 @@ object GraphAlgorithms {
         sum(expr("1000000000000 DIV a.d")).cast("long").as("ra_q"))
   }
 
+  /** SCC condensation DAG — the classic consumer of strong-component
+    * labels: contract every SCC to its (min-id) representative and emit the
+    * distinct inter-component edges with multiplicity. The result is
+    * acyclic by construction. One labels fixpoint + two label joins on the
+    * edge table + one aggregation; reuse a precomputed labels frame via the
+    * second overload when several condensation consumers run.
+    */
+  def condensationGraph(nf: NetworkFrame): DataFrame =
+    condensationFromLabels(nf, strongComponentLabels(nf))
+
+  def condensationFromLabels(nf: NetworkFrame, labels: DataFrame): DataFrame =
+    nf.edges.select(col("source"), col("target")).distinct()
+      .join(labels.select(col("id").as("source"), col("component").as("cs")), Seq("source"))
+      .join(labels.select(col("id").as("target"), col("component").as("ct")), Seq("target"))
+      .filter(col("cs") =!= col("ct"))
+      .groupBy(col("cs").as("source"), col("ct").as("target"))
+      .agg(count(lit(1)).as("n_edges"))
+
   /** Neighborhood Jaccard similarity for candidate node pairs — the graph
     * analogue of document n-gram Jaccard: J(a,b) = |N(a) n N(b)| /
     * |N(a) u N(b)| over undirected neighbor sets, quantized at 1e6,

@@ -542,6 +542,18 @@ kept AS (SELECT sy.source AS z, sy.target AS n, d FROM sy JOIN deg ON deg.z = sy
 SELECT a.n AS id_a, b.n AS id_b, count(*) AS cn, CAST(sum(1000000000000 // a.d) AS BIGINT) AS ra_q
 FROM kept a JOIN kept b ON a.z = b.z AND a.n < b.n GROUP BY 1,2 ORDER BY 1,2""")),
 
+    // SCC condensation DAG: contract each strong component to its min-id
+    // representative, emit distinct inter-component edges with
+    // multiplicity; the oracle derives SCCs as mutual transitive reach
+    ("q_condensation", (s, dir) =>
+      GraphAlgorithms.condensationGraph(sparse(s, dir))
+        .orderBy("source", "target"),
+      Some(s"""$G, se2 AS (SELECT DISTINCT source, target FROM sedges),
+fwd(id, r) AS (SELECT id, id FROM nodes UNION SELECT f.id, s.target FROM fwd f JOIN se2 s ON s.source = f.r),
+scc AS (SELECT a.id, min(a.r) AS comp FROM fwd a JOIN fwd b ON b.id = a.r AND b.r = a.id GROUP BY 1),
+ce AS (SELECT sa.comp AS source, sb.comp AS target FROM se2 e JOIN scc sa ON sa.id = e.source JOIN scc sb ON sb.id = e.target WHERE sa.comp <> sb.comp)
+SELECT source, target, count(*) AS n_edges FROM ce GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // neighborhood Jaccard of node pairs sharing a neighbor (hub-capped
     // wedge join; true Jaccard of the capped neighbor sets)
     ("q_node_jaccard", (s, dir) =>
@@ -1177,6 +1189,18 @@ FROM events l JOIN events r ON l.user_id = r.user_id
 AND r.ts >= l.ts - INTERVAL 4 HOUR AND r.ts <= l.ts
 WHERE l.event_type = 'click' AND r.event_type = 'view'
 ORDER BY 1,2""")),
+
+    // ordered conversion funnel (view -> click -> purchase): per-stage user
+    // counts where each stage must strictly follow the user's first event
+    // of the previous stage
+    ("q_funnel", (s, dir) =>
+      EventStream.funnelCounts(tbl(s, dir, "events"),
+        Seq("view", "click", "purchase")),
+      Some("""WITH v AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t WHERE e.event_type = 'click' GROUP BY 1),
+p AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t WHERE e.event_type = 'purchase' GROUP BY 1)
+SELECT (SELECT count(*) FROM v) AS n_view, (SELECT count(*) FROM c) AS n_click,
+(SELECT count(*) FROM p) AS n_purchase""")),
 
     // watermark-bounded streaming dedup (dropDuplicatesWithinWatermark)
     // keyed on (user, type): key-only projection makes the streamed result

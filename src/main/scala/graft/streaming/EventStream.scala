@@ -211,6 +211,33 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Ordered conversion funnel over event types: per user, the first
+    * stage-1 event, the first stage-2 event strictly after it, the first
+    * stage-3 event after that, and so on — emitted as one row of per-stage
+    * user counts (n_<stage>). Each stage is one filtered user-keyed min
+    * aggregation + one join against the previous stage's first-timestamp
+    * table, so per-stage state is one timestamp per surviving user — never
+    * a window over the full event history.
+    */
+  def funnelCounts(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "at least one stage")
+    val ev = normalizeTs(events)
+    var prev = ev.filter(col("event_type") === stages.head)
+      .groupBy("user_id").agg(min("ts").as("t"))
+      .localCheckpoint()
+    var result = prev.agg(count(lit(1)).as(s"n_${stages.head}"))
+    for (st <- stages.tail) {
+      val next = ev.filter(col("event_type") === st)
+        .join(prev.select(col("user_id"), col("t").as("pt")), Seq("user_id"))
+        .filter(col("ts") > col("pt"))
+        .groupBy("user_id").agg(min("ts").as("t"))
+        .localCheckpoint()
+      result = result.crossJoin(next.agg(count(lit(1)).as(s"n_$st")))
+      prev = next
+    }
+    result
+  }
+
   /** Drive `streamingDedup` over a parquet directory through the real
     * microbatch machinery, projecting only the dedup keys — key-only output
     * keeps the result independent of which duplicate arrives first inside a

@@ -221,6 +221,33 @@ class Round4Spec extends AnyFunSuite with SparkFixture {
     assert(out.size == 5)
   }
 
+  test("condensationGraph contracts SCCs into an acyclic multiplicity DAG") {
+    // two 2-cycles {1,2} and {3,4} bridged by 2->3 and 1->4: one DAG edge
+    // (1 -> 3) with multiplicity 2; reps are min member ids
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L), (2L, 3L), (1L, 4L))
+      .toDF("source", "target")
+    val out = GraphAlgorithms.condensationGraph(NetworkFrame(nodes, edges))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((1L, 3L) -> 2L))
+  }
+
+  test("funnelCounts requires stages in strict temporal order per user") {
+    import graft.streaming.EventStream
+    import java.sql.Timestamp
+    // user 7 completes view -> click -> purchase in order; user 8 clicks
+    // BEFORE their first view, so their click never counts
+    val ev = Seq(
+      (1L, new Timestamp(1000L), 7L, "view", 1.0, "{}"),
+      (2L, new Timestamp(2000L), 7L, "click", 1.0, "{}"),
+      (3L, new Timestamp(3000L), 7L, "purchase", 1.0, "{}"),
+      (4L, new Timestamp(1000L), 8L, "click", 1.0, "{}"),
+      (5L, new Timestamp(2000L), 8L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventStream.funnelCounts(ev, Seq("view", "click", "purchase")).collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 1L && r.getLong(2) == 1L)
+  }
+
   test("stream-static enrichment matches the equivalent batch join") {
     import graft.streaming.EventStream
     import java.sql.Timestamp
