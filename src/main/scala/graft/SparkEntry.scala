@@ -1102,6 +1102,53 @@ ds AS (SELECT doc_id, count(*) AS n_bigrams, sum(f) AS fs FROM bg JOIN cf USING 
 SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, CAST(fs AS BIGINT) AS freq_sum,
 CAST((fs * 1000000) // n_bigrams AS BIGINT) AS lm_score_q FROM ds ORDER BY 1""")),
 
+    // the flagship corpus-cleaning composition: quality filter (score >=
+    // 70) -> exact dedup (keep min id per fingerprint) -> near-dup cluster
+    // representatives (MinHash-LSH over the cached signature table,
+    // filtered to survivors — per-doc signatures are independent, so the
+    // full-corpus signature table restricted to survivor ids IS the
+    // survivor signature table). One pipeline a training-data user runs
+    // end-to-end; the oracle replays every stage.
+    ("q_clean_corpus", (s, dir) => {
+      val q = TextAnalysis.qualityFeatures(docs(s, dir).select("doc_id", "text"), "text")
+        .filter(col("quality_score") >= 70)
+        .select("doc_id", "text", "n_tokens", "quality_score")
+      val undup = Dedup.exactDedup(q, "doc_id", "text")
+      val sig = docSignatures(s, dir)
+        .join(undup.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+        .localCheckpoint()
+      val reps = Dedup.nearDupClustersFromSignatures(undup.select("doc_id"),
+          "doc_id", sig, 0.5, 16, 4)
+        .filter(col("cluster_rep") === col("doc_id")).select("doc_id")
+      undup.join(reps, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+        .orderBy("doc_id")
+    },
+      Some(s"""WITH RECURSIVE t AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
+m AS (SELECT doc_id, text, l, CAST(len(l) AS BIGINT) AS n_tokens, CAST(length(text) AS BIGINT) AS n_chars,
+CAST(len(list_filter(l, x -> x IN ($ALL_MARKERS))) AS BIGINT) AS stop,
+CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS punct FROM t),
+sc AS (SELECT doc_id, text, l, n_tokens,
+CAST(100 - (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0 ELSE 20 END)
+- (CASE WHEN CAST(stop AS DOUBLE) / n_tokens > 0.05 THEN 0 ELSE 10 END)
+- (CASE WHEN CAST(punct AS DOUBLE) / n_chars < 0.2 THEN 0 ELSE 15 END) AS BIGINT) AS quality_score FROM m),
+qd AS (SELECT * FROM sc WHERE quality_score >= 70),
+fp AS (SELECT doc_id, md5(lower(trim(text))) AS f FROM qd),
+keep1 AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+u AS (SELECT qd.doc_id, qd.l, qd.n_tokens, qd.quality_score FROM qd JOIN keep1 USING (doc_id)),
+sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 0)), i -> array_to_string(list_slice(l, i, i + 2), ' '))) AS shingle FROM u),
+hs AS (SELECT doc_id, unnest(generate_series(0, 15)) AS h, shingle FROM sh),
+sig AS (SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash FROM hs GROUP BY 1, 2),
+b AS (SELECT doc_id AS id, h // 4 AS band, md5(string_agg(minhash, '|' ORDER BY h)) AS bucket FROM sig GROUP BY 1, 2),
+cand AS (SELECT DISTINCT x.id AS ia, y.id AS ib FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id),
+pe AS (SELECT c.ia, c.ib, CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS ej
+FROM cand c JOIN sig sa ON sa.doc_id = c.ia JOIN sig sb ON sb.doc_id = c.ib AND sb.h = sa.h GROUP BY 1, 2),
+e AS (SELECT ia, ib FROM pe WHERE ej >= 0.5),
+sym2 AS (SELECT ia AS s, ib AS tt FROM e UNION SELECT ib, ia FROM e),
+reach(id, r) AS (SELECT doc_id, doc_id FROM u UNION SELECT reach.id, s2.tt FROM reach JOIN sym2 s2 ON s2.s = reach.r),
+rep AS (SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY 1)
+SELECT u.doc_id, u.n_tokens, u.quality_score FROM u JOIN rep ON rep.doc_id = u.doc_id AND rep.cluster_rep = u.doc_id ORDER BY 1""")),
+
     // GPT-style sequence packing: concatenate per source in doc_id order,
     // cut into 256-token context windows; integer-exact running offsets
     ("q_pack", (s, dir) =>
