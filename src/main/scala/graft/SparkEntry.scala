@@ -792,6 +792,26 @@ SELECT cell, CAST(i AS INT) AS i,
 CAST(CASE WHEN sx >= 0 THEN sx // n ELSE -((-sx) // n) END AS BIGINT) AS centroid_q
 FROM g ORDER BY 1,2""")),
 
+    // one spherical k-means Lloyd assignment step (the E-step paired with
+    // q_ivf_centroids' M-step = the full IVF training loop): every vector
+    // re-assigned to its max-cosine centroid, ties to the smaller cell
+    ("q_kmeans_assign", (s, dir) =>
+      Similarity.kmeansAssign(emb(s, dir), "vec_id", "embedding", "label")
+        .select(col("id").as("vec_id"), col("cell"), col("new_cell"), col("moved"))
+        .orderBy("vec_id"),
+      Some(s"""$EMB_U,
+lb AS (SELECT vec_id, label FROM embeddings),
+norms AS (SELECT vec_id, sum(x * x) AS nn FROM u GROUP BY 1),
+g AS (SELECT label AS cell, i, sum(x) AS sx, count(*) AS n FROM u JOIN lb USING (vec_id) GROUP BY 1,2),
+cent AS (SELECT cell, i, CAST(CASE WHEN sx >= 0 THEN sx // n ELSE -((-sx) // n) END AS BIGINT) AS cq FROM g),
+cn AS (SELECT cell, sum(cq * cq) AS cn2 FROM cent GROUP BY 1),
+qc AS (SELECT u.vec_id, c.cell, sum(u.x * c.cq) AS d FROM u JOIN cent c ON c.i = u.i GROUP BY 1,2),
+ps AS (SELECT qc.vec_id, qc.cell, CAST(d AS DOUBLE) / (sqrt(CAST(nn AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) AS cs
+FROM qc JOIN norms ON norms.vec_id = qc.vec_id JOIN cn ON cn.cell = qc.cell),
+best AS (SELECT vec_id, cell AS new_cell FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn FROM ps) WHERE rn = 1)
+SELECT b.vec_id, lb.label AS cell, b.new_cell, lb.label <> b.new_cell AS moved
+FROM best b JOIN lb ON lb.vec_id = b.vec_id ORDER BY 1""")),
+
     // multi-probe IVF: nprobe=2 cells per query, centroid ranking and
     // candidate scoring both integer-exact (the oracle recomputes the same
     // truncation-exact centroids and replays the two-stage ranking)
