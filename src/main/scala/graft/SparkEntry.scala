@@ -291,6 +291,39 @@ FROM edges e JOIN nodes ns ON e.source = ns.id JOIN nodes nt ON e.target = nt.id
 FROM nodes n LEFT JOIN (SELECT source, count(*) c FROM edges GROUP BY 1) o ON n.id = o.source
 LEFT JOIN (SELECT target, count(*) c FROM edges GROUP BY 1) i ON n.id = i.target ORDER BY 1""")),
 
+    // degree distribution histogram of the full graph (the first profiling
+    // query on any 100 TB graph): one degree pass + one count-keyed rollup
+    ("q_degree_hist", (s, dir) =>
+      graph(s, dir).degrees()
+        .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("degree"),
+      Some(s"""$G, d AS (SELECT n.id, COALESCE(o.c, 0) + COALESCE(i.c, 0) AS degree
+FROM nodes n LEFT JOIN (SELECT source, count(*) c FROM edges GROUP BY 1) o ON n.id = o.source
+LEFT JOIN (SELECT target, count(*) c FROM edges GROUP BY 1) i ON n.id = i.target)
+SELECT degree, count(*) AS n_nodes FROM d GROUP BY 1 ORDER BY 1""")),
+
+    // language x source crosstab via pivot (conditional aggregation — the
+    // same relational shape as to_adjacency's explicit-values pivot)
+    ("q_lang_by_source", (s, dir) => {
+      val langs = Seq("en", "de", "fr", "es", "other")
+      docs(s, dir)
+        .withColumn("lg",
+          when(col("lang").isin(langs.init.map(lit(_)): _*), col("lang"))
+            .otherwise(lit("other")))
+        .groupBy("source")
+        .pivot("lg", langs)
+        .agg(coalesce(count(lit(1)), lit(0L)))
+        .na.fill(0L, langs)
+        .orderBy("source")
+    },
+      Some("""SELECT source,
+CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS en,
+CAST(count(*) FILTER (WHERE lang = 'de') AS BIGINT) AS de,
+CAST(count(*) FILTER (WHERE lang = 'fr') AS BIGINT) AS fr,
+CAST(count(*) FILTER (WHERE lang = 'es') AS BIGINT) AS es,
+CAST(count(*) FILTER (WHERE lang NOT IN ('en', 'de', 'fr', 'es')) AS BIGINT) AS other
+FROM documents GROUP BY 1 ORDER BY 1""")),
+
     ("q_to_adjacency", (s, dir) => {
       val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
       val g = graph(s, dir)
