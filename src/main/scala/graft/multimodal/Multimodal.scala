@@ -151,6 +151,90 @@ object Multimodal {
     }
   }
 
+  /** A perceptual hash row; `phash = -1` marks undecodable payloads. */
+  case class PHash(id: Long, decoded: Boolean, phash: Long)
+
+  /** Perceptual average-hash (aHash) over REAL decoded pixels: block-sum
+    * the integer luminance (299R + 587G + 114B, x1000) into an 8x8 grid,
+    * threshold each cell's integral mean against the integral grid mean,
+    * and pack the 64 bits row-major. Hamming-close hashes are visually
+    * near-duplicate images — the image-side analogue of SimHash text dedup.
+    * All arithmetic is integer, so the hash is identical at any
+    * parallelism; same narrow batch mapPartitions shape as `decodePixels`.
+    */
+  def perceptualHash(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[PHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val img =
+            try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.media)))
+            catch { case _: Throwable => None }
+          img match {
+            case Some(im) =>
+              val raster = im.getRaster
+              val w = im.getWidth; val h = im.getHeight
+              val bands = raster.getNumBands
+              val cell = new Array[Long](64)
+              val cnt = new Array[Long](64)
+              val buf = new Array[Int](bands)
+              var y = 0
+              while (y < h) {
+                val cy = math.min(7, y * 8 / h)
+                var x = 0
+                while (x < w) {
+                  val cx = math.min(7, x * 8 / w)
+                  raster.getPixel(x, y, buf)
+                  val lum =
+                    if (bands >= 3) 299L * buf(0) + 587L * buf(1) + 114L * buf(2)
+                    else 1000L * buf(0)
+                  cell(cy * 8 + cx) += lum
+                  cnt(cy * 8 + cx) += 1
+                  x += 1
+                }
+                y += 1
+              }
+              val means = Array.tabulate(64)(i => cell(i) / math.max(1L, cnt(i)))
+              val gridMean = means.sum / 64
+              var hash = 0L
+              var i = 0
+              while (i < 64) { if (means(i) > gridMean) hash |= (1L << i); i += 1 }
+              PHash(r.id, decoded = true, hash)
+            case None => PHash(r.id, decoded = false, -1L)
+          }
+        }
+      }
+    }
+  }
+
+  /** Near-duplicate image pairs with EXACT recall for `maxHamming <= 7`: by
+    * pigeonhole, two 64-bit perceptual hashes within Hamming distance 7
+    * agree on at least one of their eight 8-bit blocks, so the block join
+    * finds every such pair while only joining colliding blocks (shuffle key
+    * = (block index, block value) — never the image-pair cross space, the
+    * `simhashNearDupPairs` scheme). Undecodable payloads are excluded.
+    */
+  def imageNearDupPairs(ds: Dataset[MediaRecord], maxHamming: Int = 7): DataFrame = {
+    require(maxHamming <= 7, "8 blocks guarantee exact recall only to distance 7")
+    val ph = perceptualHash(ds).toDF()
+      .filter(col("decoded")).select("id", "phash").localCheckpoint()
+    val blocks = ph.select(col("id"),
+        explode(sequence(lit(0), lit(7))).as("b"), col("phash"))
+      .withColumn("blk", expr("shiftrightunsigned(phash, b * 8) & 255"))
+      .select("id", "b", "blk")
+    val cand = blocks.as("x").join(blocks.as("y"),
+        col("x.b") === col("y.b") && col("x.blk") === col("y.blk") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    cand
+      .join(ph.select(col("id").as("id_a"), col("phash").as("ha")), Seq("id_a"))
+      .join(ph.select(col("id").as("id_b"), col("phash").as("hb")), Seq("id_b"))
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Sample every `stride`-th "frame" of a video payload. STUB: a frame is a
     * fixed-size byte slice; real impl would demux. Output shape (one row per
     * sampled frame) and the explode-like fan-out are the real contract.

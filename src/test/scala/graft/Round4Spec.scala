@@ -192,6 +192,39 @@ class Round4Spec extends AnyFunSuite with SparkFixture {
     assert(out(9L) == 0L)                  // unreached
   }
 
+  test("perceptual hash pairs visually near-duplicate PNGs only") {
+    import graft.multimodal.Multimodal
+    import java.awt.image.BufferedImage
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val im = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) im.setRGB(x, y, f(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    val grad = png((x, y) => (x * 8 << 16) | (y * 8 << 8) | 128)
+    // same gradient with one slightly brightened pixel: visually identical
+    val near = png((x, y) =>
+      if (x == 5 && y == 5) (48 << 16) | (48 << 8) | 128
+      else (x * 8 << 16) | (y * 8 << 8) | 128)
+    // inverted gradient: visually different
+    val far = png((x, y) => ((255 - x * 8) << 16) | ((255 - y * 8) << 8) | 128)
+    val ds = spark.createDataset(Seq(
+      Multimodal.MediaRecord(1L, grad, "image/png"),
+      Multimodal.MediaRecord(2L, near, "image/png"),
+      Multimodal.MediaRecord(3L, far, "image/png"),
+      Multimodal.MediaRecord(4L, "not an image".getBytes, "text/plain")))(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord])
+    val pairs = Multimodal.imageNearDupPairs(ds, maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) <= 2)
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+    // determinism: same bytes, same hash, twice
+    val h1 = Multimodal.perceptualHash(ds).collect().map(p => p.id -> p.phash).toMap
+    val h2 = Multimodal.perceptualHash(ds).collect().map(p => p.id -> p.phash).toMap
+    assert(h1 == h2 && h1(4L) == -1L)
+  }
+
   test("hits separates pure hubs from the pure authority") {
     // 1 -> 3 and 2 -> 3: nodes 1 and 2 are equal pure hubs, 3 the only
     // authority; one iteration reaches the fixpoint (hand-computed:
