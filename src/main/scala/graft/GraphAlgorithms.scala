@@ -802,6 +802,60 @@ object GraphAlgorithms {
     out.select(col("walk_id"), col("step"), col("cur").as("node"))
   }
 
+  /** Weight-proportional deterministic random walks: at step i the walk at
+    * node v draws r = md5(walk_id ":" i) mod total_weight(v) and moves to
+    * the neighbor whose cent-quantized cumulative weight range contains r —
+    * integer-exact importance sampling, reproducible at any parallelism
+    * and replayable hop-for-hop by the oracle. The adjacency is one array
+    * row per source (targets sorted, prefix-summed weights, both built by
+    * codegen'd higher-order functions), so each step is ONE equi-join on
+    * the current node plus a row-local range scan — no per-step shuffle
+    * amplification through hub degrees. For mega-hubs whose neighbor array
+    * exceeds a row budget, pre-cap degree upstream (the `linkPrediction`
+    * hub-cap argument); isolated / zero-weight nodes self-loop.
+    */
+  def weightedRandomWalks(nf: NetworkFrame, weightCol: String,
+                          steps: Int): DataFrame = withoutConstraintPropagation(nf.edges) {
+    require(steps >= 1, "at least one step")
+    val wq0 = floor(col(weightCol).cast("double") * 100).cast("long")
+    val sym = nf.edges.select(col("source"), col("target"), wq0.as("wq"))
+      .union(nf.edges.select(col("target").as("source"),
+        col("source").as("target"), wq0.as("wq")))
+      .filter(col("source") =!= col("target"))
+      .groupBy("source", "target").agg(sum("wq").as("wq"))
+      .filter(col("wq") > 0)
+    val adj = sym.groupBy("source")
+      .agg(array_sort(collect_list(struct(col("target"), col("wq")))).as("nbrs"))
+      .select(col("source"),
+        expr("transform(nbrs, n -> n.target)").as("tgts"),
+        expr("""aggregate(transform(nbrs, n -> n.wq),
+                 cast(array() as array<bigint>),
+                 (acc, x) -> array_append(acc,
+                   x + if(size(acc) = 0, cast(0 as bigint),
+                          element_at(acc, size(acc)))))""").as("cums"))
+      .withColumn("tot", element_at(col("cums"), size(col("cums"))))
+      .localCheckpoint()
+    var cur = nf.nodes.select(col("id").as("walk_id"), col("id").as("cur"))
+      .localCheckpoint()
+    var out = cur.withColumn("step", lit(0))
+    for (i <- 1 to steps) {
+      val pick = conv(substring(md5(concat(col("walk_id").cast("string"),
+          lit(":"), lit(i.toString))), 1, 8), 16, 10).cast("long")
+      val stepped = cur
+        .join(adj.withColumnRenamed("source", "cur"), Seq("cur"), "left_outer")
+        .withColumn("r", pick % col("tot"))
+        // the chosen neighbor is the first whose cumulative weight exceeds
+        // r: count the prefix sums <= r (row-local codegen'd scan)
+        .withColumn("nxt",
+          expr("element_at(tgts, cast(size(filter(cums, c -> c <= r)) + 1 as int))"))
+        .select(col("walk_id"), coalesce(col("nxt"), col("cur")).as("cur"))
+        .localCheckpoint()
+      cur = stepped
+      out = out.union(cur.withColumn("step", lit(i)))
+    }
+    out.select(col("walk_id"), col("step"), col("cur").as("node"))
+  }
+
   /** Target-sorted adjacency with a dense 0-based per-source neighbor index
     * `nidx` — semantically `row_number() OVER (PARTITION BY source ORDER BY
     * target) - 1`, but hub-proof: a range-repartitioned global sort +

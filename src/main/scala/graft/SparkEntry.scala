@@ -545,6 +545,14 @@ FROM nodes n LEFT JOIN dg ON dg.id = n.id LEFT JOIN tri ON tri.id = n.id ORDER B
         .orderBy("walk_id", "step"),
       Some(walksSql(4))),
 
+    // weight-proportional deterministic walks (importance sampling): each
+    // hop draws md5 mod total weight and lands in the neighbor whose
+    // cumulative cent-quantized weight range contains the draw
+    ("q_wwalks", (s, dir) =>
+      GraphAlgorithms.weightedRandomWalks(sparse(s, dir), "weight", steps = 4)
+        .orderBy("walk_id", "step"),
+      Some(wwalksSql(4))),
+
     // weight-proportional PageRank over the sparse graph (cent-quantized
     // order values as edge weights); unrolled-oracle replay as usual
     ("q_pagerank_weighted", (s, dir) =>
@@ -1290,6 +1298,18 @@ AND r.ts >= l.ts - INTERVAL 4 HOUR AND r.ts <= l.ts
 WHERE l.event_type = 'click' AND r.event_type = 'view'
 ORDER BY 1,2""")),
 
+    // daily active users + event volume: tumbling calendar-day rollup with
+    // an exact distinct count (partial+final over (day, user))
+    ("q_daily_active", (s, dir) => {
+      val ev = EventStream.normalizeTs(tbl(s, dir, "events"))
+      ev.groupBy(to_date(col("ts")).as("day"))
+        .agg(count_distinct(col("user_id")).as("dau"),
+          count(lit(1)).as("n_events"))
+        .orderBy("day")
+    },
+      Some("""SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS dau, count(*) AS n_events
+FROM events GROUP BY 1 ORDER BY 1""")),
+
     // ordered conversion funnel (view -> click -> purchase): per-stage user
     // counts where each stage must strictly follow the user's first event
     // of the previous stage
@@ -1398,6 +1418,34 @@ SELECT n.id, v.qs AS score FROM nodes n JOIN v$iters v ON n.id = v.id ORDER BY 1
   /** DuckDB mirror of GraphAlgorithms.pageRank: same quantized-integer
     * iteration, unrolled; every CTE MATERIALIZED (see spectralSql).
     */
+  /** Unrolled weighted-walk oracle: w{i} draws the same md5 value and lands
+    * in the neighbor whose cumulative-weight range contains it — mirrors
+    * GraphAlgorithms.weightedRandomWalks hop for hop (exactly one cw row
+    * matches each draw, so the max() is that row's target).
+    */
+  private def wwalksSql(steps: Int): String = {
+    val stepCtes = (1 to steps).map { i =>
+      val r = s"CAST(concat('0x', substr(md5(concat(CAST(w.walk_id AS VARCHAR), ':', '$i')), 1, 8)) AS BIGINT)"
+      s"""w$i AS MATERIALIZED (SELECT w.walk_id, COALESCE(max(cw.target), w.cur) AS cur
+FROM w${i - 1} w
+LEFT JOIN tot ON tot.source = w.cur
+LEFT JOIN cw ON cw.source = w.cur AND $r % tot.tot >= cw.c - cw.wq AND $r % tot.tot < cw.c
+GROUP BY w.walk_id, w.cur)"""
+    }.mkString(",\n")
+    val unions = (0 to steps).map(i =>
+      s"SELECT walk_id, $i AS step, cur AS node FROM w$i").mkString("\nUNION ALL ")
+    s"""WITH nodes AS MATERIALIZED (SELECT c_custkey AS id FROM customer),
+se AS MATERIALIZED (SELECT o_custkey AS source, o_orderkey % (SELECT count(*) FROM customer) AS target, CAST(floor(o_totalprice * 100) AS BIGINT) AS wq FROM orders WHERE o_orderkey % 10 = 0),
+sws AS MATERIALIZED (SELECT source, target, sum(wq) AS wq FROM (SELECT source, target, wq FROM se UNION ALL SELECT target, source, wq FROM se) WHERE source <> target GROUP BY 1, 2),
+awf AS MATERIALIZED (SELECT source, target, wq FROM sws WHERE wq > 0),
+cw AS MATERIALIZED (SELECT source, target, wq, sum(wq) OVER (PARTITION BY source ORDER BY target) AS c FROM awf),
+tot AS MATERIALIZED (SELECT source, sum(wq) AS tot FROM awf GROUP BY 1),
+w0 AS MATERIALIZED (SELECT id AS walk_id, id AS cur FROM nodes),
+$stepCtes
+$unions
+ORDER BY 1, 2"""
+  }
+
   /** Unrolled HITS oracle: av{i}/hv{i} mirror GraphAlgorithms.hits pass for
     * pass (authority pull, max renorm, hub pull, max renorm — all integral).
     */

@@ -225,6 +225,24 @@ class Round4Spec extends AnyFunSuite with SparkFixture {
     assert(h1 == h2 && h1(4L) == -1L)
   }
 
+  test("weightedRandomWalks lands hops in the cumulative-weight range") {
+    // node 1 has neighbors 2 (1 cent) and 3 (99 cents); the first hop of
+    // walk 1 must match the md5 draw replayed here against cums [1, 100]
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((1L, 2L, 0.01), (1L, 3L, 0.99))
+      .toDF("source", "target", "weight")
+    val out = GraphAlgorithms.weightedRandomWalks(
+        NetworkFrame(nodes, edges), "weight", steps = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("1:1".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val r = java.lang.Long.parseLong(hex, 16) % 100L
+    assert(out((1L, 1)) == (if (r < 1) 2L else 3L))
+    // nodes 2 and 3 have exactly one (symmetrized) neighbor: node 1
+    assert(out((2L, 1)) == 1L && out((3L, 1)) == 1L)
+    assert(out((1L, 0)) == 1L) // step 0 is the start node
+  }
+
   test("hits separates pure hubs from the pure authority") {
     // 1 -> 3 and 2 -> 3: nodes 1 and 2 are equal pure hubs, 3 the only
     // authority; one iteration reaches the fixpoint (hand-computed:
