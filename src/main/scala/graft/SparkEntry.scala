@@ -61,6 +61,9 @@ object SparkEntry {
     */
   private val weakLabelsPath = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  // scratch dirs for the CSV/JSON sink half of q_io_roundtrip, one per dir
+  private val ioDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Strong-component labels, cached per (JVM, sf dir) exactly like the
     * weak labels above — q_strong_components and q_condensation both
     * consume the same SCC fixpoint, and `condensationFromLabels` exists
@@ -1315,6 +1318,30 @@ FROM events l JOIN events r ON l.user_id = r.user_id
 AND r.ts >= l.ts - INTERVAL 4 HOUR AND r.ts <= l.ts
 WHERE l.event_type = 'click' AND r.event_type = 'view'
 ORDER BY 1,2""")),
+
+    // native CSV + JSON source/sink round-trip: nation written as headered
+    // CSV and read back with schema inference, region as JSON lines; the
+    // oracle aggregates the parquet originals, proving the non-parquet IO
+    // paths preserve values end to end
+    ("q_io_roundtrip", (s, dir) => {
+      val tmp = ioDirs.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files.createTempDirectory("graft_io_").toString
+        tbl(s, dir, "nation").write.mode("overwrite")
+          .option("header", "true").csv(s"$d/nation_csv")
+        tbl(s, dir, "region").write.mode("overwrite").json(s"$d/region_json")
+        d
+      })
+      val n = s.read.option("header", "true").option("inferSchema", "true")
+        .csv(s"$tmp/nation_csv")
+      val r = s.read.json(s"$tmp/region_json")
+      n.join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_nations"),
+          sum(col("n_nationkey").cast("long")).cast("long").as("key_sum"))
+        .orderBy("r_name")
+    },
+      Some("""SELECT r.r_name, count(*) AS n_nations, CAST(sum(n.n_nationkey) AS BIGINT) AS key_sum
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY 1 ORDER BY 1""")),
 
     // daily active users + event volume: tumbling calendar-day rollup with
     // an exact distinct count (partial+final over (day, user))
