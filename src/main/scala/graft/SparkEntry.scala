@@ -805,6 +805,24 @@ FROM dq JOIN norms na ON na.vec_id = qa JOIN norms nb ON nb.vec_id = cb),
 rk AS (SELECT qa, bucket, cb, row_number() OVER (PARTITION BY qa ORDER BY sv DESC, cb) AS rn FROM sims)
 SELECT qa AS query_id, bucket, cb AS neighbor_id, CAST(rn AS INT) AS rank FROM rk WHERE rn <= 3 ORDER BY 1,4""")),
 
+    // per-vector quantized squared norm + corpus norm profile: the sanity
+    // scan run before any index build (map-only pass + one tiny rollup)
+    ("q_embed_norms", (s, dir) => {
+      graft.functions.LongDot.register(s)
+      val qv = Similarity.quantize(col("embedding"))
+      emb(s, dir)
+        .select(col("label"), Similarity.dotLong(qv, qv).as("n2"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"), min("n2").as("min_n2"),
+          max("n2").as("max_n2"),
+          sum(col("n2").cast("decimal(38,0)")).cast("decimal(38,0)").cast("string").as("sum_n2"))
+        .orderBy("label")
+    },
+      Some(s"""$EMB_U,
+n2 AS (SELECT e.label, sum(u.x * u.x) AS n2 FROM u JOIN embeddings e USING (vec_id) GROUP BY u.vec_id, e.label)
+SELECT label, count(*) AS n_vecs, CAST(min(n2) AS BIGINT) AS min_n2, CAST(max(n2) AS BIGINT) AS max_n2,
+CAST(CAST(sum(n2) AS HUGEINT) AS VARCHAR) AS sum_n2 FROM n2 GROUP BY 1 ORDER BY 1""")),
+
     // recall@3 of the sign-LSH ANN vs the exact top-3 on a 1-in-50 query
     // sample — the retrieval-quality gauge; exact cost is bounded by the
     // sample rate, the approximate side stays bucket-joined
@@ -1183,6 +1201,28 @@ cf AS (SELECT bigram, count(*) AS f FROM bg GROUP BY 1),
 ds AS (SELECT doc_id, count(*) AS n_bigrams, sum(f) AS fs FROM bg JOIN cf USING (bigram) GROUP BY 1)
 SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, CAST(fs AS BIGINT) AS freq_sum,
 CAST((fs * 1000000) // n_bigrams AS BIGINT) AS lm_score_q FROM ds ORDER BY 1""")),
+
+    // per-source quality percentile rank (percent_rank = (rank-1)/(n-1)
+    // over exact integer scores — engine-identical double); the per-group
+    // ranking every "keep the best X% per domain" policy needs
+    ("q_quality_rank", (s, dir) =>
+      TextAnalysis.qualityFeatures(docs(s, dir).select("doc_id", "source", "text"), "text")
+        .withColumn("q_rank", percent_rank().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("source")
+            .orderBy(col("quality_score"), col("doc_id"))))
+        .select("doc_id", "source", "quality_score", "q_rank")
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, source, text, string_split(text, ' ') AS l FROM documents),
+m AS (SELECT doc_id, source, CAST(len(l) AS BIGINT) AS n_tokens, CAST(length(text) AS BIGINT) AS n_chars,
+CAST(len(list_filter(l, x -> x IN ($ALL_MARKERS))) AS BIGINT) AS stop,
+CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS punct FROM t),
+sc AS (SELECT doc_id, source,
+CAST(100 - (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0 ELSE 20 END)
+- (CASE WHEN CAST(stop AS DOUBLE) / n_tokens > 0.05 THEN 0 ELSE 10 END)
+- (CASE WHEN CAST(punct AS DOUBLE) / n_chars < 0.2 THEN 0 ELSE 15 END) AS BIGINT) AS quality_score FROM m)
+SELECT doc_id, source, quality_score,
+percent_rank() OVER (PARTITION BY source ORDER BY quality_score, doc_id) AS q_rank
+FROM sc ORDER BY 1""")),
 
     // the flagship corpus-cleaning composition: quality filter (score >=
     // 70) -> exact dedup (keep min id per fingerprint) -> near-dup cluster
