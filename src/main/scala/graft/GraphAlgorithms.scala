@@ -978,6 +978,43 @@ object GraphAlgorithms {
       .groupBy(col("cs").as("source"), col("ct").as("target"))
       .agg(count(lit(1)).as("n_edges"))
 
+  /** k-truss via fixed-round edge peeling — the edge-level counterpart of
+    * `kCore`: repeatedly drop every canonical undirected edge supported by
+    * fewer than k-2 triangles in the surviving subgraph. `rounds` is fixed
+    * (not run-to-convergence) so the result is a pure function of the input
+    * and an unrolled-CTE oracle can replay it; real graphs converge in a
+    * handful of rounds (each round strictly shrinks the edge set). Per
+    * round: one wedge join + one canonical-pair count shuffle — the
+    * `triangleCount` plan run under peeling. Returns surviving (s, t,
+    * support) with the support measured in the final subgraph.
+    */
+  def kTruss(nf: NetworkFrame, k: Int, rounds: Int = 4): DataFrame =
+      withoutConstraintPropagation(nf.edges) {
+    require(k >= 2, "k must be >= 2")
+    require(rounds >= 1, "at least one peel round")
+    def support(ce: DataFrame): DataFrame = {
+      val tri = ce.as("ab").join(ce.as("bc"), col("ab.t") === col("bc.s"))
+        .join(ce.as("ac"),
+          col("ac.s") === col("ab.s") && col("ac.t") === col("bc.t"))
+        .select(col("ab.s").as("a"), col("ab.t").as("b"), col("bc.t").as("c"))
+      tri.select(col("a").as("s"), col("b").as("t"))
+        .union(tri.select(col("b").as("s"), col("c").as("t")))
+        .union(tri.select(col("a").as("s"), col("c").as("t")))
+        .groupBy("s", "t").agg(count(lit(1)).as("sup"))
+    }
+    var ce = nf.symmetrizedEdges.filter(col("source") =!= col("target"))
+      .select(least(col("source"), col("target")).as("s"),
+        greatest(col("source"), col("target")).as("t"))
+      .distinct().localCheckpoint()
+    for (_ <- 1 to rounds) {
+      ce = ce.join(support(ce), Seq("s", "t"), "left_outer")
+        .filter(coalesce(col("sup"), lit(0L)) >= k - 2)
+        .select("s", "t").localCheckpoint()
+    }
+    ce.join(support(ce), Seq("s", "t"), "left_outer")
+      .select(col("s"), col("t"), coalesce(col("sup"), lit(0L)).as("support"))
+  }
+
   /** Neighborhood Jaccard similarity for candidate node pairs — the graph
     * analogue of document n-gram Jaccard: J(a,b) = |N(a) n N(b)| /
     * |N(a) u N(b)| over undirected neighbor sets, quantized at 1e6,
@@ -1096,7 +1133,9 @@ object GraphAlgorithms {
       .agg(count(lit(1)).as("n_edges"),
         coalesce(sum("m"), lit(0L)).as("n_reciprocal"))
       .select(col("n_edges"), col("n_reciprocal"),
-        expr("n_reciprocal * 1000000 div n_edges").as("reciprocity_q"))
+        // NULL (not a division error) on an edgeless graph
+        expr("if(n_edges = 0, CAST(NULL AS BIGINT), n_reciprocal * 1000000 div n_edges)")
+          .as("reciprocity_q"))
   }
 
   /** Sampled harmonic centrality: h(v) = sum over seeds s != v of

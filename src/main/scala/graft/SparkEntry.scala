@@ -616,6 +616,13 @@ scc AS (SELECT a.id, min(a.r) AS comp FROM fwd a JOIN fwd b ON b.id = a.r AND b.
 ce AS (SELECT sa.comp AS source, sb.comp AS target FROM se2 e JOIN scc sa ON sa.id = e.source JOIN scc sb ON sb.id = e.target WHERE sa.comp <> sb.comp)
 SELECT source, target, count(*) AS n_edges FROM ce GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // k-truss by fixed-round edge peeling (the edge-level k-core); the
+    // oracle replays the same rounds as an unrolled CTE chain
+    ("q_ktruss", (s, dir) =>
+      GraphAlgorithms.kTruss(sparse(s, dir), k = 3, rounds = 3)
+        .orderBy("s", "t"),
+      Some(kTrussSql(3, 3))),
+
     // neighborhood Jaccard of node pairs sharing a neighbor (hub-capped
     // wedge join; true Jaccard of the capped neighbor sets)
     ("q_node_jaccard", (s, dir) =>
@@ -1503,6 +1510,27 @@ SELECT n.id, v.qs AS score FROM nodes n JOIN v$iters v ON n.id = v.id ORDER BY 1
   /** DuckDB mirror of GraphAlgorithms.pageRank: same quantized-integer
     * iteration, unrolled; every CTE MATERIALIZED (see spectralSql).
     */
+  /** Unrolled k-truss oracle: each round recomputes triangle support over
+    * the surviving canonical edges and peels below-threshold edges —
+    * mirrors GraphAlgorithms.kTruss round for round.
+    */
+  private def kTrussSql(k: Int, rounds: Int): String = {
+    val km2 = k - 2
+    def triSup(i: String, prev: String) =
+      s"""tri$i AS MATERIALIZED (SELECT ab.s AS a, ab.t AS b, bc.t AS c FROM $prev ab JOIN $prev bc ON ab.t = bc.s JOIN $prev ac ON ac.s = ab.s AND ac.t = bc.t),
+sup$i AS MATERIALIZED (SELECT s, t, count(*) AS sup FROM (SELECT a AS s, b AS t FROM tri$i UNION ALL SELECT b, c FROM tri$i UNION ALL SELECT a, c FROM tri$i) GROUP BY 1, 2)"""
+    val stepCtes = (1 to rounds).map { i =>
+      triSup(i.toString, s"ce${i - 1}") + s""",
+ce$i AS MATERIALIZED (SELECT e.s, e.t FROM ce${i - 1} e LEFT JOIN sup$i x ON x.s = e.s AND x.t = e.t WHERE COALESCE(x.sup, 0) >= $km2)"""
+    }.mkString(",\n")
+    s"""WITH se AS MATERIALIZED (SELECT o_custkey AS source, o_orderkey % (SELECT count(*) FROM customer) AS target FROM orders WHERE o_orderkey % 10 = 0),
+ce0 AS MATERIALIZED (SELECT DISTINCT least(source, target) AS s, greatest(source, target) AS t FROM se WHERE source <> target),
+$stepCtes,
+${triSup("f", s"ce$rounds")}
+SELECT e.s, e.t, CAST(COALESCE(x.sup, 0) AS BIGINT) AS support
+FROM ce$rounds e LEFT JOIN supf x ON x.s = e.s AND x.t = e.t ORDER BY 1, 2"""
+  }
+
   /** Unrolled weighted-walk oracle: w{i} draws the same md5 value and lands
     * in the neighbor whose cumulative-weight range contains it — mirrors
     * GraphAlgorithms.weightedRandomWalks hop for hop (exactly one cw row

@@ -177,6 +177,27 @@ class Round4Spec extends AnyFunSuite with SparkFixture {
     assert(r.getLong(2) == 666666L)  // 2e6 / 3 floored
   }
 
+  test("kTruss keeps the 4-clique and peels the pendant triangle tail") {
+    // K4 on {1,2,3,4} (every edge in 2 triangles) plus triangle {4,5,6}
+    // hanging off node 4 and a pendant edge 6-7: at k=4 (support >= 2)
+    // round 1 peels the pendant edge and the {4,5,6} triangle edges
+    // (support 1), leaving exactly the 6 K4 edges with support 2
+    val nodes = (1L to 7L).toDF("id")
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L)).toDF("source", "target")
+    val out = GraphAlgorithms.kTruss(NetworkFrame(nodes, edges), k = 4, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.keySet == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    assert(out.values.forall(_ == 2L))
+  }
+
+  test("reciprocity of an edgeless graph is NULL, not a division error") {
+    val nodes = Seq(1L, 2L).toDF("id")
+    val edges = Seq.empty[(Long, Long)].toDF("source", "target")
+    val r = GraphAlgorithms.reciprocity(NetworkFrame(nodes, edges)).collect()(0)
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L && r.isNullAt(2))
+  }
+
   test("harmonicCentrality sums inverse BFS distances from the seed set") {
     // path 1 - 2 - 3 - 4 (undirected via symmetrization), node 9 isolated;
     // seeds = 2 smallest ids = {1, 2}
