@@ -978,6 +978,55 @@ object GraphAlgorithms {
       .groupBy(col("cs").as("source"), col("ct").as("target"))
       .agg(count(lit(1)).as("n_edges"))
 
+  /** Deterministic Luby maximal independent set: each round every
+    * undecided node draws the key md5(id ":" round) suffixed with its
+    * zero-padded id (so keys are unique and totally ordered), joins the
+    * MIS iff its key is strictly smaller than every undecided neighbor's,
+    * and MIS members' neighbors drop out. Fixed `rounds` keeps the result
+    * a pure function of the graph, replayable by an unrolled oracle; Luby
+    * decides every node in O(log n) rounds w.h.p., and any leftovers
+    * surface as status = 'undecided' instead of an unbounded loop. Per
+    * round: one key join + one min-aggregate + semi/anti joins — node-sized
+    * state, the componentLabels cost envelope.
+    */
+  def maximalIndependentSet(nf: NetworkFrame, rounds: Int = 6): DataFrame =
+      withoutConstraintPropagation(nf.edges) {
+    require(rounds >= 1, "at least one round")
+    val sym = nf.symmetrizedEdges.filter(col("source") =!= col("target"))
+      .distinct().localCheckpoint()
+    var undecided = nf.nodes.select(col("id")).localCheckpoint()
+    var result: DataFrame = null
+    for (i <- 1 to rounds) {
+      val key = concat(md5(concat(col("id").cast("string"), lit(s":$i"))),
+        lit("-"), lpad(col("id").cast("string"), 20, "0"))
+      val keyed = undecided.select(col("id"), key.as("k")).localCheckpoint()
+      val nbrMin = sym
+        .join(keyed.select(col("id").as("source"), col("k").as("nk")), Seq("source"))
+        .join(undecided.withColumnRenamed("id", "target"), Seq("target"), "left_semi")
+        .groupBy(col("target").as("id")).agg(min("nk").as("mnk"))
+      val inMis = keyed.join(nbrMin, Seq("id"), "left_outer")
+        .filter(col("mnk").isNull || col("k") < col("mnk"))
+        .select("id").localCheckpoint()
+      val outNbrs = sym
+        .join(inMis.withColumnRenamed("id", "source"), Seq("source"), "left_semi")
+        .select(col("target").as("id")).distinct()
+        .join(inMis, Seq("id"), "left_anti")
+        .join(undecided, Seq("id"), "left_semi")
+        .localCheckpoint()
+      val decided = inMis
+        .select(col("id"), lit("in").as("status"), lit(i).as("decided_round"))
+        .union(outNbrs
+          .select(col("id"), lit("out").as("status"), lit(i).as("decided_round")))
+      result = if (result == null) decided.localCheckpoint()
+               else result.union(decided).localCheckpoint()
+      undecided = undecided.join(inMis, Seq("id"), "left_anti")
+        .join(outNbrs, Seq("id"), "left_anti").localCheckpoint()
+    }
+    val leftover = undecided.select(col("id"),
+      lit("undecided").as("status"), lit(null).cast("int").as("decided_round"))
+    if (result == null) leftover else result.union(leftover)
+  }
+
   /** k-truss via fixed-round edge peeling — the edge-level counterpart of
     * `kCore`: repeatedly drop every canonical undirected edge supported by
     * fewer than k-2 triangles in the surviving subgraph. `rounds` is fixed

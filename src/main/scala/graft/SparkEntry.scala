@@ -616,6 +616,13 @@ scc AS (SELECT a.id, min(a.r) AS comp FROM fwd a JOIN fwd b ON b.id = a.r AND b.
 ce AS (SELECT sa.comp AS source, sb.comp AS target FROM se2 e JOIN scc sa ON sa.id = e.source JOIN scc sb ON sb.id = e.target WHERE sa.comp <> sb.comp)
 SELECT source, target, count(*) AS n_edges FROM ce GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // deterministic Luby maximal independent set (md5 round-keys, strict
+    // local-min join rule); the oracle replays every round unrolled
+    ("q_mis", (s, dir) =>
+      GraphAlgorithms.maximalIndependentSet(sparse(s, dir), rounds = 5)
+        .orderBy("id"),
+      Some(misSql(5))),
+
     // k-truss by fixed-round edge peeling (the edge-level k-core); the
     // oracle replays the same rounds as an unrolled CTE chain
     ("q_ktruss", (s, dir) =>
@@ -1510,6 +1517,31 @@ SELECT n.id, v.qs AS score FROM nodes n JOIN v$iters v ON n.id = v.id ORDER BY 1
   /** DuckDB mirror of GraphAlgorithms.pageRank: same quantized-integer
     * iteration, unrolled; every CTE MATERIALIZED (see spectralSql).
     */
+  /** Unrolled Luby-MIS oracle: per round, undecided nodes draw the same
+    * md5-derived unique key, local minima join the set, their undecided
+    * neighbors drop out — mirrors GraphAlgorithms.maximalIndependentSet
+    * round for round.
+    */
+  private def misSql(rounds: Int): String = {
+    val stepCtes = (1 to rounds).map { i =>
+      s"""ky$i AS MATERIALIZED (SELECT id, md5(CAST(id AS VARCHAR) || ':$i') || '-' || lpad(CAST(id AS VARCHAR), 20, '0') AS k FROM u${i - 1}),
+nm$i AS MATERIALIZED (SELECT e.target AS id, min(k.k) AS mnk FROM sy e JOIN ky$i k ON k.id = e.source JOIN u${i - 1} ut ON ut.id = e.target GROUP BY 1),
+mi$i AS MATERIALIZED (SELECT k.id FROM ky$i k LEFT JOIN nm$i n ON n.id = k.id WHERE n.mnk IS NULL OR k.k < n.mnk),
+mo$i AS MATERIALIZED (SELECT DISTINCT e.target AS id FROM sy e JOIN mi$i m ON m.id = e.source JOIN u${i - 1} ut ON ut.id = e.target WHERE e.target NOT IN (SELECT id FROM mi$i)),
+u$i AS MATERIALIZED (SELECT id FROM u${i - 1} WHERE id NOT IN (SELECT id FROM mi$i) AND id NOT IN (SELECT id FROM mo$i))"""
+    }.mkString(",\n")
+    val unions = (1 to rounds).map(i =>
+      s"""SELECT id, 'in' AS status, $i AS decided_round FROM mi$i
+UNION ALL SELECT id, 'out', $i FROM mo$i""").mkString("\nUNION ALL ")
+    s"""WITH se AS MATERIALIZED (SELECT o_custkey AS source, o_orderkey % (SELECT count(*) FROM customer) AS target FROM orders WHERE o_orderkey % 10 = 0),
+sy AS MATERIALIZED (SELECT DISTINCT source, target FROM (SELECT source, target FROM se UNION ALL SELECT target, source FROM se) WHERE source <> target),
+u0 AS MATERIALIZED (SELECT c_custkey AS id FROM customer),
+$stepCtes
+$unions
+UNION ALL SELECT id, 'undecided', CAST(NULL AS INT) FROM u$rounds
+ORDER BY 1"""
+  }
+
   /** Unrolled k-truss oracle: each round recomputes triangle support over
     * the surviving canonical edges and peels below-threshold edges —
     * mirrors GraphAlgorithms.kTruss round for round.

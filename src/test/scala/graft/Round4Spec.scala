@@ -177,6 +177,26 @@ class Round4Spec extends AnyFunSuite with SparkFixture {
     assert(r.getLong(2) == 666666L)  // 2e6 / 3 floored
   }
 
+  test("maximalIndependentSet is independent and maximal") {
+    // path 1-2-3-4-5 plus isolated 9: the result must be a valid MIS —
+    // no two 'in' nodes adjacent, every 'out' node has an 'in' neighbor,
+    // the isolated node is always in, nothing left undecided
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("id")
+    val edgePairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = edgePairs.toDF("source", "target")
+    val out = GraphAlgorithms.maximalIndependentSet(
+        NetworkFrame(nodes, edges), rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val in = out.filter(_._2 == "in").keySet
+    val nbrs = edgePairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(out.values.forall(_ != "undecided"))
+    assert(in.contains(9L))
+    assert(in.forall(v => nbrs.getOrElse(v, Set.empty).intersect(in).isEmpty))
+    assert(out.filter(_._2 == "out").keySet
+      .forall(v => nbrs(v).intersect(in).nonEmpty))
+  }
+
   test("kTruss keeps the 4-clique and peels the pendant triangle tail") {
     // K4 on {1,2,3,4} (every edge in 2 triangles) plus triangle {4,5,6}
     // hanging off node 4 and a pendant edge 6-7: at k=4 (support >= 2)
