@@ -211,6 +211,24 @@ class Round4Spec extends AnyFunSuite with SparkFixture {
     assert(out.values.forall(_ == 2L))
   }
 
+  test("round-4 graph ops behave on empty and edgeless graphs") {
+    val empty = NetworkFrame(
+      Seq.empty[Long].toDF("id"), Seq.empty[(Long, Long)].toDF("source", "target"))
+    val lone = NetworkFrame(
+      Seq(7L).toDF("id"), Seq.empty[(Long, Long)].toDF("source", "target"))
+    assert(GraphAlgorithms.hits(empty).collect().isEmpty)
+    assert(GraphAlgorithms.kTruss(empty, 3).collect().isEmpty)
+    assert(GraphAlgorithms.maximalIndependentSet(empty).collect().isEmpty)
+    assert(GraphAlgorithms.condensationGraph(lone).collect().isEmpty)
+    // a single isolated node: zero scores, in the MIS, harmonic 0
+    val h = GraphAlgorithms.hits(lone).collect()(0)
+    assert(h.getLong(1) == 0L && h.getLong(2) == 0L)
+    val m = GraphAlgorithms.maximalIndependentSet(lone).collect()(0)
+    assert(m.getString(1) == "in")
+    val hc = GraphAlgorithms.harmonicCentrality(lone, k = 2).collect()(0)
+    assert(hc.getLong(1) == 0L)
+  }
+
   test("reciprocity of an edgeless graph is NULL, not a division error") {
     val nodes = Seq(1L, 2L).toDF("id")
     val edges = Seq.empty[(Long, Long)].toDF("source", "target")
