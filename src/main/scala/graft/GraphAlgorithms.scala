@@ -733,6 +733,42 @@ object GraphAlgorithms {
     nf.nodes.join(v, Seq("id"), "left_outer").orderBy(desc("qs"), asc("id"))
   }
 
+  /** Multi-seed personalized PageRank: teleport mass splits evenly across
+    * the seed SET (S DIV k per seed, exact), giving proximity to a
+    * neighborhood of seeds rather than one node — the shape GNN
+    * mini-batch sampling and seed-set expansion use. Same quantized
+    * integral iteration, shuffles, and oracle-replay discipline as the
+    * single-seed `personalizedPageRank`.
+    */
+  def personalizedPageRankMulti(nf: NetworkFrame, seeds: Seq[Long],
+                                iterations: Int = 10,
+                                damping: Int = 85): DataFrame =
+      withoutConstraintPropagation(nf.edges) {
+    require(seeds.nonEmpty, "at least one seed")
+    val S = 1000000000000L
+    val s0 = S / seeds.length
+    val e = nf.edges.select(col("source"), col("target")).distinct().localCheckpoint()
+    val outdeg = e.groupBy(col("source")).agg(count(lit(1)).as("od")).localCheckpoint()
+    val isSeed = col("id").isin(seeds.map(Long.box): _*)
+    var v = nf.nodes.select(col("id"),
+      when(isSeed, lit(s0)).otherwise(lit(0L)).as("qs")).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val contrib = e
+        .join(v.withColumnRenamed("id", "source"), Seq("source"))
+        .join(outdeg, Seq("source"))
+        .select(col("target").as("id"), expr("qs div od").as("c"))
+        .groupBy("id").agg(sum(col("c").cast("decimal(38,0)")).as("m"))
+      v = nf.nodes.select(col("id"))
+        .join(contrib, Seq("id"), "left_outer")
+        .withColumn("hold", when(isSeed,
+          lit((100L - damping) * s0)).otherwise(lit(0L)))
+        .selectExpr("id",
+          s"CAST((hold + $damping * coalesce(m, CAST(0 AS DECIMAL(38,0)))) DIV 100 AS BIGINT) AS qs")
+        .localCheckpoint()
+    }
+    nf.nodes.join(v, Seq("id"), "left_outer").orderBy(desc("qs"), asc("id"))
+  }
+
   /** Local clustering coefficient: per node, the fraction of its neighbor
     * pairs that are themselves connected — 2*tri(v) / (deg(v)*(deg(v)-1)),
     * emitted as the millionths-quantized `lcc_q` (integral division, exact

@@ -590,6 +590,14 @@ FROM nodes n LEFT JOIN dg ON dg.id = n.id LEFT JOIN tri ON tri.id = n.id ORDER B
         .select(col("id"), col("qs").as("ppr_q")).orderBy("id"),
       Some(pprSql(0L, 10, 85))),
 
+    // seed-SET personalized PageRank (teleport mass split evenly across
+    // four seeds) — the GNN mini-batch seed-expansion shape
+    ("q_ppr_multi", (s, dir) =>
+      GraphAlgorithms.personalizedPageRankMulti(sparse(s, dir),
+          Seq(0L, 1L, 2L, 3L), iterations = 10, damping = 85)
+        .select(col("id"), col("qs").as("pprm_q")).orderBy("id"),
+      Some(pprMultiSql(Seq(0L, 1L, 2L, 3L), 10, 85))),
+
     // common-neighbor / resource-allocation link prediction (hub-capped
     // wedge join; integer-quantized score so ranks are engine-exact)
     ("q_link_predict", (s, dir) =>
@@ -1679,6 +1687,25 @@ od AS MATERIALIZED (SELECT source, count(*) AS od FROM de GROUP BY 1),
 v0 AS MATERIALIZED (SELECT id, CAST(CASE WHEN id = $seed THEN 1000000000000 ELSE 0 END AS BIGINT) AS qs FROM nodes),
 $steps
 SELECT n.id, v.qs AS ppr_q FROM nodes n JOIN v$iters v ON n.id = v.id ORDER BY 1"""
+  }
+
+  /** Unrolled multi-seed PPR oracle: identical to `pprSql` with the seed
+    * test generalized to a set and per-seed mass/hold = the even split.
+    */
+  private def pprMultiSql(seeds: Seq[Long], iters: Int, damping: Int): String = {
+    val s0 = 1000000000000L / seeds.length
+    val hold = (100L - damping) * s0
+    val inList = seeds.mkString(", ")
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS MATERIALIZED (SELECT e.target AS id, sum(v.qs // o.od) AS m FROM de e JOIN v${i - 1} v ON v.id = e.source JOIN od o ON o.source = e.source GROUP BY 1),
+v$i AS MATERIALIZED (SELECT n.id, CAST((CASE WHEN n.id IN ($inList) THEN $hold ELSE 0 END + $damping * COALESCE(c.m, 0)) // 100 AS BIGINT) AS qs FROM nodes n LEFT JOIN c$i c ON n.id = c.id)"""
+    }.mkString(",\n")
+    s"""WITH nodes AS MATERIALIZED (SELECT c_custkey AS id FROM customer),
+de AS MATERIALIZED (SELECT DISTINCT o_custkey AS source, o_orderkey % (SELECT count(*) FROM customer) AS target FROM orders WHERE o_orderkey % 10 = 0),
+od AS MATERIALIZED (SELECT source, count(*) AS od FROM de GROUP BY 1),
+v0 AS MATERIALIZED (SELECT id, CAST(CASE WHEN id IN ($inList) THEN $s0 ELSE 0 END AS BIGINT) AS qs FROM nodes),
+$steps
+SELECT n.id, v.qs AS pprm_q FROM nodes n JOIN v$iters v ON n.id = v.id ORDER BY 1"""
   }
 
   /** Unrolled k-core peeling oracle: r{i} = nodes still alive after round i

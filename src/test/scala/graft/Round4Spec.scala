@@ -211,6 +211,18 @@ class Round4Spec extends AnyFunSuite with SparkFixture {
     assert(out.values.forall(_ == 2L))
   }
 
+  test("multi-seed PPR with a single seed equals single-seed PPR") {
+    val nodes = (0L to 5L).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("source", "target")
+    val nf = NetworkFrame(nodes, edges)
+    val single = GraphAlgorithms.personalizedPageRank(nf, 0L, iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val multi = GraphAlgorithms.personalizedPageRankMulti(nf, Seq(0L), iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(single == multi)
+  }
+
   test("round-4 graph ops behave on empty and edgeless graphs") {
     val empty = NetworkFrame(
       Seq.empty[Long].toDF("id"), Seq.empty[(Long, Long)].toDF("source", "target"))
