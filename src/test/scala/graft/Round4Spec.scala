@@ -211,6 +211,31 @@ class Round4Spec extends AnyFunSuite with SparkFixture {
     assert(out.values.forall(_ == 2L))
   }
 
+  test("kmeansAssign broadcasts the centroid table, never shuffles vectors to it") {
+    import graft.functions.Similarity
+    val emb = (1L to 50L).map(i =>
+        (i, i % 4, Array.tabulate(8)(d => ((i + d) % 7).toFloat / 7f)))
+      .toDF("vec_id", "label", "embedding")
+    val plan = Similarity.kmeansAssign(emb, "vec_id", "embedding", "label")
+      .queryExecution.executedPlan.toString
+    // the scale claim: the tiny (cells x dims) centroid side broadcasts;
+    // vectors are scanned in place — red if Spark plans a shuffled join
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"expected a broadcast centroid side:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"vectors must not sort-merge:\n$plan")
+  }
+
+  test("bigramLm plans exactly its two aggregation shuffles plus the scoring join") {
+    import graft.functions.TextAnalysis
+    val docs = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
+    val plan = TextAnalysis.bigramLm(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // partial+final pairs for the bigram count and the per-doc rollup —
+    // the map-side combine is the 100 TB property
+    assert(plan.contains("partial_count") || plan.contains("Partial"),
+      s"expected map-side partial aggregation:\n$plan")
+  }
+
   test("multi-seed PPR with a single seed equals single-seed PPR") {
     val nodes = (0L to 5L).toDF("id")
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L), (4L, 5L))
