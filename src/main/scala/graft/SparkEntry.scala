@@ -545,6 +545,21 @@ md AS (SELECT seed, id, min(d) AS d FROM bfs GROUP BY 1, 2)
 SELECT n.id, CAST(COALESCE(sum(1000000 // d) FILTER (WHERE d > 0), 0) AS BIGINT) AS harmonic_q
 FROM nodes n LEFT JOIN md ON md.id = n.id GROUP BY 1 ORDER BY 1""")),
 
+    // graph Voronoi partition: nearest-seed assignment by hop distance
+    // (ties to the smaller seed) — BFS-based partitioning for
+    // locality-aware sharding; same multi-source BFS as q_harmonic
+    ("q_voronoi", (s, dir) =>
+      GraphAlgorithms.graphVoronoi(sparse(s, dir), k = 8, maxDepth = 12)
+        .orderBy("id"),
+      Some(s"""$G, seeds AS (SELECT id FROM nodes ORDER BY id LIMIT 8),
+bfs(seed, id, d) AS (
+  SELECT id, id, 0 FROM seeds
+  UNION
+  SELECT b.seed, s.target, b.d + 1 FROM bfs b JOIN sym s ON s.source = b.id WHERE b.d < 12),
+md AS (SELECT seed, id, min(d) AS d FROM bfs GROUP BY 1, 2),
+best AS (SELECT id, seed, d FROM (SELECT id, seed, d, row_number() OVER (PARTITION BY id ORDER BY d, seed) AS rn FROM md) WHERE rn = 1)
+SELECT n.id, b.seed, CAST(b.d AS BIGINT) AS dist FROM nodes n LEFT JOIN best b ON b.id = n.id ORDER BY 1""")),
+
     // per-node local clustering coefficient (millionths-quantized)
     ("q_clustering", (s, dir) =>
       GraphAlgorithms.clusteringCoefficient(sparse(s, dir)).orderBy("id"),
@@ -1404,6 +1419,27 @@ ORDER BY 1,2""")),
     },
       Some("""SELECT r.r_name, count(*) AS n_nations, CAST(sum(n.n_nationkey) AS BIGINT) AS key_sum
 FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY 1 ORDER BY 1""")),
+
+    // recency-decayed edge aggregation: each event's cents halve per day of
+    // age (integer power-of-2 decay, exact in any engine — values are
+    // non-negative so truncating and flooring division agree), rolled up
+    // into (user, type) edge weights — the freshness-weighted graph
+    ("q_edge_decay", (s, dir) => {
+      val ev = EventStream.normalizeTs(tbl(s, dir, "events"))
+      val mxd = ev.agg(max(to_date(col("ts"))).as("m"))
+      ev.crossJoin(broadcast(mxd))
+        .select(col("user_id").as("source"), col("event_type").as("target"),
+          expr("CAST(floor(value * 100) AS BIGINT) div shiftleft(CAST(1 AS BIGINT), least(datediff(m, CAST(ts AS DATE)), 20))").as("dc"))
+        .groupBy("source", "target")
+        .agg(sum(col("dc").cast("decimal(38,0)")).cast("long").as("decayed_cents"))
+        .orderBy("source", "target")
+    },
+      Some("""WITH mx AS (SELECT max(CAST(ts AS DATE)) AS m FROM events),
+d AS (SELECT user_id, event_type,
+CAST(floor(value * 100) AS BIGINT) // CAST(power(2, least(datediff('day', CAST(ts AS DATE), (SELECT m FROM mx)), 20)) AS BIGINT) AS dc
+FROM events)
+SELECT user_id AS source, event_type AS target, CAST(sum(dc) AS BIGINT) AS decayed_cents
+FROM d GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // daily active users + event volume: tumbling calendar-day rollup with
     // an exact distinct count (partial+final over (day, user))
