@@ -460,6 +460,43 @@ object GraphAlgorithms {
     labels
   }
 
+  /** Weighted synchronous label propagation: each round every node adopts
+    * the label with the largest summed cent-quantized edge weight among
+    * its neighbors (weight-sum desc, then SMALLEST label — deterministic),
+    * isolated nodes keep theirs. The weighted counterpart of
+    * `labelPropagation` with the identical plan shape: one message join +
+    * one (id, label) sum aggregation + one per-node argmax window per
+    * round. Parallel edges collapse by weight sum up front.
+    */
+  def labelPropagationWeighted(nf: NetworkFrame, weightCol: String,
+                               rounds: Int): DataFrame =
+      withoutConstraintPropagation(nf.edges) {
+    require(rounds >= 1, "at least one round")
+    val wq = floor(col(weightCol).cast("double") * 100).cast("long")
+    val sym = nf.edges.select(col("source"), col("target"), wq.as("wq"))
+      .union(nf.edges.select(col("target").as("source"),
+        col("source").as("target"), wq.as("wq")))
+      .filter(col("source") =!= col("target"))
+      .groupBy("source", "target").agg(sum("wq").as("wq"))
+      .filter(col("wq") > 0).localCheckpoint()
+    var labels = nf.nodes.select(col("id"), col("id").as("label")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val msgs = sym.join(labels.select(col("id").as("source"), col("label")),
+          Seq("source"))
+        .select(col("target").as("id"), col("label"), col("wq"))
+      val sums = msgs.groupBy("id", "label")
+        .agg(sum(col("wq").cast("decimal(38,0)")).as("ws"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(desc("ws"), asc("label"))
+      val picked = sums.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("id"), col("label").as("next"))
+      labels = labels.join(picked, Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("next"), col("label")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** Weighted single-source shortest paths: `rounds` synchronous
     * Bellman-Ford relaxations over integer-quantized weights
     * (floor(w*100) — cent precision, exact in any engine). Distances are

@@ -434,6 +434,14 @@ SELECT id, CAST(min(d) AS BIGINT) AS dist FROM fr GROUP BY 1 ORDER BY 1""")),
         .orderBy("id"),
       Some(lpaSql(4))),
 
+    // weighted label propagation: labels pulled by summed cent-quantized
+    // edge weight instead of neighbor counts, same argmax tie-break
+    ("q_label_prop_weighted", (s, dir) =>
+      GraphAlgorithms.labelPropagationWeighted(sparse(s, dir), "weight",
+          rounds = 4)
+        .orderBy("id"),
+      Some(wlpaSql(4))),
+
     // double-sweep diameter lower bound (min(d) consumers are immune to the
     // RECURSIVE sym duplication)
     ("q_diameter", (s, dir) =>
@@ -1777,6 +1785,24 @@ l$i AS MATERIALIZED (SELECT l.id, COALESCE(p.label, l.label) AS label FROM l${i 
     s"""WITH nodes AS MATERIALIZED (SELECT c_custkey AS id FROM customer),
 se AS MATERIALIZED (SELECT o_custkey AS source, o_orderkey % (SELECT count(*) FROM customer) AS target FROM orders WHERE o_orderkey % 10 = 0),
 symd AS MATERIALIZED (SELECT DISTINCT source, target FROM (SELECT source, target FROM se UNION ALL SELECT target, source FROM se) WHERE source <> target),
+l0 AS MATERIALIZED (SELECT id, id AS label FROM nodes),
+$steps
+SELECT id, label FROM l$rounds ORDER BY 1"""
+  }
+
+  /** Unrolled weighted-LPA oracle: labels pulled by summed edge weight
+    * (HUGEINT sums compare only against each other, so typing is moot);
+    * mirrors GraphAlgorithms.labelPropagationWeighted round for round.
+    */
+  private def wlpaSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""m$i AS MATERIALIZED (SELECT s.target AS id, l.label, sum(s.wq) AS ws FROM syw s JOIN l${i - 1} l ON l.id = s.source GROUP BY 1,2),
+p$i AS MATERIALIZED (SELECT id, label FROM (SELECT id, label, row_number() OVER (PARTITION BY id ORDER BY ws DESC, label) AS rn FROM m$i) WHERE rn = 1),
+l$i AS MATERIALIZED (SELECT l.id, COALESCE(p.label, l.label) AS label FROM l${i - 1} l LEFT JOIN p$i p ON p.id = l.id)"""
+    }.mkString(",\n")
+    s"""WITH nodes AS MATERIALIZED (SELECT c_custkey AS id FROM customer),
+se AS MATERIALIZED (SELECT o_custkey AS source, o_orderkey % (SELECT count(*) FROM customer) AS target, CAST(floor(o_totalprice * 100) AS BIGINT) AS wq FROM orders WHERE o_orderkey % 10 = 0),
+syw AS MATERIALIZED (SELECT source, target, sum(wq) AS wq FROM (SELECT source, target, wq FROM se UNION ALL SELECT target, source, wq FROM se) WHERE source <> target GROUP BY 1, 2 HAVING sum(wq) > 0),
 l0 AS MATERIALIZED (SELECT id, id AS label FROM nodes),
 $steps
 SELECT id, label FROM l$rounds ORDER BY 1"""
