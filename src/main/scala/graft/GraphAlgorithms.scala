@@ -703,6 +703,45 @@ object GraphAlgorithms {
     nf.nodes.join(v, Seq("id"), "left_outer").orderBy(desc("qs"), asc("id"))
   }
 
+  /** Mass-conserving PageRank: like `pageRank` but dangling nodes' damped
+    * mass redistributes uniformly instead of being dropped — the textbook
+    * stochastic-matrix variant (the plain `pageRank` deliberately matches
+    * the reference's mass-dropping behavior; this one conserves total mass
+    * up to integral-division remainders). The per-round dangling sum is a
+    * one-row frame cross-joined in (broadcast — no driver action), and its
+    * per-node share uses integral division so the redistribution is exact
+    * in any engine. Same shuffles per round as `pageRank` plus one tiny
+    * aggregate.
+    */
+  def pageRankConserving(nf: NetworkFrame, iterations: Int = 10,
+                         damping: Int = 85): DataFrame =
+      withoutConstraintPropagation(nf.edges) {
+    val S = 1000000000000L
+    val e = nf.edges.select(col("source"), col("target")).distinct().localCheckpoint()
+    val outdeg = e.groupBy(col("source")).agg(count(lit(1)).as("od")).localCheckpoint()
+    val n = nf.nodes.count()
+    val base = S / n
+    var v = nf.nodes.select(col("id"), lit(base).as("qs")).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val withOd = v.join(outdeg.withColumnRenamed("source", "id"), Seq("id"), "left_outer")
+      val dangling = withOd.filter(col("od").isNull)
+        .agg(coalesce(sum(col("qs").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("dang"))
+      val contrib = e
+        .join(v.withColumnRenamed("id", "source"), Seq("source"))
+        .join(outdeg, Seq("source"))
+        .select(col("target").as("id"), expr("qs div od").as("c"))
+        .groupBy("id").agg(sum(col("c").cast("decimal(38,0)")).as("m"))
+      v = nf.nodes.select(col("id"))
+        .join(contrib, Seq("id"), "left_outer")
+        .crossJoin(broadcast(dangling))
+        .selectExpr("id",
+          s"CAST((${(100L - damping) * base} + $damping * (coalesce(m, CAST(0 AS DECIMAL(38,0))) + dang DIV $n)) DIV 100 AS BIGINT) AS qs")
+        .localCheckpoint()
+    }
+    nf.nodes.join(v, Seq("id"), "left_outer").orderBy(desc("qs"), asc("id"))
+  }
+
   /** Weighted PageRank: mass ships proportionally to cent-quantized edge
     * weight instead of uniformly — contribution of u to v is
     * (qs * wq(u,v)) DIV wout(u) in decimal arithmetic (exact; no

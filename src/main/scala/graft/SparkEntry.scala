@@ -499,6 +499,15 @@ SELECT count(*) AS n_triangles FROM ce ab JOIN ce bc ON ab.t = bc.s JOIN ce ac O
         .select(col("id"), col("qs").as("pr_q")).orderBy("id"),
       Some(pagerankSql(10, 85))),
 
+    // mass-conserving PageRank: dangling mass redistributes uniformly
+    // (integral share per node) instead of dropping — the textbook
+    // stochastic variant alongside the reference-matching q_pagerank
+    ("q_pagerank_cons", (s, dir) =>
+      GraphAlgorithms.pageRankConserving(sparse(s, dir), iterations = 10,
+          damping = 85)
+        .select(col("id"), col("qs").as("prc_q")).orderBy("id"),
+      Some(prcSql(10, 85))),
+
     // weighted degrees (node strength) over the full order graph
     ("q_strengths", (s, dir) =>
       graph(s, dir).strengths("weight").orderBy("id"),
@@ -1658,6 +1667,24 @@ de AS MATERIALIZED (SELECT DISTINCT o_custkey AS source, o_orderkey % (SELECT co
 hv0 AS MATERIALIZED (SELECT id, 1000000 AS q FROM nodes),
 $steps
 SELECT n.id, h.q AS hub_q, a.q AS auth_q FROM nodes n JOIN hv$iters h ON h.id = n.id JOIN av$iters a ON a.id = n.id ORDER BY 1"""
+  }
+
+  /** Unrolled mass-conserving PageRank oracle: pagerankSql plus a per-round
+    * dangling-mass sum redistributed as an exact integral per-node share.
+    */
+  private def prcSql(iters: Int, damping: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""dg$i AS MATERIALIZED (SELECT COALESCE(sum(v.qs), 0) AS dang FROM v${i - 1} v LEFT JOIN od o ON o.source = v.id WHERE o.source IS NULL),
+c$i AS MATERIALIZED (SELECT e.target AS id, sum(v.qs // o.od) AS m FROM de e JOIN v${i - 1} v ON v.id = e.source JOIN od o ON o.source = e.source GROUP BY 1),
+v$i AS MATERIALIZED (SELECT n.id, CAST((${100 - damping} * (SELECT base FROM params) + $damping * (COALESCE(c.m, 0) + (SELECT dang FROM dg$i) // (SELECT count(*) FROM nodes))) // 100 AS BIGINT) AS qs FROM nodes n LEFT JOIN c$i c ON n.id = c.id)"""
+    }.mkString(",\n")
+    s"""WITH nodes AS MATERIALIZED (SELECT c_custkey AS id FROM customer),
+de AS MATERIALIZED (SELECT DISTINCT o_custkey AS source, o_orderkey % (SELECT count(*) FROM customer) AS target FROM orders WHERE o_orderkey % 10 = 0),
+od AS MATERIALIZED (SELECT source, count(*) AS od FROM de GROUP BY 1),
+params AS MATERIALIZED (SELECT 1000000000000 // count(*) AS base FROM nodes),
+v0 AS MATERIALIZED (SELECT id, CAST((SELECT base FROM params) AS BIGINT) AS qs FROM nodes),
+$steps
+SELECT n.id, v.qs AS prc_q FROM nodes n JOIN v$iters v ON n.id = v.id ORDER BY 1"""
   }
 
   private def pagerankSql(iters: Int, damping: Int): String = {

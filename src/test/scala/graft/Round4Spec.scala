@@ -236,6 +236,24 @@ class Round4Spec extends AnyFunSuite with SparkFixture {
       s"expected map-side partial aggregation:\n$plan")
   }
 
+  test("conserving PageRank keeps dangling mass the plain variant drops") {
+    // node 3 is dangling (no out-edges): the conserving variant
+    // redistributes its damped mass, so total mass stays near S while the
+    // plain variant bleeds toward the teleport floor
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("source", "target")
+    val nf = NetworkFrame(nodes, edges)
+    val plain = GraphAlgorithms.pageRank(nf, iterations = 8)
+      .agg(sum("qs")).first().getLong(0)
+    val cons = GraphAlgorithms.pageRankConserving(nf, iterations = 8)
+      .agg(sum("qs")).first().getLong(0)
+    val S = 1000000000000L
+    assert(cons > plain)
+    // conservation up to integral-division remainders (< 1 unit per node
+    // per division, a few dozen total) vs S
+    assert(S - cons < 1000L, s"expected near-total mass, got $cons")
+  }
+
   test("multi-seed PPR with a single seed equals single-seed PPR") {
     val nodes = (0L to 5L).toDF("id")
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L), (4L, 5L))
