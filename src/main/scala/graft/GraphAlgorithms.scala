@@ -809,6 +809,81 @@ object GraphAlgorithms {
     nf.nodes.join(v, Seq("id"), "left_outer").orderBy(desc("qs"), asc("id"))
   }
 
+  /** Sampled Brandes betweenness, integer-quantized: from the k smallest
+    * node ids, run one simultaneous multi-source BFS that also counts
+    * shortest paths (sigma, exact decimal), then accumulate dependencies
+    * level by level backward with the quantized rule
+    * delta(v) = sum over shortest-path successors w of
+    * (sigma_v * (Q + delta_w)) DIV sigma_w, Q = 1e6 — integral division
+    * per term makes the accumulation deterministic in any engine (a
+    * faithful quantization of Brandes' delta = sigma_v/sigma_w *
+    * (1 + delta_w)). Output btw_q(v) = the summed dependency of v over the
+    * sampled sources, scaled by Q; exact betweenness needs all-sources —
+    * sampling is the standard estimator and the only shape at 100 TB.
+    * Forward: one frontier join + one (seed, node) sigma aggregation per
+    * level. Backward: one successor join per level. Rounds = 2 x BFS
+    * depth, node-sized state throughout.
+    */
+  def betweennessSampled(nf: NetworkFrame, k: Int = 8,
+                         maxDepth: Int = 8): DataFrame =
+      withoutConstraintPropagation(nf.edges) {
+    require(k >= 1 && maxDepth >= 1, "need at least one seed and one hop")
+    val Q = 1000000L
+    val D38 = "decimal(38,0)"
+    val e = nf.symmetrizedEdges.distinct().localCheckpoint()
+    val seeds = nf.nodes.select(col("id")).orderBy("id").limit(k)
+      .select(col("id").as("seed"), col("id"), lit(1).cast(D38).as("sigma"))
+      .localCheckpoint()
+    var levels = List(seeds) // deepest level first once built
+    var visited = seeds.select("seed", "id").localCheckpoint()
+    var d = 0
+    var done = false
+    while (d < maxDepth && !done) {
+      val nxt = e.join(levels.head.withColumnRenamed("id", "source"), Seq("source"))
+        .select(col("seed"), col("target").as("id"), col("sigma"))
+        .join(visited, Seq("seed", "id"), "left_anti")
+        .groupBy("seed", "id").agg(sum("sigma").cast(D38).as("sigma"))
+        .localCheckpoint()
+      if (nxt.isEmpty) done = true
+      else {
+        levels = nxt :: levels
+        visited = visited.union(nxt.select("seed", "id")).localCheckpoint()
+        d += 1
+      }
+    }
+    var above: DataFrame = null // (seed, id, sigma, delta) one level deeper
+    var acc: DataFrame = null
+    for (lvl <- levels) { // deepest -> level 0
+      val withDelta =
+        if (above == null)
+          lvl.select(col("seed"), col("id"), col("sigma"),
+            lit(0).cast(D38).as("delta"))
+        else {
+          val contrib = e
+            .join(above.select(col("seed"), col("id").as("target"),
+              col("sigma").as("sw"), col("delta").as("dw")), Seq("target"))
+            .select(col("seed"), col("source").as("id"), col("sw"), col("dw"))
+          val sums = lvl.join(contrib, Seq("seed", "id"))
+            .select(col("seed"), col("id"),
+              expr(s"CAST((sigma * ($Q + dw)) DIV sw AS $D38)").as("t"))
+            .groupBy("seed", "id").agg(sum("t").cast(D38).as("delta"))
+          lvl.join(sums, Seq("seed", "id"), "left_outer")
+            .select(col("seed"), col("id"), col("sigma"),
+              coalesce(col("delta"), lit(0).cast(D38)).as("delta"))
+        }
+      val wd = withDelta.localCheckpoint()
+      acc = if (acc == null) wd.select("seed", "id", "delta")
+            else acc.union(wd.select("seed", "id", "delta")).localCheckpoint()
+      above = wd
+    }
+    nf.nodes.select(col("id"))
+      .join(acc.filter(col("id") =!= col("seed"))
+          .groupBy("id").agg(sum("delta").cast(D38).as("b")),
+        Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("b"), lit(0).cast(D38)).cast("long").as("btw_q"))
+  }
+
   /** Graph Voronoi partition: assign every node to its nearest seed by
     * unweighted hop distance (ties to the smaller seed id), seeds = the k
     * smallest node ids — BFS-based graph partitioning, the layout primitive

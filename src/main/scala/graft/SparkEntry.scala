@@ -562,6 +562,13 @@ md AS (SELECT seed, id, min(d) AS d FROM bfs GROUP BY 1, 2)
 SELECT n.id, CAST(COALESCE(sum(1000000 // d) FILTER (WHERE d > 0), 0) AS BIGINT) AS harmonic_q
 FROM nodes n LEFT JOIN md ON md.id = n.id GROUP BY 1 ORDER BY 1""")),
 
+    // sampled Brandes betweenness (4 seeds, quantized dependency rule);
+    // the oracle unrolls sigma per BFS level forward and delta backward
+    ("q_betweenness", (s, dir) =>
+      GraphAlgorithms.betweennessSampled(sparse(s, dir), k = 4, maxDepth = 8)
+        .orderBy("id"),
+      Some(betweennessSql(4, 8))),
+
     // graph Voronoi partition: nearest-seed assignment by hop distance
     // (ties to the smaller seed) — BFS-based partitioning for
     // locality-aware sharding; same multi-source BFS as q_harmonic
@@ -1758,6 +1765,42 @@ od AS MATERIALIZED (SELECT source, count(*) AS od FROM de GROUP BY 1),
 v0 AS MATERIALIZED (SELECT id, CAST(CASE WHEN id = $seed THEN 1000000000000 ELSE 0 END AS BIGINT) AS qs FROM nodes),
 $steps
 SELECT n.id, v.qs AS ppr_q FROM nodes n JOIN v$iters v ON n.id = v.id ORDER BY 1"""
+  }
+
+  /** Unrolled sampled-betweenness oracle: min-distance levels from a
+    * bounded recursive BFS, sigma (shortest-path counts) unrolled forward
+    * level by level, quantized deltas unrolled backward — mirrors
+    * GraphAlgorithms.betweennessSampled exactly.
+    */
+  private def betweennessSql(k: Int, maxDepth: Int): String = {
+    val fwd = (1 to maxDepth).map { d =>
+      s"""sg$d AS MATERIALIZED (SELECT m.seed, m.id, sum(p.sigma) AS sigma FROM md m JOIN sy e ON e.target = m.id JOIN sg${d - 1} p ON p.seed = m.seed AND p.id = e.source WHERE m.d = $d GROUP BY 1, 2)"""
+    }.mkString(",\n")
+    val bwd = (maxDepth - 1 to 0 by -1).map { d =>
+      s"""bd$d AS MATERIALIZED (SELECT v.seed, v.id,
+COALESCE(sum((v.sigma * (1000000 + w.delta)) // w.sigma), 0) AS delta
+FROM sg$d v
+LEFT JOIN sy e ON e.source = v.id
+LEFT JOIN (SELECT bw.seed, bw.id, bw.delta, sw.sigma FROM bd${d + 1} bw JOIN sg${d + 1} sw ON sw.seed = bw.seed AND sw.id = bw.id) w
+  ON w.seed = v.seed AND w.id = e.target
+GROUP BY 1, 2)"""
+    }.mkString(",\n")
+    val allb = (0 to maxDepth).map(d => s"SELECT seed, id, delta FROM bd$d")
+      .mkString("\nUNION ALL ")
+    s"""$G, sy AS (SELECT DISTINCT source, target FROM sym),
+seeds AS (SELECT id FROM nodes ORDER BY id LIMIT $k),
+bfs(seed, id, d) AS (
+  SELECT id, id, 0 FROM seeds
+  UNION
+  SELECT b.seed, s.target, b.d + 1 FROM bfs b JOIN sy s ON s.source = b.id WHERE b.d < $maxDepth),
+md AS (SELECT seed, id, min(d) AS d FROM bfs GROUP BY 1, 2),
+sg0 AS MATERIALIZED (SELECT seed, id, CAST(1 AS HUGEINT) AS sigma FROM md WHERE d = 0),
+$fwd,
+bd$maxDepth AS MATERIALIZED (SELECT seed, id, CAST(0 AS HUGEINT) AS delta FROM sg$maxDepth),
+$bwd,
+allb AS ($allb)
+SELECT n.id, CAST(COALESCE(sum(ab.delta) FILTER (WHERE ab.id <> ab.seed), 0) AS BIGINT) AS btw_q
+FROM nodes n LEFT JOIN allb ab ON ab.id = n.id GROUP BY 1 ORDER BY 1"""
   }
 
   /** Unrolled multi-seed PPR oracle: identical to `pprSql` with the seed

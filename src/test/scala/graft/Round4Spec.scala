@@ -236,6 +236,18 @@ class Round4Spec extends AnyFunSuite with SparkFixture {
       s"expected map-side partial aggregation:\n$plan")
   }
 
+  test("betweennessSampled credits the middle of a path, hand-computed") {
+    // path 1 - 2 - 3, seeds {1, 2}: from seed 1, delta(2) = Q (it carries
+    // the one path to 3); from seed 2 every non-seed is a leaf. So
+    // btw_q = (0, Q, 0).
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("source", "target")
+    val out = GraphAlgorithms.betweennessSampled(
+        NetworkFrame(nodes, edges), k = 2, maxDepth = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 1000000L, 3L -> 0L))
+  }
+
   test("conserving PageRank keeps dangling mass the plain variant drops") {
     // node 3 is dangling (no out-edges): the conserving variant
     // redistributes its damped mass, so total mass stays near S while the
