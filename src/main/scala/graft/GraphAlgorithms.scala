@@ -884,6 +884,49 @@ object GraphAlgorithms {
         coalesce(col("b"), lit(0).cast(D38)).cast("long").as("btw_q"))
   }
 
+  /** Sampled closeness centrality: for each node, the number of sampled
+    * seeds that reach it and their total hop distance, with the classic
+    * closeness estimate quantized as n_reached * 1e6 DIV dist_sum (0 when
+    * nothing reaches it). Shares the one simultaneous multi-source BFS of
+    * `harmonicCentrality` — the sum-of-distances aggregate instead of the
+    * sum-of-inverses.
+    */
+  def closenessCentrality(nf: NetworkFrame, k: Int = 8,
+                          maxDepth: Int = 12): DataFrame =
+      withoutConstraintPropagation(nf.edges) {
+    require(k >= 1 && maxDepth >= 1, "need at least one seed and one hop")
+    val e = nf.symmetrizedEdges.distinct().localCheckpoint()
+    var dist = nf.nodes.select(col("id")).orderBy("id").limit(k)
+      .select(col("id").as("seed"), col("id"), lit(0L).as("d"))
+      .localCheckpoint()
+    var frontier = dist
+    var hops = 0
+    var done = frontier.isEmpty
+    while (!done && hops < maxDepth) {
+      val next = e.join(frontier.withColumnRenamed("id", "source"), Seq("source"))
+        .select(col("seed"), col("target").as("id"), (col("d") + 1).as("d"))
+        .distinct()
+        .join(dist.select("seed", "id"), Seq("seed", "id"), "left_anti")
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        dist = dist.union(next).localCheckpoint()
+        frontier = next
+      }
+      hops += 1
+    }
+    nf.nodes.select(col("id"))
+      .join(dist.filter(col("d") > 0)
+          .groupBy("id").agg(count(lit(1)).as("n_reached"),
+            sum("d").cast("decimal(38,0)").cast("long").as("dist_sum")),
+        Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("n_reached"), lit(0L)).as("n_reached"),
+        coalesce(col("dist_sum"), lit(0L)).as("dist_sum"),
+        expr("if(coalesce(dist_sum, 0) = 0, CAST(0 AS BIGINT), coalesce(n_reached, 0) * 1000000 div dist_sum)")
+          .as("closeness_q"))
+  }
+
   /** Graph Voronoi partition: assign every node to its nearest seed by
     * unweighted hop distance (ties to the smaller seed id), seeds = the k
     * smallest node ids — BFS-based graph partitioning, the layout primitive

@@ -562,6 +562,23 @@ md AS (SELECT seed, id, min(d) AS d FROM bfs GROUP BY 1, 2)
 SELECT n.id, CAST(COALESCE(sum(1000000 // d) FILTER (WHERE d > 0), 0) AS BIGINT) AS harmonic_q
 FROM nodes n LEFT JOIN md ON md.id = n.id GROUP BY 1 ORDER BY 1""")),
 
+    // sampled closeness centrality: seeds-reaching count + distance sum +
+    // the quantized classic estimate, from the same multi-source BFS
+    ("q_closeness", (s, dir) =>
+      GraphAlgorithms.closenessCentrality(sparse(s, dir), k = 8, maxDepth = 12)
+        .orderBy("id"),
+      Some(s"""$G, seeds AS (SELECT id FROM nodes ORDER BY id LIMIT 8),
+bfs(seed, id, d) AS (
+  SELECT id, id, 0 FROM seeds
+  UNION
+  SELECT b.seed, s.target, b.d + 1 FROM bfs b JOIN sym s ON s.source = b.id WHERE b.d < 12),
+md AS (SELECT seed, id, min(d) AS d FROM bfs GROUP BY 1, 2),
+ag AS (SELECT id, count(*) AS n_reached, CAST(sum(d) AS BIGINT) AS dist_sum FROM md WHERE d > 0 GROUP BY 1)
+SELECT n.id, CAST(COALESCE(ag.n_reached, 0) AS BIGINT) AS n_reached,
+CAST(COALESCE(ag.dist_sum, 0) AS BIGINT) AS dist_sum,
+CAST(CASE WHEN COALESCE(ag.dist_sum, 0) = 0 THEN 0 ELSE ag.n_reached * 1000000 // ag.dist_sum END AS BIGINT) AS closeness_q
+FROM nodes n LEFT JOIN ag ON ag.id = n.id ORDER BY 1""")),
+
     // sampled Brandes betweenness (4 seeds, quantized dependency rule);
     // the oracle unrolls sigma per BFS level forward and delta backward
     ("q_betweenness", (s, dir) =>
@@ -1250,6 +1267,27 @@ tfc AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1,2),
 v AS (SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_total FROM tfc GROUP BY 1),
 rk AS (SELECT token, df, tf_total, row_number() OVER (ORDER BY df DESC, tf_total DESC, token) AS rn FROM v)
 SELECT token, df, tf_total, CAST(rn AS INT) AS rank FROM rk WHERE rn <= 50 ORDER BY 4""")),
+
+    // collocation mining by quantized lift (the integral PMI analogue):
+    // top bigram phrases whose joint count beats independence
+    ("q_collocations", (s, dir) =>
+      TextAnalysis.collocations(docs(s, dir), "doc_id", "text",
+          minCount = 5, topK = 20)
+        .select(col("w1"), col("w2"), col("fxy"), col("lift_q"),
+          col("rank").cast("int").as("rank"))
+        .orderBy("rank"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+uni AS (SELECT w, count(*) AS f FROM (SELECT unnest(l) AS w FROM t) GROUP BY 1),
+nt AS (SELECT CAST(sum(len(l)) AS HUGEINT) AS n FROM t),
+bg AS (SELECT w1, w2, count(*) AS fxy FROM (
+  SELECT l[i] AS w1, l[i + 1] AS w2 FROM t, unnest(generate_series(1, len(l) - 1)) AS s(i) WHERE len(l) >= 2)
+  GROUP BY 1, 2 HAVING count(*) >= 5),
+sc AS (SELECT bg.w1, bg.w2, bg.fxy,
+CAST((CAST(bg.fxy AS HUGEINT) * (SELECT n FROM nt) * 1000000) // (CAST(ux.f AS HUGEINT) * uy.f) AS BIGINT) AS lift_q
+FROM bg JOIN uni ux ON ux.w = bg.w1 JOIN uni uy ON uy.w = bg.w2)
+SELECT w1, w2, fxy, lift_q, CAST(rn AS INT) AS rank FROM (
+SELECT w1, w2, fxy, lift_q, row_number() OVER (ORDER BY lift_q DESC, fxy DESC, w1, w2) AS rn FROM sc)
+WHERE rn <= 20 ORDER BY 5""")),
 
     // corpus-trained bigram frequency scoring — the integer-exact analogue
     // of a bigram LM fluency score (no cross-engine float log): train

@@ -317,6 +317,41 @@ object TextAnalysis {
         expr(s"(token_start + n_tokens - 1) div ${budget}L"))
   }
 
+  /** Collocation mining by quantized lift: for bigrams above a minimum
+    * count, lift_q = f_xy * N_tokens * 1e6 DIV (f_x * f_y) — the integral
+    * analogue of PMI (a monotone transform of it at fixed N), so phrase
+    * ranking matches while staying engine-exact. Counts are two
+    * map-side-combinable aggregations (unigrams, bigrams) plus two
+    * broadcastable dictionary joins; top-k by lift with count and
+    * lexicographic tie-breaks.
+    */
+  def collocations(df: DataFrame, idCol: String, textCol: String,
+                   minCount: Int = 5, topK: Int = 20): DataFrame = {
+    val toks = df.select(col(idCol), split(col(textCol), " ").as("l"))
+    val uni = toks.select(explode(col("l")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    val nTokens = toks.agg(sum(size(col("l"))).cast("decimal(38,0)").as("n"))
+    val bg = toks.filter(size(col("l")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(l) - 1), i -> struct(element_at(l, i) AS w1, element_at(l, i + 1) AS w2))"))
+        .as("b"))
+      .select(col("b.w1"), col("b.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("fxy"))
+      .filter(col("fxy") >= minCount)
+    val scored = bg
+      .join(uni.select(col("w").as("w1"), col("f").as("fx")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("f").as("fy")), Seq("w2"))
+      .crossJoin(broadcast(nTokens))
+      .select(col("w1"), col("w2"), col("fxy"),
+        expr("CAST((CAST(fxy AS DECIMAL(38,0)) * n * 1000000) DIV (CAST(fx AS DECIMAL(38,0)) * fy) AS BIGINT)")
+          .as("lift_q"))
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(
+          desc("lift_q"), desc("fxy"), asc("w1"), asc("w2"))))
+      .filter(col("rank") <= topK)
+  }
+
   /** Corpus-trained bigram scoring — the integer-exact analogue of a bigram
     * language-model fluency signal: bigram counts are trained over the whole
     * corpus (one map-side-combinable groupBy on the bigram), then each
