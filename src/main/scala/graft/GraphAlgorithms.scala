@@ -1453,6 +1453,53 @@ object GraphAlgorithms {
           .as("reciprocity_q"))
   }
 
+  /** Dyad census of a directed graph (Holland-Leinhardt M/A/N): mutual
+    * pairs (both directions), asymmetric pairs (exactly one), and null
+    * pairs (n-choose-2 minus the connected ones). Derived from one
+    * canonical-pair aggregation over distinct non-self edges plus the node
+    * count — a single pass, no per-node state.
+    */
+  def dyadCensus(nf: NetworkFrame): DataFrame = {
+    val e = nf.edges.select(col("source"), col("target"))
+      .filter(col("source") =!= col("target")).distinct()
+    val pairs = e.select(least(col("source"), col("target")).as("s"),
+        greatest(col("source"), col("target")).as("t"))
+      .groupBy("s", "t").agg(count(lit(1)).as("dirs"))
+    val counts = pairs.agg(
+      coalesce(sum(when(col("dirs") === 2, 1L).otherwise(0L)), lit(0L)).as("mutual"),
+      coalesce(sum(when(col("dirs") === 1, 1L).otherwise(0L)), lit(0L)).as("asym"))
+    val n = nf.nodes.select(col("id")).distinct()
+      .agg(count(lit(1)).as("n_nodes"))
+    counts.crossJoin(n)
+      .select(col("n_nodes"), col("mutual"), col("asym"),
+        expr("n_nodes * (n_nodes - 1) div 2 - mutual - asym").as("null_pairs"))
+  }
+
+  /** Rich-club connectivity at degree threshold k: among nodes with
+    * undirected simple degree > k, the realized fraction of possible
+    * pairs, quantized at 1e6 (0 when fewer than two rich nodes). One
+    * degree pass + one induced-edge count — the standard hub-interconnect
+    * diagnostic before trusting any hub-cap parameter.
+    */
+  def richClub(nf: NetworkFrame, k: Int): DataFrame = {
+    val sym = nf.symmetrizedEdges.filter(col("source") =!= col("target"))
+      .distinct().localCheckpoint()
+    val rich = sym.groupBy(col("source").as("id")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") > k).select("id")
+    val nRich = rich.agg(count(lit(1)).as("n_rich"))
+    val eRich = sym
+      .join(rich.withColumnRenamed("id", "source"), Seq("source"), "left_semi")
+      .join(rich.withColumnRenamed("id", "target"), Seq("target"), "left_semi")
+      .select(least(col("source"), col("target")).as("s"),
+        greatest(col("source"), col("target")).as("t"))
+      .distinct()
+      .agg(count(lit(1)).as("e_rich"))
+    nRich.crossJoin(eRich)
+      .select(col("n_rich"), col("e_rich"),
+        expr("if(n_rich < 2, CAST(0 AS BIGINT), e_rich * 2000000 div (n_rich * (n_rich - 1)))")
+          .as("rich_club_q"))
+  }
+
   /** Sampled harmonic centrality: h(v) = sum over seeds s != v of
     * 1e6 DIV dist(s, v) on the symmetrized graph, seeds = the k smallest
     * node ids (deterministic). All k BFS trees grow in ONE simultaneous

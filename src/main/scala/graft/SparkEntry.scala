@@ -537,6 +537,32 @@ FROM a""")),
       GraphAlgorithms.hits(sparse(s, dir), iterations = 8).orderBy("id"),
       Some(hitsSql(8))),
 
+    // Holland-Leinhardt dyad census (mutual / asymmetric / null pairs)
+    ("q_dyad_census", (s, dir) =>
+      GraphAlgorithms.dyadCensus(sparse(s, dir)),
+      Some(s"""$G, e AS (SELECT DISTINCT source, target FROM sedges WHERE source <> target),
+p AS (SELECT least(source, target) AS s, greatest(source, target) AS t, count(*) AS dirs FROM e GROUP BY 1, 2),
+c AS (SELECT CAST(COALESCE(sum(CASE WHEN dirs = 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS mutual,
+CAST(COALESCE(sum(CASE WHEN dirs = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS asym FROM p),
+nn AS (SELECT count(*) AS n_nodes FROM nodes)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes, mutual, asym,
+CAST(n_nodes * (n_nodes - 1) // 2 - mutual - asym AS BIGINT) AS null_pairs FROM c, nn""")),
+
+    // rich-club connectivity at degree > 8: realized fraction of possible
+    // hub pairs, millionths-quantized
+    ("q_rich_club", (s, dir) =>
+      GraphAlgorithms.richClub(sparse(s, dir), k = 8),
+      Some(s"""$G, sy AS (SELECT DISTINCT source, target FROM sym WHERE source <> target),
+dg AS (SELECT source AS id, count(*) AS deg FROM sy GROUP BY 1),
+rich AS (SELECT id FROM dg WHERE deg > 8),
+nr AS (SELECT count(*) AS n_rich FROM rich),
+er AS (SELECT count(*) AS e_rich FROM (
+SELECT DISTINCT least(s.source, s.target) AS a, greatest(s.source, s.target) AS b FROM sy s
+JOIN rich r1 ON r1.id = s.source JOIN rich r2 ON r2.id = s.target))
+SELECT CAST(n_rich AS BIGINT) AS n_rich, CAST(e_rich AS BIGINT) AS e_rich,
+CAST(CASE WHEN n_rich < 2 THEN 0 ELSE e_rich * 2000000 // (n_rich * (n_rich - 1)) END AS BIGINT) AS rich_club_q
+FROM nr, er""")),
+
     // edge reciprocity of the sparse directed graph (one scalar row):
     // reversed-edge left join + global aggregate, millionths-quantized
     ("q_reciprocity", (s, dir) =>
