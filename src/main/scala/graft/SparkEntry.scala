@@ -537,6 +537,46 @@ FROM a""")),
       GraphAlgorithms.hits(sparse(s, dir), iterations = 8).orderBy("id"),
       Some(hitsSql(8))),
 
+    // categorical homophily: fraction of distinct edges whose endpoints
+    // share a nation, vs the expected same-nation rate under the nation
+    // size distribution (both millionths-quantized) — the attribute
+    // assortativity diagnostic
+    ("q_homophily", (s, dir) => {
+      val g = graph(s, dir)
+      val e = g.edges.select("source", "target").distinct()
+      val nat = g.nodes.select(col("id"), col("c_nationkey"))
+      val lab = e
+        .join(nat.select(col("id").as("source"), col("c_nationkey").as("ns")), Seq("source"))
+        .join(nat.select(col("id").as("target"), col("c_nationkey").as("nt")), Seq("target"))
+        .agg(count(lit(1)).as("n_edges"),
+          coalesce(sum(when(col("ns") === col("nt"), 1L).otherwise(0L)), lit(0L)).as("n_same"))
+      val exp = nat.groupBy("c_nationkey").agg(count(lit(1)).as("c"))
+        .agg(sum(expr("c * c")).as("ss"), sum("c").as("tot"))
+        .select(expr("ss * 1000000 div (tot * tot)").as("expected_q"))
+      lab.crossJoin(exp)
+        .select(col("n_edges"), col("n_same"),
+          expr("n_same * 1000000 div n_edges").as("same_q"), col("expected_q"))
+    },
+      Some(s"""$G, e AS (SELECT DISTINCT source, target FROM edges),
+lab AS (SELECT count(*) AS n_edges,
+CAST(COALESCE(sum(CASE WHEN ns.c_nationkey = nt.c_nationkey THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_same
+FROM e JOIN nodes ns ON ns.id = e.source JOIN nodes nt ON nt.id = e.target),
+ex AS (SELECT CAST(sum(c * c) * 1000000 // (sum(c) * sum(c)) AS BIGINT) AS expected_q
+FROM (SELECT count(*) AS c FROM nodes GROUP BY c_nationkey))
+SELECT CAST(n_edges AS BIGINT) AS n_edges, n_same,
+CAST(n_same * 1000000 // n_edges AS BIGINT) AS same_q, expected_q FROM lab, ex""")),
+
+    // LPA community size distribution: how many communities of each size
+    // the 4-round label propagation produces (composition diagnostic)
+    ("q_community_sizes", (s, dir) =>
+      GraphAlgorithms.labelPropagation(sparse(s, dir), rounds = 4)
+        .groupBy("label").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_communities"))
+        .orderBy("sz"),
+      Some(lpaSql(4).replace("SELECT id, label FROM l4 ORDER BY 1",
+        """, cs AS (SELECT label, count(*) AS sz FROM l4 GROUP BY 1)
+SELECT sz, count(*) AS n_communities FROM cs GROUP BY 1 ORDER BY 1"""))),
+
     // Holland-Leinhardt dyad census (mutual / asymmetric / null pairs)
     ("q_dyad_census", (s, dir) =>
       GraphAlgorithms.dyadCensus(sparse(s, dir)),
