@@ -119,6 +119,55 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("MIS on random graphs is always independent and maximal") {
+    forAll(6) { g =>
+      val nf = mk(g)
+      val out = GraphAlgorithms.maximalIndependentSet(nf, rounds = 8)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val in = out.filter(_._2 == "in").keySet
+      val adj = g._2.filter { case (s, t) => s != t }
+        .flatMap { case (s, t) => Seq(s -> t, t -> s) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      // independence: no two 'in' nodes adjacent
+      assert(in.forall(v => adj.getOrElse(v, Set.empty).intersect(in).isEmpty))
+      // maximality: every decided-'out' node has an 'in' neighbor
+      assert(out.filter(_._2 == "out").keySet
+        .forall(v => adj.getOrElse(v, Set.empty).intersect(in).nonEmpty))
+    }
+  }
+
+  test("dyad census identities hold on random graphs") {
+    forAll(6) { g =>
+      val nf = mk(g)
+      val r = GraphAlgorithms.dyadCensus(nf).collect()(0)
+      val n = r.getLong(0); val m = r.getLong(1); val a = r.getLong(2)
+      val nulls = r.getLong(3)
+      assert(m >= 0 && a >= 0 && nulls >= 0)
+      assert(m + a + nulls == n * (n - 1) / 2)
+      // mutual pairs counted independently from the raw edge list
+      val e = g._2.filter { case (s, t) => s != t }.toSet
+      val mm = e.count { case (s, t) => s < t && e.contains((t, s)) }
+      assert(m == mm)
+    }
+  }
+
+  test("kTruss supports equal common-neighbor counts within the output") {
+    forAll(5) { g =>
+      val out = GraphAlgorithms.kTruss(mk(g), k = 3, rounds = 3)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      val kept = out.map(_._1).toSet
+      val adj = kept.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      out.foreach { case ((s, t), sup) =>
+        val cn = adj.getOrElse(s, Set.empty)
+          .intersect(adj.getOrElse(t, Set.empty)).size
+        // reported support is the triangle count in the final subgraph,
+        // and a surviving 3-truss edge must close at least one
+        assert(sup == cn.toLong && sup >= 1L)
+      }
+    }
+  }
+
   test("saltedJoin equals the plain join on random graphs") {
     forAll(5) { g =>
       import graft.operators.SkewJoin
