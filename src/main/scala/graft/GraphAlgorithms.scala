@@ -1538,6 +1538,71 @@ object GraphAlgorithms {
       .select(col("id"), coalesce(col("hsum"), lit(0L)).as("harmonic_q"))
   }
 
+  /** Bipartite co-occurrence projection: from a (group, item) membership
+    * table, emit the item-item edge list weighted by the number of shared
+    * groups, keeping pairs with weight >= minCount. Each group's item set
+    * is deterministically capped at `maxPerGroup` (smallest item ids kept)
+    * BEFORE pairing, so a mega-group (a crawl dump with 10^6 members)
+    * contributes O(cap^2) pairs, not O(deg^2) — the same hub-bounding
+    * discipline as `linkPrediction`. Plan: distinct → per-group window cap
+    * → self-join on group (pairs ordered a < b) → pair count. All shuffles
+    * are keyed on group then (a, b); no all-pairs product anywhere.
+    */
+  def bipartiteProject(memb: DataFrame, grpCol: String, itemCol: String,
+                       maxPerGroup: Int = 20, minCount: Long = 2): DataFrame = {
+    require(maxPerGroup >= 2, "need at least two items per group to pair")
+    val m = memb.select(col(grpCol).as("grp"), col(itemCol).as("item")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("item")
+    val capped = m.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxPerGroup).select("grp", "item")
+    val a = capped.withColumnRenamed("item", "src")
+    val b = capped.withColumnRenamed("item", "dst")
+    a.join(b, Seq("grp")).filter(col("src") < col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minCount)
+  }
+
+  /** Newman modularity of a node partition over the undirected simple
+    * graph: Q = sum_c (e_c / m - (d_c / 2m)^2), computed integer-exactly
+    * as Q_q = (4*m*e_in - sum_c d_c^2) * 1e6 DIV (4*m^2) over BIGINTs
+    * (negative-safe floor division matches DuckDB //). `labels` is
+    * (id, community). One symmetrize-distinct pass, one broadcast-shaped
+    * label join on each endpoint, two small aggregations — no iteration,
+    * no per-pair work. Output: one row (m_edges, e_within, sum_deg_sq,
+    * modularity_q); NULL modularity on an edgeless graph.
+    */
+  def modularity(nf: NetworkFrame, labels: DataFrame): DataFrame = {
+    val lab = labels.select(col("id"), col("community"))
+    val und = nf.symmetrizedEdges.filter(col("source") =!= col("target"))
+      .distinct()
+      .select(least(col("source"), col("target")).as("s"),
+        greatest(col("source"), col("target")).as("t"))
+      .distinct().localCheckpoint()
+    val labeled = und
+      .join(lab.select(col("id").as("s"), col("community").as("cs")), Seq("s"))
+      .join(lab.select(col("id").as("t"), col("community").as("ct")), Seq("t"))
+    val mAndIn = labeled.agg(count(lit(1)).as("m_edges"),
+      coalesce(sum(when(col("cs") === col("ct"), 1L).otherwise(0L)), lit(0L))
+        .as("e_within"))
+    // per-community degree sums from the directed view of the simple graph
+    val deg = und.select(col("s").as("id"))
+      .union(und.select(col("t").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val sumDegSq = deg.join(lab, Seq("id"))
+      .groupBy("community").agg(sum("deg").as("dc"))
+      .agg(coalesce(sum(expr("dc * dc")), lit(0L)).as("sum_deg_sq"))
+    mAndIn.crossJoin(sumDegSq).select(col("m_edges"), col("e_within"),
+      col("sum_deg_sq"),
+      // exact BIGINT numerator/denominator, ONE IEEE double divide + floor:
+      // identical operand values in any engine → identical quantized result
+      // (numerator can be negative, so integer DIV — floor vs truncate
+      // divergence across engines — is deliberately avoided)
+      expr("""if(m_edges = 0, CAST(NULL AS BIGINT),
+        CAST(floor(CAST((4 * m_edges * e_within - sum_deg_sq) * 1000000 AS DOUBLE)
+          / CAST(4 * m_edges * m_edges AS DOUBLE)) AS BIGINT))""").as("modularity_q"))
+  }
+
   private def induce(edges: DataFrame, ids: DataFrame): DataFrame =
     edges
       .join(ids.withColumnRenamed("id", "source"), Seq("source"), "left_semi")

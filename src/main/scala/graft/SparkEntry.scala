@@ -1661,7 +1661,104 @@ FROM lineitem GROUP BY 1,2 ORDER BY 1,2""")),
         .orderBy("c_mktsegment")
     },
       Some("""SELECT c_mktsegment, count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1 ORDER BY 1"""))
+FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1 ORDER BY 1""")),
+
+    // ====================== round-4 batch: projections, CDC, anomalies ======================
+
+    // bipartite co-occurrence projection: parts that ship in the same order,
+    // per-group membership capped (deterministically, smallest ids) BEFORE
+    // pairing so a mega-order contributes O(cap^2), not O(deg^2)
+    ("q_copurchase", (s, dir) =>
+      GraphAlgorithms.bipartiteProject(
+          tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey", maxPerGroup = 20, minCount = 2)
+        .select(col("src"), col("dst"), col("n_shared"))
+        .orderBy("src", "dst"),
+      Some("""WITH m AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
+capped AS (SELECT grp, item FROM (SELECT grp, item, row_number() OVER (PARTITION BY grp ORDER BY item) AS rn FROM m) WHERE rn <= 20)
+SELECT a.item AS src, b.item AS dst, count(*) AS n_shared
+FROM capped a JOIN capped b ON a.grp = b.grp AND a.item < b.item
+GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2""")),
+
+    // CDC compaction: the changelog's latest row per key (ts desc, event_id
+    // desc tie-break) — the current-state view of an upsert stream
+    ("q_cdc_latest", (s, dir) =>
+      EventStream.latestByKey(tbl(s, dir, "events"), "user_id")
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .orderBy("user_id"),
+      Some("""SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM (
+SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+WHERE rn = 1 ORDER BY user_id""")),
+
+    // sliding (hopping) windows: 1h windows every 30min, epoch-aligned —
+    // each event lands in exactly duration/slide = 2 windows
+    ("q_sliding_window", (s, dir) =>
+      EventStream.slidingTypeCounts(tbl(s, dir, "events"), "1 hour", "30 minutes")
+        .orderBy("window_start", "event_type"),
+      Some("""WITH x AS (SELECT make_timestamp(((epoch_us(ts) // 1800000000) - s.i) * 1800000000) AS window_start,
+event_type, value FROM events, (SELECT unnest(generate_series(0, 1)) AS i) s)
+SELECT window_start, event_type, count(*) AS n_events,
+CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+FROM x GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // hourly anomaly z-scores from integer-exact moments (never stddev_samp,
+    // whose streaming accumulation is order-dependent); |z| >= 2.0
+    ("q_anomaly", (s, dir) =>
+      EventStream.hourlyAnomalies(tbl(s, dir, "events"), 20000)
+        .orderBy("window_start", "event_type"),
+      Some("""WITH hourly AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type, count(*) AS n_events FROM events GROUP BY 1, 2),
+mom AS (SELECT event_type, count(*) AS n_hours, sum(n_events) AS sum_n, sum(n_events * n_events) AS sum_n2 FROM hourly GROUP BY 1 HAVING count(*) >= 2),
+z AS (SELECT h.window_start, h.event_type, h.n_events,
+CAST(m.sum_n AS DOUBLE) / CAST(m.n_hours AS DOUBLE) AS mean,
+(CAST(m.sum_n2 AS DOUBLE) - CAST(m.sum_n AS DOUBLE) * (CAST(m.sum_n AS DOUBLE) / CAST(m.n_hours AS DOUBLE))) / CAST(m.n_hours - 1 AS DOUBLE) AS varr
+FROM hourly h JOIN mom m ON h.event_type = m.event_type),
+zz AS (SELECT window_start, event_type, n_events,
+CASE WHEN varr <= 0 THEN CAST(0 AS BIGINT)
+ELSE CAST(floor((CAST(n_events AS DOUBLE) - mean) / sqrt(varr) * 10000) AS BIGINT) END AS z_q FROM z)
+SELECT window_start, event_type, n_events, z_q FROM zz WHERE abs(z_q) >= 20000 ORDER BY 1, 2""")),
+
+    // Newman modularity of the nation partition over the sparse graph —
+    // integer-exact numerator/denominator, one IEEE divide at the end
+    ("q_modularity", (s, dir) => {
+      val g = sparse(s, dir)
+      GraphAlgorithms.modularity(g,
+        g.nodes.select(col("id"), col("c_nationkey").as("community")))
+    },
+      Some(s"""$G, und AS (SELECT DISTINCT least(source, target) AS s, greatest(source, target) AS t FROM sedges WHERE source <> target),
+lab AS (SELECT id, c_nationkey AS community FROM nodes),
+le AS (SELECT u.s, u.t, ls.community AS cs, lt.community AS ct FROM und u JOIN lab ls ON u.s = ls.id JOIN lab lt ON u.t = lt.id),
+mi AS (SELECT count(*) AS m_edges, COALESCE(sum(CASE WHEN cs = ct THEN 1 ELSE 0 END), 0) AS e_within FROM le),
+deg AS (SELECT id, count(*) AS deg FROM (SELECT s AS id FROM und UNION ALL SELECT t FROM und) GROUP BY 1),
+sd AS (SELECT COALESCE(sum(dc * dc), 0) AS sum_deg_sq FROM (SELECT community, sum(deg) AS dc FROM deg JOIN lab USING (id) GROUP BY 1))
+SELECT CAST(m_edges AS BIGINT) AS m_edges, CAST(e_within AS BIGINT) AS e_within, CAST(sum_deg_sq AS BIGINT) AS sum_deg_sq,
+CASE WHEN m_edges = 0 THEN CAST(NULL AS BIGINT)
+ELSE CAST(floor(CAST((4 * m_edges * e_within - sum_deg_sq) * 1000000 AS DOUBLE) / CAST(4 * m_edges * m_edges AS DOUBLE)) AS BIGINT) END AS modularity_q
+FROM mi, sd""")),
+
+    // sparse TF-IDF cosine pairs over 3-gram shingles through a df-capped
+    // inverted index — exact decimal dots/norms, one fixed double-op cosine
+    // (unigram TF-IDF is degenerate on this corpus: 31 tokens, df ~390/500)
+    ("q_doc_cosine", (s, dir) =>
+      TextAnalysis.tfidfCosinePairs(docs(s, dir), "doc_id", "text", 20, 100000, 3)
+        .orderBy("doc_a", "doc_b"),
+      Some("""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+tk AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(l) - 2), i -> array_to_string(list_slice(l, i, i + 2), ' '))) AS token FROM t0 WHERE len(l) >= 3),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1, 2),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) <= 20),
+post AS MATERIALIZED (SELECT tf.token, doc_id, CAST(tf * 1000000 // df AS BIGINT) AS wq FROM tf JOIN dfreq ON tf.token = dfreq.token),
+norms AS (SELECT doc_id, sum(CAST(wq AS HUGEINT) * wq) AS n2 FROM post GROUP BY 1),
+dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(CAST(a.wq AS HUGEINT) * b.wq) AS dot
+FROM post a JOIN post b ON a.token = b.token AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc_a, doc_b, CAST(floor(CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) * 1000000) AS BIGINT) AS cos_q
+FROM dots JOIN norms na ON na.doc_id = doc_a JOIN norms nb ON nb.doc_id = doc_b
+WHERE CAST(floor(CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) * 1000000) AS BIGINT) >= 100000
+ORDER BY 1, 2""")),
+
+    // first principal component of the embedding matrix: integer-exact
+    // power iteration, never materializing the Gram matrix
+    ("q_pc1", (s, dir) =>
+      Similarity.principalComponent(emb(s, dir), "vec_id", "embedding", 64, 5),
+      Some(pc1Sql(64, 5)))
   )
 
   /** DuckDB mirror of GraphAlgorithms.sortSpectral at fixed iteration count:
@@ -1997,6 +2094,27 @@ we AS MATERIALIZED (SELECT source, target, min(wq) AS wq FROM (SELECT source, ta
 d0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dq),
 $steps
 SELECT id, dq FROM d$rounds ORDER BY 1"""
+  }
+
+  /** Unrolled power-iteration PC1 oracle: mirrors
+    * Similarity.principalComponent round for round — 1e4-quantized dims,
+    * N-scaled exact centering, HUGEINT accumulation, and the shifted
+    * non-negative integral division for renormalization.
+    */
+  private def pc1Sql(dims: Int, iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""t$i AS MATERIALIZED (SELECT vec_id, sum(xc * q) AS t FROM xc JOIN v${i - 1} USING (i) GROUP BY 1),
+y$i AS MATERIALIZED (SELECT i, sum(xc * t) AS y FROM xc JOIN t$i USING (vec_id) GROUP BY 1),
+m$i AS MATERIALIZED (SELECT max(abs(y)) AS mx FROM y$i),
+v$i AS MATERIALIZED (SELECT i, CASE WHEN mx IS NULL OR mx = 0 THEN CAST(0 AS HUGEINT) ELSE (y + mx) * 1000000 // (2 * mx) - 500000 END AS q FROM y$i, m$i)"""
+    }.mkString(",\n")
+    s"""WITH u AS MATERIALIZED (SELECT vec_id, s.i, CAST(floor(CAST(embedding[s.i] AS DOUBLE) * 10000) AS BIGINT) AS x FROM embeddings, (SELECT unnest(generate_series(1, $dims)) AS i) s),
+n AS (SELECT count(*) AS n FROM embeddings),
+sx AS (SELECT i, sum(x) AS sx FROM u GROUP BY 1),
+xc AS MATERIALIZED (SELECT vec_id, u.i, CAST((SELECT n FROM n) * x - sx AS HUGEINT) AS xc FROM u JOIN sx ON u.i = sx.i),
+v0 AS MATERIALIZED (SELECT i, CAST(1000000 AS HUGEINT) AS q FROM (SELECT unnest(generate_series(1, $dims)) AS i)),
+$steps
+SELECT i, CAST(q AS BIGINT) AS pc1_q FROM v$iters ORDER BY 1"""
   }
 
   /** Embedding unnest prelude shared by the similarity oracles. */

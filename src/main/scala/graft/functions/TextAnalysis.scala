@@ -275,6 +275,49 @@ object TextAnalysis {
       .select(col("doc_id"), col("token"), col("tf"), col("score_q"), col("rank"))
   }
 
+  /** Sparse TF-IDF cosine-similarity pairs: documents as sparse
+    * (token, weight) vectors with the same integer-exact tf*1e6 DIV df
+    * weighting as `tfidfTopTerms`, paired through an inverted-index
+    * self-join on the token. The df-cap bounds every posting list (a
+    * stopword shared by a billion docs is dropped, not joined), so the
+    * candidate count is sum over kept tokens of df^2 <= dfCap * |postings|
+    * — linear in corpus size, never O(n^2). Dot products and squared norms
+    * accumulate in DECIMAL(38,0) (exact, order-independent); the final
+    * cosine is ONE fixed sequence of IEEE double ops over those exact
+    * integers, quantized at 1e6 — replayable bit-for-bit in any engine.
+    * Norms are computed over the same df-capped postings the dot uses
+    * (consistent geometry). Output: (doc_a, doc_b, cos_q) with
+    * cos_q >= thresholdQ.
+    */
+  def tfidfCosinePairs(df: DataFrame, idCol: String, textCol: String,
+                       dfCap: Long = 20, thresholdQ: Long = 100000,
+                       ngram: Int = 1): DataFrame = {
+    val unit = if (ngram <= 1) tokens(col(textCol))
+               else allShingles(col(textCol), ngram)
+    val tf = df.select(col(idCol).as("doc_id"), explode(unit).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+    val post = tf.join(dfreq, Seq("token"))
+      .withColumn("wq", expr("(tf * 1000000L) div df"))
+      .select("token", "doc_id", "wq").localCheckpoint()
+    val norms = post.groupBy("doc_id")
+      .agg(sum(expr("CAST(wq AS DECIMAL(38,0)) * wq")).as("n2"))
+    val a = post.select(col("token"), col("doc_id").as("doc_a"), col("wq").as("wa"))
+    val b = post.select(col("token"), col("doc_id").as("doc_b"), col("wq").as("wb"))
+    val dots = a.join(b, Seq("token")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(expr("CAST(wa AS DECIMAL(38,0)) * wb")).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("na")), Seq("doc_a"))
+      .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("nb")), Seq("doc_b"))
+      .withColumn("cos_q", expr(
+        """CAST(floor(CAST(dot AS DOUBLE)
+           / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1000000) AS BIGINT)"""))
+      .filter(col("cos_q") >= thresholdQ)
+      .select("doc_a", "doc_b", "cos_q")
+  }
+
   /** Corpus vocabulary: top-`k` tokens by document frequency (ties broken
     * by total term frequency desc, then token asc), with global rank.
     * One shuffle on the token (partial aggregation collapses per-doc

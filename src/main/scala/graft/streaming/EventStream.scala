@@ -40,6 +40,69 @@ object EventStream {
   def withEventWatermark(events: DataFrame, delay: String = "10 minutes"): DataFrame =
     normalizeTs(events).withWatermark("ts", delay)
 
+  /** Sliding (hopping) window counts per event type: each event lands in
+    * duration/slide overlapping windows (Spark materializes the expansion
+    * then aggregates — the same plan streaming uses, state bounded by
+    * windows-in-flight x types). Epoch-aligned window starts, so a DuckDB
+    * oracle reproduces them with time_bucket arithmetic exactly.
+    */
+  def slidingTypeCounts(events: DataFrame, duration: String = "1 hour",
+                        slide: String = "30 minutes"): DataFrame =
+    normalizeTs(events)
+      .groupBy(window(col("ts"), duration, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(20,6)")).as("sum_value_dec"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value_dec").cast("double").as("sum_value"))
+
+  /** CDC compaction: the latest row per key (event time desc, then the
+    * tie-break column desc — deterministic on replayed logs). This is the
+    * changelog -> current-state view: one shuffle on the key, a per-key
+    * window top-1, no global sort. The streaming analogue keeps one row of
+    * state per live key via max-ts upsert; the batch plan here is what a
+    * backfill/compaction job runs over the full log.
+    */
+  def latestByKey(events: DataFrame, keyCol: String, tsCol: String = "ts",
+                  tieCol: String = "event_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(desc(tsCol), desc(tieCol))
+    normalizeTs(events).withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  /** Per-type hourly anomaly z-scores from integer-exact moments: hourly
+    * counts n are BIGINT, per-type sum(n), sum(n*n), hours are BIGINT, and
+    * mean/variance/z are derived by a FIXED sequence of IEEE double ops on
+    * those exact integers — identical in any engine, so the quantized score
+    * floor(z*1e4) is replayable bit-for-bit (never stddev_samp, whose
+    * streaming accumulation is order-dependent). Hours with zero events of
+    * a type don't exist in the series (absence semantics). Output: flagged
+    * hours with |z_q| >= thresholdQ. Two aggregations + one broadcast-sized
+    * join of per-type moments back onto hourly rows — no window over the
+    * raw events.
+    */
+  def hourlyAnomalies(events: DataFrame, thresholdQ: Long = 20000): DataFrame = {
+    val hourly = normalizeTs(events)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val moments = hourly.groupBy("event_type").agg(
+      count(lit(1)).as("n_hours"),
+      sum("n_events").as("sum_n"),
+      sum(expr("n_events * n_events")).as("sum_n2"))
+      .filter(col("n_hours") >= 2)
+    hourly.join(broadcast(moments), Seq("event_type"))
+      .withColumn("mean", expr("CAST(sum_n AS DOUBLE) / CAST(n_hours AS DOUBLE)"))
+      .withColumn("varr", expr(
+        """(CAST(sum_n2 AS DOUBLE) - CAST(sum_n AS DOUBLE) * mean)
+           / CAST(n_hours - 1 AS DOUBLE)"""))
+      .withColumn("z_q", expr(
+        """if(varr <= 0, CAST(0 AS BIGINT),
+           CAST(floor((CAST(n_events AS DOUBLE) - mean) / sqrt(varr) * 10000)
+             AS BIGINT))"""))
+      .filter(abs(col("z_q")) >= thresholdQ)
+      .select("window_start", "event_type", "n_events", "z_q")
+  }
+
   /** Gap-based sessionization with Spark's native `session_window`: events
     * of one user belong to one session while consecutive gaps stay under
     * `gap`; a gap >= `gap` closes the session. Works identically over batch

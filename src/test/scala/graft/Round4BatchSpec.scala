@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-4 batch: bipartite projection, modularity, CDC compaction,
+  * sliding windows, anomaly z-scores, shingle TF-IDF cosine, PC1.
+  */
+class Round4BatchSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+  import graft.streaming.EventStream
+  import graft.functions.{Similarity, TextAnalysis}
+
+  test("bipartiteProject counts shared groups and caps mega-groups") {
+    // groups: g1={1,2,3}, g2={1,2}, g3={2,3} -> pairs (1,2):2, (1,3):1, (2,3):2
+    val m = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 1L), (20L, 2L),
+      (30L, 2L), (30L, 3L), (30L, 3L)) // dup membership collapses
+      .toDF("grp", "item")
+    val got = GraphAlgorithms.bipartiteProject(m, "grp", "item",
+        maxPerGroup = 20, minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, 2L) -> 2L, (2L, 3L) -> 2L))
+    // cap: a group of 5 items with cap 3 keeps items 1,2,3 only -> the
+    // (4,5) pair never appears even at minCount 1
+    val big = (1L to 5L).map(i => (99L, i)).toDF("grp", "item")
+    val capped = GraphAlgorithms.bipartiteProject(big, "grp", "item",
+        maxPerGroup = 3, minCount = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("modularity matches the hand-computed two-triangle value") {
+    // two triangles {1,2,3} and {4,5,6} bridged by 3-4: m=7, e_within=6,
+    // degree sums per community 7 and 7 -> Q = 6/7 - 2*(7/14)^2 = 0.357142...
+    val nodes = (1L to 6L).map(i => (i, (i - 1) / 3)).toDF("id", "community")
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("source", "target")
+    val nf = NetworkFrame(nodes.select("id"), edges)
+    val r = GraphAlgorithms.modularity(nf, nodes).collect().head
+    assert(r.getLong(0) == 7L && r.getLong(1) == 6L && r.getLong(2) == 98L)
+    assert(r.getLong(3) == 357142L) // floor(70e6 / 196)
+  }
+
+  test("modularity is NULL (not a crash) on an edgeless graph") {
+    val nodes = Seq((1L, 0L), (2L, 1L)).toDF("id", "community")
+    val nf = NetworkFrame(nodes.select("id"),
+      Seq.empty[(Long, Long)].toDF("source", "target"))
+    val r = GraphAlgorithms.modularity(nf, nodes).collect().head
+    assert(r.getLong(0) == 0L && r.isNullAt(3))
+  }
+
+  test("latestByKey takes ts desc then tie-breaks on event_id desc") {
+    import java.sql.Timestamp
+    val t1 = new Timestamp(1000L); val t2 = new Timestamp(2000L)
+    val ev = Seq(
+      (1L, t1, 7L, "a", 1.0), (2L, t2, 7L, "b", 2.0), (3L, t2, 7L, "c", 3.0),
+      (9L, t1, 8L, "d", 4.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventStream.latestByKey(ev, "user_id")
+      .select("user_id", "event_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // user 7: ts tie at t2 between ids 2 and 3 -> id 3 wins
+    assert(got == Map(7L -> 3L, 8L -> 9L))
+  }
+
+  test("slidingTypeCounts lands each event in duration/slide windows") {
+    import java.sql.Timestamp
+    // 05:45 -> windows starting 05:00 and 05:30 (1h windows, 30m slide)
+    val ts = Timestamp.valueOf("2024-01-01 05:45:00")
+    val ev = Seq((1L, ts, 7L, "click", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventStream.slidingTypeCounts(ev, "1 hour", "30 minutes")
+      .select("window_start").collect().map(_.getTimestamp(0).toString).sorted
+    assert(got.toSeq == Seq("2024-01-01 05:00:00.0", "2024-01-01 05:30:00.0"))
+  }
+
+  test("hourlyAnomalies computes the exact quantized z-score") {
+    import java.sql.Timestamp
+    // type "a" hourly counts [1, 1, 1, 5]: mean 2, sample var 4, std 2 ->
+    // z(5) = 1.5 -> z_q 15000; z(1) = -0.5 -> floor(-5000.0) = -5000
+    val rows = Seq(0 -> 1, 1 -> 1, 2 -> 1, 3 -> 5).flatMap { case (h, n) =>
+      (1 to n).map(k => (h * 100L + k,
+        Timestamp.valueOf(f"2024-01-01 0$h%d:15:00"), 7L, "a", 1.0))
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val all = EventStream.hourlyAnomalies(ev, 0)
+      .select("n_events", "z_q").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(all == Set(1L -> -5000L, 5L -> 15000L))
+    // threshold keeps only the spike
+    val hot = EventStream.hourlyAnomalies(ev, 10000).collect()
+    assert(hot.length == 1 && hot.head.getAs[Long]("z_q") == 15000L)
+  }
+
+  test("tfidfCosinePairs finds identical docs at cos_q 1e6, skips disjoint") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfCosinePairs(docs, "doc_id", "text",
+        dfCap = 10, thresholdQ = 1, ngram = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, 2L) -> 1000000L))
+  }
+
+  test("principalComponent finds the dominant axis, quantized") {
+    // spread along dim 1, slight correlated dim-2 noise: PC1 ~ dim 1
+    val emb = Seq(
+      (1L, Array(1.0f, 0.05f)), (2L, Array(-1.0f, -0.05f)),
+      (3L, Array(0.5f, 0.02f)), (4L, Array(-0.5f, -0.02f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.principalComponent(emb, "vec_id", "embedding", 2, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 500000L, s"dominant dim should saturate: $got")
+    assert(got(2L) > 0L && got(2L) < 100000L, s"minor dim small positive: $got")
+  }
+}
