@@ -1549,18 +1549,51 @@ object GraphAlgorithms {
     * are keyed on group then (a, b); no all-pairs product anywhere.
     */
   def bipartiteProject(memb: DataFrame, grpCol: String, itemCol: String,
-                       maxPerGroup: Int = 20, minCount: Long = 2): DataFrame = {
+                       maxPerGroup: Int = 20, minCount: Long = 2): DataFrame =
+    pairCounts(cappedMembership(memb, grpCol, itemCol, maxPerGroup), minCount)
+
+  private def cappedMembership(memb: DataFrame, grpCol: String,
+                               itemCol: String, maxPerGroup: Int): DataFrame = {
     require(maxPerGroup >= 2, "need at least two items per group to pair")
     val m = memb.select(col(grpCol).as("grp"), col(itemCol).as("item")).distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("grp").orderBy("item")
-    val capped = m.withColumn("rn", row_number().over(w))
+    m.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= maxPerGroup).select("grp", "item")
+  }
+
+  private def pairCounts(capped: DataFrame, minCount: Long): DataFrame = {
     val a = capped.withColumnRenamed("item", "src")
     val b = capped.withColumnRenamed("item", "dst")
     a.join(b, Seq("grp")).filter(col("src") < col("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minCount)
+  }
+
+  /** Association-rule lift over the same capped co-occurrence structure as
+    * `bipartiteProject`: lift(a,b) = P(a,b) / (P(a) P(b)) = n_shared * G /
+    * (cnt_a * cnt_b) with G the total group count, quantized at 1e6 by ONE
+    * IEEE double divide over exact BIGINT products (numerator and
+    * denominator each fit 53 bits far beyond this scale). Item supports and
+    * the group total come from the SAME capped membership the pairs use, so
+    * the probabilities are consistent. lift_q > 1e6 means positive
+    * association. The group total joins in as a crossJoin of a 1-row
+    * aggregate — no driver action, one broadcast.
+    */
+  def associationLift(memb: DataFrame, grpCol: String, itemCol: String,
+                      maxPerGroup: Int = 20, minCount: Long = 2): DataFrame = {
+    val capped = cappedMembership(memb, grpCol, itemCol, maxPerGroup)
+      .localCheckpoint()
+    val pairs = pairCounts(capped, minCount)
+    val cnt = capped.groupBy("item").agg(count(lit(1)).as("cnt"))
+    val ng = capped.select("grp").distinct().agg(count(lit(1)).as("ng"))
+    pairs
+      .join(cnt.select(col("item").as("src"), col("cnt").as("cnt_a")), Seq("src"))
+      .join(cnt.select(col("item").as("dst"), col("cnt").as("cnt_b")), Seq("dst"))
+      .crossJoin(broadcast(ng))
+      .select(col("src"), col("dst"), col("n_shared"),
+        expr("""CAST(floor(CAST(n_shared * ng AS DOUBLE) * 1000000
+          / CAST(cnt_a * cnt_b AS DOUBLE)) AS BIGINT)""").as("lift_q"))
   }
 
   /** Newman modularity of a node partition over the undirected simple

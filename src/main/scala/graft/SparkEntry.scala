@@ -1758,7 +1758,82 @@ ORDER BY 1, 2""")),
     // power iteration, never materializing the Gram matrix
     ("q_pc1", (s, dir) =>
       Similarity.principalComponent(emb(s, dir), "vec_id", "embedding", 64, 5),
-      Some(pc1Sql(64, 5)))
+      Some(pc1Sql(64, 5))),
+
+    // per-vector PC1 projections — the 1-d PCA embedding of every row,
+    // sharing the component fixpoint
+    ("q_pc1_scores", (s, dir) =>
+      Similarity.principalScores(emb(s, dir), "vec_id", "embedding", 64, 5),
+      Some(pc1ScoresSql(64, 5))),
+
+    // association-rule lift over the capped co-purchase structure:
+    // supports and group totals from the SAME capped membership as the
+    // pairs, one exact double divide at the end
+    ("q_lift", (s, dir) =>
+      GraphAlgorithms.associationLift(
+          tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey", maxPerGroup = 20, minCount = 2)
+        .select("src", "dst", "n_shared", "lift_q")
+        .orderBy("src", "dst"),
+      Some("""WITH m AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
+capped AS (SELECT grp, item FROM (SELECT grp, item, row_number() OVER (PARTITION BY grp ORDER BY item) AS rn FROM m) WHERE rn <= 20),
+pairs AS (SELECT a.item AS src, b.item AS dst, count(*) AS n_shared
+FROM capped a JOIN capped b ON a.grp = b.grp AND a.item < b.item GROUP BY 1, 2 HAVING count(*) >= 2),
+cnt AS (SELECT item, count(*) AS cnt FROM capped GROUP BY 1),
+ng AS (SELECT count(DISTINCT grp) AS ng FROM capped)
+SELECT src, dst, n_shared,
+CAST(floor(CAST(n_shared * ng AS DOUBLE) * 1000000 / CAST(ca.cnt * cb.cnt AS DOUBLE)) AS BIGINT) AS lift_q
+FROM pairs CROSS JOIN ng JOIN cnt ca ON ca.item = pairs.src JOIN cnt cb ON cb.item = pairs.dst
+ORDER BY 1, 2""")),
+
+    // keep-the-best-copy curation: near-dup clusters (LSH -> CC) reduced to
+    // one surviving doc each by token-count quality, tie-broken by id
+    ("q_dedup_keep_best", (s, dir) => {
+      val clusters = Dedup.nearDupClustersFromSignatures(docs(s, dir), "doc_id",
+        docSignatures(s, dir), 0.5, 16, 4)
+      val quality = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Dedup.keepBestPerCluster(clusters, "doc_id", quality, "n_tokens")
+        .orderBy("cluster_rep")
+    },
+      Some("""WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 0)), i -> array_to_string(list_slice(l, i, i + 2), ' '))) AS shingle FROM t),
+hs AS (SELECT doc_id, unnest(generate_series(0, 15)) AS h, shingle FROM sh),
+sig AS (SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash FROM hs GROUP BY 1,2),
+b AS (SELECT doc_id AS id, h // 4 AS band, md5(string_agg(minhash, '|' ORDER BY h)) AS bucket FROM sig GROUP BY 1,2),
+cand AS (SELECT DISTINCT x.id AS ia, y.id AS ib FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id),
+pe AS (SELECT c.ia, c.ib, CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS ej
+FROM cand c JOIN sig sa ON sa.doc_id = c.ia JOIN sig sb ON sb.doc_id = c.ib AND sb.h = sa.h GROUP BY 1,2),
+e AS (SELECT ia, ib FROM pe WHERE ej >= 0.5),
+sym2 AS (SELECT ia AS s, ib AS tt FROM e UNION SELECT ib, ia FROM e),
+reach(id, r) AS (SELECT doc_id, doc_id FROM documents UNION SELECT reach.id, s2.tt FROM reach JOIN sym2 s2 ON s2.s = reach.r),
+cl AS (SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY 1),
+ql AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS q FROM documents),
+best AS (SELECT cluster_rep, cl.doc_id, q, row_number() OVER (PARTITION BY cluster_rep ORDER BY q DESC, cl.doc_id) AS rn FROM cl JOIN ql ON cl.doc_id = ql.doc_id),
+sz AS (SELECT cluster_rep, count(*) AS n_docs FROM cl GROUP BY 1)
+SELECT best.cluster_rep, best.doc_id AS best_doc, sz.n_docs, best.q AS best_quality
+FROM best JOIN sz ON best.cluster_rep = sz.cluster_rep WHERE rn = 1 ORDER BY 1""")),
+
+    // deterministic per-(user, hour) rate limiting: keep the first k events
+    // in (ts, event_id) order — flood control as a WindowGroupLimit plan
+    ("q_rate_limit", (s, dir) =>
+      EventStream.rateLimit(tbl(s, dir, "events"), "user_id", 2)
+        .select("event_id", "user_id", "hr")
+        .orderBy("event_id"),
+      Some("""SELECT event_id, user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr FROM (
+SELECT *, row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts) ORDER BY ts, event_id) AS rn FROM events)
+WHERE rn <= 2 ORDER BY event_id""")),
+
+    // cohort retention: users by first-event day, counted at each
+    // day-offset they return — exact integers throughout
+    ("q_retention", (s, dir) =>
+      EventStream.cohortRetention(tbl(s, dir, "events"))
+        .orderBy("cohort_day", "day_offset"),
+      Some("""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+c AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1),
+x AS (SELECT DISTINCT c.cohort_day, CAST(datediff('day', c.cohort_day, ev.day) AS INT) AS day_offset, ev.user_id
+FROM ev JOIN c ON ev.user_id = c.user_id)
+SELECT cohort_day, day_offset, count(*) AS n_users FROM x GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 
   /** DuckDB mirror of GraphAlgorithms.sortSpectral at fixed iteration count:
@@ -2101,7 +2176,7 @@ SELECT id, dq FROM d$rounds ORDER BY 1"""
     * N-scaled exact centering, HUGEINT accumulation, and the shifted
     * non-negative integral division for renormalization.
     */
-  private def pc1Sql(dims: Int, iters: Int): String = {
+  private def pc1Body(dims: Int, iters: Int): String = {
     val steps = (1 to iters).map { i =>
       s"""t$i AS MATERIALIZED (SELECT vec_id, sum(xc * q) AS t FROM xc JOIN v${i - 1} USING (i) GROUP BY 1),
 y$i AS MATERIALIZED (SELECT i, sum(xc * t) AS y FROM xc JOIN t$i USING (vec_id) GROUP BY 1),
@@ -2113,9 +2188,21 @@ n AS (SELECT count(*) AS n FROM embeddings),
 sx AS (SELECT i, sum(x) AS sx FROM u GROUP BY 1),
 xc AS MATERIALIZED (SELECT vec_id, u.i, CAST((SELECT n FROM n) * x - sx AS HUGEINT) AS xc FROM u JOIN sx ON u.i = sx.i),
 v0 AS MATERIALIZED (SELECT i, CAST(1000000 AS HUGEINT) AS q FROM (SELECT unnest(generate_series(1, $dims)) AS i)),
-$steps
-SELECT i, CAST(q AS BIGINT) AS pc1_q FROM v$iters ORDER BY 1"""
+$steps"""
   }
+
+  private def pc1Sql(dims: Int, iters: Int): String =
+    s"""${pc1Body(dims, iters)}
+SELECT i, CAST(q AS BIGINT) AS pc1_q FROM v$iters ORDER BY 1"""
+
+  /** PC1 projection-score oracle: the fixpoint body plus one final
+    * dot + shifted-renormalization step, mirroring principalScores. */
+  private def pc1ScoresSql(dims: Int, iters: Int): String =
+    s"""${pc1Body(dims, iters)},
+tf AS MATERIALIZED (SELECT vec_id, sum(xc * q) AS t FROM xc JOIN v$iters USING (i) GROUP BY 1),
+mf AS (SELECT max(abs(t)) AS mt FROM tf)
+SELECT vec_id, CAST(CASE WHEN mt IS NULL OR mt = 0 THEN 0 ELSE (t + mt) * 1000000 // (2 * mt) - 500000 END AS BIGINT) AS score_q
+FROM tf, mf ORDER BY 1"""
 
   /** Embedding unnest prelude shared by the similarity oracles. */
   private val EMB_U =

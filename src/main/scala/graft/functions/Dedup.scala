@@ -191,6 +191,29 @@ object Dedup {
       .select(col("id").as(idCol), col("component").as("cluster_rep"))
   }
 
+  /** The curation step after clustering: ONE surviving document per
+    * near-dup cluster, chosen by maximum quality (tie: smallest doc id) —
+    * "keep the best copy", not "keep the arbitrary min-id copy". `clusters`
+    * is (idCol, cluster_rep) as produced by `nearDupClusters*`; `quality`
+    * is (idCol, qualityCol) from any scorer (token count, quality model,
+    * ...). One join + one per-cluster top-1 window (planned as a partial
+    * WindowGroupLimit below the exchange, so only one row per cluster per
+    * map task crosses the wire). Output: one row per cluster
+    * (cluster_rep, best_doc, n_docs, best_quality).
+    */
+  def keepBestPerCluster(clusters: DataFrame, idCol: String,
+                         quality: DataFrame, qualityCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_rep").orderBy(desc(qualityCol), asc(idCol))
+    val joined = clusters.join(quality, Seq(idCol))
+    val sizes = clusters.groupBy("cluster_rep").agg(count(lit(1)).as("n_docs"))
+    joined.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("cluster_rep"), col(idCol).as("best_doc"),
+        col(qualityCol).as("best_quality"))
+      .join(sizes, Seq("cluster_rep"))
+      .select("cluster_rep", "best_doc", "n_docs", "best_quality")
+  }
+
   /** Exact n-gram Jaccard similarity for all doc pairs sharing at least one
     * shingle — inverted-index self-join, so cost is bounded by co-occurrence,
     * not the full pair space.

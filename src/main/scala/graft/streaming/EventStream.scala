@@ -103,6 +103,42 @@ object EventStream {
       .select("window_start", "event_type", "n_events", "z_q")
   }
 
+  /** Per-key rate limiting: keep at most `k` events per (key, hour), in
+    * event order (ts, then the tie column) — the deterministic
+    * abuse/flood-control filter of an ingestion pipeline. One shuffle on
+    * (key, hour); the per-group top-k window plans as a partial
+    * WindowGroupLimit, so at most k rows per (key, hour) leave each map
+    * task. The streaming analogue keeps one counter per live (key, hour)
+    * of state, evicted by watermark.
+    */
+  def rateLimit(events: DataFrame, keyCol: String, k: Int,
+                tsCol: String = "ts", tieCol: String = "event_id"): DataFrame = {
+    require(k >= 1, "keep at least one event per key-hour")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol), col("hr")).orderBy(asc(tsCol), asc(tieCol))
+    normalizeTs(events)
+      .withColumn("hr", date_trunc("hour", col(tsCol)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+  }
+
+  /** Cohort retention: users grouped by the calendar day of their FIRST
+    * event (the cohort), counted by how many are active again `day_offset`
+    * days later. Two aggregations (per-user first day; distinct
+    * (cohort, offset, user) counts) — the classic growth-analytics rollup,
+    * exact integers throughout.
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val ev = normalizeTs(events)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohort = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+    ev.join(cohort, Seq("user_id"))
+      .select(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_offset"),
+        col("user_id"))
+      .distinct()
+      .groupBy("cohort_day", "day_offset").agg(count(lit(1)).as("n_users"))
+  }
+
   /** Gap-based sessionization with Spark's native `session_window`: events
     * of one user belong to one session while consecutive gaps stay under
     * `gap`; a gap >= `gap` closes the session. Works identically over batch

@@ -104,6 +104,67 @@ class Round4BatchSpec extends AnyFunSuite with SparkFixture {
     assert(got == Map((1L, 2L) -> 1000000L))
   }
 
+  test("associationLift computes exact quantized lift from capped supports") {
+    // g1={1,2}, g2={1,2}, g3={1,3}, g4={3}: ng=4, cnt 1->3, 2->2, 3->2
+    val m = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 3L),
+      (4L, 3L)).toDF("grp", "item")
+    val got = GraphAlgorithms.associationLift(m, "grp", "item",
+        maxPerGroup = 10, minCount = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // lift(1,2) = 2*4/(3*2) = 1.3333 -> 1333333; lift(1,3) = 1*4/6 -> 666666
+    assert(got == Map((1L, 2L) -> 1333333L, (1L, 3L) -> 666666L))
+  }
+
+  test("keepBestPerCluster keeps max quality, ties to the smallest id") {
+    import graft.functions.Dedup
+    val clusters = Seq((1L, 100L), (2L, 100L), (3L, 300L), (4L, 300L))
+      .toDF("doc_id", "cluster_rep")
+    val quality = Seq((1L, 5L), (2L, 9L), (3L, 7L), (4L, 7L))
+      .toDF("doc_id", "n_tokens")
+    val got = Dedup.keepBestPerCluster(clusters, "doc_id", quality, "n_tokens")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(100L -> ((2L, 2L, 9L)), 300L -> ((3L, 2L, 7L))))
+  }
+
+  test("rateLimit keeps the first k events per (key, hour) in event order") {
+    import java.sql.Timestamp
+    val h = "2024-01-01 05:%02d:00"
+    val ev = Seq(
+      (3L, Timestamp.valueOf(h.format(10)), 7L, "a", 1.0),
+      (1L, Timestamp.valueOf(h.format(20)), 7L, "a", 1.0),
+      (2L, Timestamp.valueOf(h.format(30)), 7L, "a", 1.0),
+      (9L, Timestamp.valueOf("2024-01-01 06:05:00"), 7L, "a", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val kept = EventStream.rateLimit(ev, "user_id", 2)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    // hour 05: first two by ts are ids 3 (05:10) and 1 (05:20); hour 06: id 9
+    assert(kept == Set(3L, 1L, 9L))
+  }
+
+  test("cohortRetention counts returning users per day offset") {
+    import java.sql.Timestamp
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 01:00:00"), 1L, "a", 1.0),
+      (2L, Timestamp.valueOf("2024-01-03 01:00:00"), 1L, "a", 1.0),
+      (3L, Timestamp.valueOf("2024-01-01 09:00:00"), 2L, "a", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventStream.cohortRetention(ev)
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("2024-01-01", 0) -> 2L, ("2024-01-01", 2) -> 1L))
+  }
+
+  test("principalScores projects rows onto PC1 with saturated extremes") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.05f)), (2L, Array(-1.0f, -0.05f)),
+      (3L, Array(0.5f, 0.02f)), (4L, Array(-0.5f, -0.02f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.principalScores(emb, "vec_id", "embedding", 2, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 500000L && got(2L) == -500000L, s"extremes saturate: $got")
+    assert(got(3L) > 0L && got(3L) < 500000L, s"interior positive: $got")
+    assert(got(4L) < 0L && got(4L) > -500000L, s"interior negative: $got")
+  }
+
   test("principalComponent finds the dominant axis, quantized") {
     // spread along dim 1, slight correlated dim-2 noise: PC1 ~ dim 1
     val emb = Seq(
