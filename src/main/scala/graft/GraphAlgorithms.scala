@@ -1636,6 +1636,38 @@ object GraphAlgorithms {
           / CAST(4 * m_edges * m_edges AS DOUBLE)) AS BIGINT))""").as("modularity_q"))
   }
 
+  /** Weisfeiler-Leman label refinement: every node's label is iteratively
+    * re-hashed from (own label, SORTED multiset of neighbor labels) —
+    * `rounds` rounds of the 1-WL color refinement that underlies graph
+    * isomorphism tests and structural node featurization (WL kernels,
+    * GNN expressiveness). All nodes start at the uniform label, so round 1
+    * separates by degree, round k by k-hop structure. The multiset is
+    * canonicalized with sort_array (collect_list order is partition-
+    * dependent; the sort makes the hash input deterministic at any
+    * parallelism). Per round: one message join + one per-node aggregation —
+    * the componentLabels plan shape; the per-node neighbor list is bounded
+    * by degree (hub lists are large but single-row; cap degrees upstream
+    * for extreme skew). Output: (id, wl) hex labels.
+    */
+  def wlRefinement(nf: NetworkFrame, rounds: Int): DataFrame =
+      withoutConstraintPropagation(nf.edges) {
+    require(rounds >= 1, "at least one refinement round")
+    val e = nf.symmetrizedEdges.filter(col("source") =!= col("target"))
+      .distinct().localCheckpoint()
+    var lab = nf.nodes.select(col("id"), lit("0").as("wl")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val msgs = e.join(lab.select(col("id").as("source"), col("wl")), Seq("source"))
+        .select(col("target").as("id"), col("wl"))
+      val nb = msgs.groupBy("id")
+        .agg(concat_ws("|", sort_array(collect_list(col("wl")))).as("nbl"))
+      lab = lab.join(nb, Seq("id"), "left_outer")
+        .select(col("id"),
+          md5(concat(col("wl"), lit(":"), coalesce(col("nbl"), lit("")))).as("wl"))
+        .localCheckpoint()
+    }
+    lab
+  }
+
   private def induce(edges: DataFrame, ids: DataFrame): DataFrame =
     edges
       .join(ids.withColumnRenamed("id", "source"), Seq("source"), "left_semi")

@@ -1833,8 +1833,68 @@ WHERE rn <= 2 ORDER BY event_id""")),
 c AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1),
 x AS (SELECT DISTINCT c.cohort_day, CAST(datediff('day', c.cohort_day, ev.day) AS INT) AS day_offset, ev.user_id
 FROM ev JOIN c ON ev.user_id = c.user_id)
-SELECT cohort_day, day_offset, count(*) AS n_users FROM x GROUP BY 1, 2 ORDER BY 1, 2"""))
+SELECT cohort_day, day_offset, count(*) AS n_users FROM x GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // sliding windows through the real streaming machinery in append mode:
+    // overlapping windows emit once each, watermark-finalized (oracle's
+    // WHERE mirrors the finalization predicate)
+    ("q_sliding_stream", (s, dir) =>
+      EventStream.runSlidingStream(s, s"$dir/events.parquet", "1 hour",
+          "30 minutes", "10 minutes", s"sliding_stream_${Counter.next()}")
+        .orderBy("window_start", "event_type"),
+      Some("""WITH x AS (SELECT make_timestamp(((epoch_us(ts) // 1800000000) - s.i) * 1800000000) AS window_start,
+event_type, value FROM events, (SELECT unnest(generate_series(0, 1)) AS i) s)
+SELECT window_start, event_type, count(*) AS n_events,
+CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+FROM x WHERE window_start + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // binned point-in-interval range join: errors counted inside the
+    // session that contains them — equi-join on (user, hour bucket) with
+    // the exact range predicate as a filter, never a nested loop
+    ("q_point_in_interval", (s, dir) => {
+      val sess = EventStream.sessionize(tbl(s, dir, "events"), "30 minutes")
+        .select(col("user_id"), col("t_start"), col("t_end"))
+      val errs = EventStream.normalizeTs(tbl(s, dir, "events"))
+        .filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"))
+      graft.operators.RangeJoin.pointInInterval(errs, "ts", sess,
+          "t_start", "t_end", Seq("user_id"), 3600)
+        .groupBy("user_id", "t_start").agg(count(lit(1)).as("n_err"))
+        .orderBy("user_id", "t_start")
+    },
+      Some("""WITH l AS (SELECT user_id, event_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events),
+f AS (SELECT *, CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) >= 1800000000 THEN 1 ELSE 0 END AS ns FROM l),
+g AS (SELECT user_id, ts, event_id, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS seq FROM f),
+s AS (SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS t_start, CAST(max(ts) AS TIMESTAMP) + INTERVAL 30 MINUTE AS t_end FROM g GROUP BY user_id, seq)
+SELECT s.user_id, s.t_start, count(*) AS n_err
+FROM s JOIN events e ON e.user_id = s.user_id AND e.ts >= s.t_start AND e.ts < s.t_end AND e.event_type = 'error'
+GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // 1-WL color refinement: structural node labels from iterated hashing
+    // of sorted neighbor-label multisets (graph-kernel featurization)
+    ("q_wl_labels", (s, dir) =>
+      GraphAlgorithms.wlRefinement(sparse(s, dir), 2).orderBy("id"),
+      Some(wlSql(2)))
   )
+
+  /** Unrolled WL-refinement oracle: per round, the sorted neighbor-label
+    * multiset is string-aggregated and re-hashed — mirrors
+    * GraphAlgorithms.wlRefinement round for round (md5 hex labels sort
+    * identically in both engines: plain ASCII, binary collation).
+    */
+  private def wlSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""n$i AS MATERIALIZED (SELECT s.target AS id, string_agg(l.wl, '|' ORDER BY l.wl) AS nbl FROM symd s JOIN l${i - 1} l ON l.id = s.source GROUP BY 1),
+l$i AS MATERIALIZED (SELECT l.id, md5(l.wl || ':' || COALESCE(n.nbl, '')) AS wl FROM l${i - 1} l LEFT JOIN n$i n ON n.id = l.id)"""
+    }.mkString(",\n")
+    s"""WITH nodes AS MATERIALIZED (SELECT c_custkey AS id FROM customer),
+se AS MATERIALIZED (SELECT o_custkey AS source, o_orderkey % (SELECT count(*) FROM customer) AS target FROM orders WHERE o_orderkey % 10 = 0),
+symd AS MATERIALIZED (SELECT DISTINCT source, target FROM (SELECT source, target FROM se UNION ALL SELECT target, source FROM se) WHERE source <> target),
+l0 AS MATERIALIZED (SELECT id, '0' AS wl FROM nodes),
+$steps
+SELECT id, wl FROM l$rounds ORDER BY 1"""
+  }
 
   /** DuckDB mirror of GraphAlgorithms.sortSpectral at fixed iteration count:
     * quantized long-cent weights, decimal-exact matvec, max-renormalization

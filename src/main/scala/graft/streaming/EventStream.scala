@@ -337,6 +337,28 @@ object EventStream {
     result
   }
 
+  /** Drive `slidingTypeCounts` through the streaming engine in APPEND mode:
+    * each overlapping window emits exactly once, after the watermark passes
+    * its end, then drops its state — so sliding-window state is bounded by
+    * (duration/slide) concurrent windows x live types, regardless of stream
+    * length. Windows still open when the input drains are withheld (the
+    * production finalization contract, same as `runStreamingAppend`).
+    */
+  def runSlidingStream(spark: SparkSession, parquetPath: String,
+                       duration: String = "1 hour",
+                       slide: String = "30 minutes",
+                       delay: String = "10 minutes",
+                       queryName: String = "sliding_stream"): DataFrame = {
+    val schema = spark.read.parquet(parquetPath).schema
+    val src = spark.readStream.schema(schema).parquet(stageDir(parquetPath))
+    val agg = slidingTypeCounts(withEventWatermark(src, delay), duration, slide)
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName(queryName).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Drive `streamingDedup` over a parquet directory through the real
     * microbatch machinery, projecting only the dedup keys — key-only output
     * keeps the result independent of which duplicate arrives first inside a

@@ -165,6 +165,63 @@ class Round4BatchSpec extends AnyFunSuite with SparkFixture {
     assert(got(4L) < 0L && got(4L) > -500000L, s"interior negative: $got")
   }
 
+  test("runSlidingStream emits each finalized overlapping window once") {
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("graft_slide_").toString
+    Seq(
+      (1L, Timestamp.valueOf("2024-01-01 05:45:00"), 7L, "a", 1.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-01 06:20:00"), 7L, "a", 1.0, "{}"),
+      (3L, Timestamp.valueOf("2024-01-01 08:00:00"), 7L, "a", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val got = EventStream.runSlidingStream(spark, dir, "1 hour", "30 minutes",
+        "10 minutes", s"slide_spec_${System.nanoTime()}")
+      .collect().map(r => r.getTimestamp(0).toString -> r.getLong(2)).toMap
+    // final watermark 07:50: the 05:00/05:30/06:00 windows finalize
+    // (counts 1, 2, 1); 06:20's 06:30 window and both of 08:00's are open
+    assert(got == Map(
+      "2024-01-01 05:00:00.0" -> 1L,
+      "2024-01-01 05:30:00.0" -> 2L,
+      "2024-01-01 06:00:00.0" -> 1L), s"got $got")
+  }
+
+  test("pointInInterval honors [start, end) and bucket-spanning intervals") {
+    import java.sql.Timestamp
+    import graft.operators.RangeJoin
+    val iv = Seq(
+      (7L, Timestamp.valueOf("2024-01-01 10:00:00"), Timestamp.valueOf("2024-01-01 11:00:00")),
+      (8L, Timestamp.valueOf("2024-01-01 10:00:00"), Timestamp.valueOf("2024-01-01 12:30:00")))
+      .toDF("user_id", "t_start", "t_end")
+    val pts = Seq(
+      (7L, Timestamp.valueOf("2024-01-01 10:30:00")), // inside
+      (7L, Timestamp.valueOf("2024-01-01 11:00:00")), // exclusive end: out
+      (7L, Timestamp.valueOf("2024-01-01 09:59:59")), // before: out
+      (9L, Timestamp.valueOf("2024-01-01 10:30:00")), // wrong key: out
+      (8L, Timestamp.valueOf("2024-01-01 12:15:00"))) // 3rd bucket of a 2.5h span
+      .toDF("user_id", "ts")
+    val got = RangeJoin.pointInInterval(pts, "ts", iv, "t_start", "t_end",
+        Seq("user_id"), 3600)
+      .select("user_id", "p_ts").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).toString).toSet
+    assert(got == Set(7L -> "2024-01-01 10:30:00.0", 8L -> "2024-01-01 12:15:00.0"))
+  }
+
+  test("wlRefinement separates structure, keeps isomorphic nodes equal") {
+    // path 1-2-3: endpoints agree, middle differs (degree splits in round 1)
+    val path = NetworkFrame((1L to 3L).toDF("id"),
+      Seq((1L, 2L), (2L, 3L)).toDF("source", "target"))
+    val p = GraphAlgorithms.wlRefinement(path, 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(p(1L) == p(3L) && p(1L) != p(2L))
+    // two disjoint triangles: all six nodes are 1-WL-equivalent
+    val tri = NetworkFrame((1L to 6L).toDF("id"),
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+        .toDF("source", "target"))
+    val t = GraphAlgorithms.wlRefinement(tri, 3)
+      .collect().map(_.getString(1)).toSet
+    assert(t.size == 1, s"vertex-transitive graph must collapse to one label: $t")
+  }
+
   test("principalComponent finds the dominant axis, quantized") {
     // spread along dim 1, slight correlated dim-2 noise: PC1 ~ dim 1
     val emb = Seq(
