@@ -104,6 +104,42 @@ object Plans {
       q.explain("formatted")
       t("asofBackward")(q.count())
     }
+    if (what == "r4") {
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val bp = graft.GraphAlgorithms.bipartiteProject(
+        li.select(col("l_orderkey"), col("l_partkey")), "l_orderkey", "l_partkey")
+      println("==== bipartiteProject plan — expect window cap + equi join, no nested loop ====")
+      bp.explain("formatted")
+      t("bipartiteProject")(bp.count())
+
+      val ev = graft.streaming.EventStream.normalizeTs(
+        spark.read.parquet(s"$dir/events.parquet"))
+      val sess = graft.streaming.EventStream.sessionize(ev, "30 minutes")
+        .select(col("user_id"), col("t_start"), col("t_end"))
+      val pii = graft.operators.RangeJoin.pointInInterval(
+        ev.filter(col("event_type") === "error").select(col("user_id"), col("ts")),
+        "ts", sess, "t_start", "t_end", Seq("user_id"), 3600)
+      println("==== pointInInterval plan — expect equi join on (user, bucket), NO BroadcastNestedLoopJoin ====")
+      pii.explain("formatted")
+      t("pointInInterval")(pii.count())
+
+      val rl = graft.streaming.EventStream.rateLimit(ev, "user_id", 2)
+      println("==== rateLimit plan — expect WindowGroupLimit below the exchange ====")
+      rl.explain("formatted")
+      t("rateLimit")(rl.count())
+
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val tc = graft.functions.TextAnalysis.tfidfCosinePairs(
+        docs, "doc_id", "text", 20, 100000, 3)
+      println("==== tfidfCosinePairs plan — expect inverted-index equi join, no nested loop ====")
+      tc.explain("formatted")
+      t("tfidfCosinePairs")(tc.count())
+
+      val an = graft.streaming.EventStream.hourlyAnomalies(ev, 20000)
+      println("==== hourlyAnomalies plan — expect BroadcastHashJoin of the moments ====")
+      an.explain("formatted")
+      t("hourlyAnomalies")(an.count())
+    }
     spark.stop()
   }
 }
