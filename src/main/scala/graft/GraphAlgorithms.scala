@@ -1668,6 +1668,92 @@ object GraphAlgorithms {
     lab
   }
 
+  /** GraphSAGE-style deterministic neighborhood sampling: per seed, per
+    * hop h, each frontier node keeps at most fanout(h) of its neighbors,
+    * ranked by a hash of (seed, parent, child) — pseudo-random but a pure
+    * function of the ids, so the sampled computation graph is identical at
+    * any parallelism and replayable by an oracle. Per hop: one edge join on
+    * the frontier + one per-(seed, parent) top-k window (partial
+    * WindowGroupLimit — at most fanout rows per group leave each map task).
+    * Sampled trees bound downstream GNN training cost: hop h contributes at
+    * most |seeds| * prod(fanout(1..h)) rows regardless of graph size.
+    * Output: (seed, hop, parent, child) sampled tree edges.
+    */
+  def neighborSample(nf: NetworkFrame, seeds: DataFrame,
+                     fanout: Seq[Int]): DataFrame = withoutConstraintPropagation(nf.edges) {
+    require(fanout.nonEmpty && fanout.forall(_ >= 1), "per-hop fanout >= 1")
+    val e = nf.symmetrizedEdges.filter(col("source") =!= col("target"))
+      .distinct().localCheckpoint()
+    var frontier = seeds.select(col("id").as("seed"), col("id").as("node")).distinct()
+    var out: DataFrame = null
+    for ((f, h) <- fanout.zipWithIndex) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("seed", "parent")
+        .orderBy(col("rnd"), col("child"))
+      val sampled = e.join(frontier.withColumnRenamed("node", "source"), Seq("source"))
+        .select(col("seed"), col("source").as("parent"), col("target").as("child"))
+        .withColumn("rnd", conv(substring(md5(concat_ws(":",
+          col("seed"), col("parent"), col("child"))), 1, 8), 16, 10).cast("long"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= f)
+        .select(col("seed"), lit(h + 1).as("hop"), col("parent"), col("child"))
+        .localCheckpoint()
+      out = if (out == null) sampled else out.union(sampled)
+      frontier = sampled.select(col("seed"), col("child").as("node")).distinct()
+    }
+    out
+  }
+
+  /** Deterministic negative-edge sampling for link-prediction training:
+    * per source of the directed simple graph, `candidates` pseudo-random
+    * node positions are derived by hash (a pure function of (source, j) —
+    * partitioning-independent), mapped to real node ids through the dense
+    * positional index, existing edges and self-pairs are removed by
+    * anti-join, and the first `keep` survivors per source (in candidate
+    * order j) are emitted. Plan: one candidate explode (map-only), one
+    * broadcast-shaped join on the position table, one anti-join against
+    * edges on the (source, target) key, one per-source top-k window.
+    * Output: (source, target, j) — j preserves the sampling order for
+    * reproducible truncation.
+    */
+  def negativeSamples(nf: NetworkFrame, candidates: Int = 8,
+                      keep: Int = 3): DataFrame = withoutConstraintPropagation(nf.edges) {
+    require(keep >= 1 && candidates >= keep, "candidates >= keep >= 1")
+    val pos = NetworkFrame.positionsById(nf.nodes).localCheckpoint()
+    val n = pos.count()
+    val e = nf.edges.select(col("source"), col("target")).distinct().localCheckpoint()
+    val srcs = e.select("source").distinct()
+    val cand = srcs
+      .withColumn("j", explode(sequence(lit(1), lit(candidates))))
+      .withColumn("p", conv(substring(md5(concat_ws(":",
+        col("source"), col("j"))), 1, 8), 16, 10).cast("long") % n)
+      .join(pos.select(col("pos").as("p"), col("id").as("target")), Seq("p"))
+      .filter(col("source") =!= col("target"))
+      .select("source", "target", "j")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("j")
+    cand.join(e, Seq("source", "target"), "left_anti")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= keep)
+      .select("source", "target", "j")
+  }
+
+  /** Global transitivity: 3 * triangles / wedges over the undirected
+    * simple graph, quantized at 1e6 (integral division of non-negatives —
+    * exact in every engine). One canonical triangle count + one degree
+    * aggregation; a single-row result.
+    */
+  def transitivity(nf: NetworkFrame): DataFrame = {
+    val sym = nf.symmetrizedEdges.filter(col("source") =!= col("target"))
+      .distinct().localCheckpoint()
+    val tri = triangleCount(nf)
+    val wedges = sym.groupBy(col("source").as("id")).agg(count(lit(1)).as("d"))
+      .agg(coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)).as("n_wedges"))
+    tri.crossJoin(wedges).select(col("n_triangles"), col("n_wedges"),
+      expr("if(n_wedges = 0, CAST(NULL AS BIGINT), 3 * n_triangles * 1000000 div n_wedges)")
+        .as("transitivity_q"))
+  }
+
   private def induce(edges: DataFrame, ids: DataFrame): DataFrame =
     edges
       .join(ids.withColumnRenamed("id", "source"), Seq("source"), "left_semi")

@@ -1875,7 +1875,74 @@ GROUP BY 1, 2 ORDER BY 1, 2""")),
     // of sorted neighbor-label multisets (graph-kernel featurization)
     ("q_wl_labels", (s, dir) =>
       GraphAlgorithms.wlRefinement(sparse(s, dir), 2).orderBy("id"),
-      Some(wlSql(2)))
+      Some(wlSql(2))),
+
+    // GraphSAGE-style sampled computation trees: hash-ranked per-(seed,
+    // parent) neighbor pick, fanout (3, 2) over two hops
+    ("q_neighbor_sample", (s, dir) => {
+      val g = sparse(s, dir)
+      GraphAlgorithms.neighborSample(g,
+          g.nodes.select("id").orderBy("id").limit(20), Seq(3, 2))
+        .orderBy("seed", "hop", "parent", "child")
+    },
+      Some("""WITH nodes AS MATERIALIZED (SELECT c_custkey AS id FROM customer),
+se AS MATERIALIZED (SELECT o_custkey AS source, o_orderkey % (SELECT count(*) FROM customer) AS target FROM orders WHERE o_orderkey % 10 = 0),
+symd AS MATERIALIZED (SELECT DISTINCT source, target FROM (SELECT source, target FROM se UNION ALL SELECT target, source FROM se) WHERE source <> target),
+f0 AS (SELECT id AS seed, id AS node FROM (SELECT id FROM nodes ORDER BY id LIMIT 20)),
+c1 AS (SELECT f.seed, s.source AS parent, s.target AS child,
+CAST(concat('0x', substr(md5(concat(f.seed, ':', s.source, ':', s.target)), 1, 8)) AS BIGINT) AS rnd
+FROM symd s JOIN f0 f ON f.node = s.source),
+s1 AS MATERIALIZED (SELECT seed, 1 AS hop, parent, child FROM (SELECT *, row_number() OVER (PARTITION BY seed, parent ORDER BY rnd, child) AS rn FROM c1) WHERE rn <= 3),
+f1 AS (SELECT DISTINCT seed, child AS node FROM s1),
+c2 AS (SELECT f.seed, s.source AS parent, s.target AS child,
+CAST(concat('0x', substr(md5(concat(f.seed, ':', s.source, ':', s.target)), 1, 8)) AS BIGINT) AS rnd
+FROM symd s JOIN f1 f ON f.node = s.source),
+s2 AS MATERIALIZED (SELECT seed, 2 AS hop, parent, child FROM (SELECT *, row_number() OVER (PARTITION BY seed, parent ORDER BY rnd, child) AS rn FROM c2) WHERE rn <= 2)
+SELECT seed, hop, parent, child FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2) ORDER BY 1, 2, 3, 4""")),
+
+    // deterministic negative-edge sampling: hash-derived candidate
+    // positions -> dense positional index -> anti-join real edges
+    ("q_neg_samples", (s, dir) =>
+      GraphAlgorithms.negativeSamples(sparse(s, dir), 8, 3)
+        .orderBy("source", "j"),
+      Some("""WITH nodes AS MATERIALIZED (SELECT c_custkey AS id FROM customer),
+se AS MATERIALIZED (SELECT o_custkey AS source, o_orderkey % (SELECT count(*) FROM customer) AS target FROM orders WHERE o_orderkey % 10 = 0),
+de AS MATERIALIZED (SELECT DISTINCT source, target FROM se),
+pos AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS p FROM nodes),
+srcs AS (SELECT DISTINCT source FROM de),
+cand AS (SELECT s.source, j.j, CAST(concat('0x', substr(md5(concat(s.source, ':', j.j)), 1, 8)) AS BIGINT) % (SELECT count(*) FROM nodes) AS p
+FROM srcs s, (SELECT unnest(generate_series(1, 8)) AS j) j),
+cand2 AS (SELECT c.source, pos.id AS target, c.j FROM cand c JOIN pos ON pos.p = c.p WHERE c.source <> pos.id),
+neg AS (SELECT c.source, c.target, c.j FROM cand2 c WHERE NOT EXISTS (SELECT 1 FROM de e WHERE e.source = c.source AND e.target = c.target))
+SELECT source, target, CAST(j AS INT) AS j FROM (SELECT *, row_number() OVER (PARTITION BY source ORDER BY j) AS rn FROM neg)
+WHERE rn <= 3 ORDER BY source, j""")),
+
+    // asymmetric containment dedup: subset duplication Jaccard misses
+    // (short doc quoted inside a long one), same df-capped inverted index
+    ("q_containment", (s, dir) =>
+      Dedup.ngramContainmentPairs(docs(s, dir), "doc_id", "text", 3, 500000, 20)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 0)), i -> array_to_string(list_slice(l, i, i + 2), ' '))) AS shingle FROM t),
+dfc AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 20),
+shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfc USING (shingle)),
+sz AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY 1),
+it AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1,2)
+SELECT ia AS id_a, ib AS id_b, CAST(i AS BIGINT) AS inter,
+CAST(i * 1000000 // least(sa.sz, sb.sz) AS BIGINT) AS containment_q
+FROM it JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+WHERE i * 1000000 // least(sa.sz, sb.sz) >= 500000 ORDER BY 1, 2""")),
+
+    // global transitivity: 3 * triangles / wedges, single-row summary
+    ("q_transitivity", (s, dir) =>
+      GraphAlgorithms.transitivity(sparse(s, dir)),
+      Some(s"""$G, und AS (SELECT DISTINCT least(source, target) AS s, greatest(source, target) AS t FROM sedges WHERE source <> target),
+tri AS (SELECT count(*) AS n_triangles FROM und ab JOIN und bc ON ab.t = bc.s JOIN und ac ON ac.s = ab.s AND ac.t = bc.t),
+deg AS (SELECT id, count(*) AS d FROM (SELECT s AS id FROM und UNION ALL SELECT t FROM und) GROUP BY 1),
+w AS (SELECT COALESCE(sum(d * (d - 1) // 2), 0) AS n_wedges FROM deg)
+SELECT CAST(n_triangles AS BIGINT) AS n_triangles, CAST(n_wedges AS BIGINT) AS n_wedges,
+CASE WHEN n_wedges = 0 THEN CAST(NULL AS BIGINT) ELSE CAST(3 * n_triangles * 1000000 // n_wedges AS BIGINT) END AS transitivity_q
+FROM tri, w"""))
   )
 
   /** Unrolled WL-refinement oracle: per round, the sorted neighbor-label

@@ -259,6 +259,42 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs: for doc pairs sharing a shingle,
+    * the larger of the two directional containments
+    * max(|A inter B| / |A|, |A inter B| / |B|) = inter / min(|A|, |B|),
+    * quantized at 1e6 by integral division (exact in every engine).
+    * Containment catches subset duplication that Jaccard misses — a short
+    * document fully quoted inside a long one scores near 1.0 here but low
+    * on Jaccard. Same df-capped inverted-index plan as
+    * `ngramJaccardPairs`; sizes and intersections use the SAME filtered
+    * postings, so the measure is a true containment of the reduced sets.
+    */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+                            shingleLen: Int = 3, thresholdQ: Long = 500000,
+                            maxDf: Int = 20): DataFrame = {
+    val shAll = df.select(col(idCol).as("id"),
+      explode(TextAnalysis.shingles(col(textCol), shingleLen)).as("shingle"))
+    val filtered =
+      if (maxDf <= 0) shAll
+      else shAll.join(
+        shAll.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select("shingle"),
+        Seq("shingle"), "left_semi")
+    val sh = filtered.localCheckpoint()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sza")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("szb")), Seq("id_b"))
+      .withColumn("containment_q",
+        expr("inter * 1000000 div least(sza, szb)"))
+      .filter(col("containment_q") >= thresholdQ)
+      .select(col("id_a"), col("id_b"), col("inter"), col("containment_q"))
+  }
+
   /** Benchmark decontamination: ids of corpus documents sharing at least one
     * `n`-word shingle with any benchmark document (the standard n-gram
     * test-set-overlap filter applied before training). The benchmark side

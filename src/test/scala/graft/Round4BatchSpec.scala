@@ -222,6 +222,64 @@ class Round4BatchSpec extends AnyFunSuite with SparkFixture {
     assert(t.size == 1, s"vertex-transitive graph must collapse to one label: $t")
   }
 
+  test("neighborSample bounds fanout and extends sampled frontiers only") {
+    // star: hub 0 with 5 leaves; fanout (2, 1)
+    val nf = NetworkFrame((0L to 5L).toDF("id"),
+      (1L to 5L).map(i => (0L, i)).toDF("source", "target"))
+    val seeds = Seq(0L).toDF("id")
+    val rows = GraphAlgorithms.neighborSample(nf, seeds, Seq(2, 1))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val hop1 = rows.filter(_._2 == 1)
+    assert(hop1.length == 2 && hop1.forall(_._3 == 0L), s"fanout cap: ${rows.toSeq}")
+    val hop1Children = hop1.map(_._4).toSet
+    val hop2 = rows.filter(_._2 == 2)
+    // every hop-2 parent was sampled at hop 1 (leaves' only neighbor is 0)
+    assert(hop2.nonEmpty && hop2.forall(r => hop1Children.contains(r._3)))
+    // deterministic: a second run samples the identical tree
+    val again = GraphAlgorithms.neighborSample(nf, seeds, Seq(2, 1))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(rows.sorted.toSeq == again.sorted.toSeq)
+  }
+
+  test("negativeSamples avoids real edges and self pairs, capped per source") {
+    val nf = NetworkFrame((0L to 9L).toDF("id"),
+      Seq((0L, 1L), (0L, 2L), (3L, 4L)).toDF("source", "target"))
+    val neg = GraphAlgorithms.negativeSamples(nf, 8, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = Set((0L, 1L), (0L, 2L), (3L, 4L))
+    assert(neg.nonEmpty)
+    assert(neg.forall { case (s, t) => !edges.contains((s, t)) && s != t })
+    assert(neg.groupBy(_._1).values.forall(_.length <= 3))
+    assert(neg.map(_._1).toSet.subsetOf(Set(0L, 3L)))
+  }
+
+  test("ngramContainmentPairs scores subset duplication at 1e6") {
+    import graft.functions.Dedup
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7"),
+      (3L, "x1 x2 x3 x4"))
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramContainmentPairs(docs, "doc_id", "text", 3, 500000, 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // doc 1's 3 shingles all appear in doc 2 -> containment exactly 1.0
+    assert(got == Map((1L, 2L) -> 1000000L))
+  }
+
+  test("transitivity is exact on triangle, path, and edgeless graphs") {
+    val tri = NetworkFrame((1L to 3L).toDF("id"),
+      Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("source", "target"))
+    val t1 = GraphAlgorithms.transitivity(tri).collect().head
+    assert(t1.getLong(0) == 1L && t1.getLong(1) == 3L && t1.getLong(2) == 1000000L)
+    val path = NetworkFrame((1L to 3L).toDF("id"),
+      Seq((1L, 2L), (2L, 3L)).toDF("source", "target"))
+    val t2 = GraphAlgorithms.transitivity(path).collect().head
+    assert(t2.getLong(0) == 0L && t2.getLong(1) == 1L && t2.getLong(2) == 0L)
+    val empty = NetworkFrame((1L to 2L).toDF("id"),
+      Seq.empty[(Long, Long)].toDF("source", "target"))
+    assert(GraphAlgorithms.transitivity(empty).collect().head.isNullAt(2))
+  }
+
   test("principalComponent finds the dominant axis, quantized") {
     // spread along dim 1, slight correlated dim-2 noise: PC1 ~ dim 1
     val emb = Seq(
