@@ -1738,6 +1738,25 @@ object GraphAlgorithms {
       .select("source", "target", "j")
   }
 
+  /** Skip-gram (center, context) pair counts from a walk corpus — the
+    * training-pair extraction step of DeepWalk/node2vec. Pairs are nodes
+    * co-occurring within `window` steps on the same walk (self-pairs from
+    * stalled walks excluded). One walk-keyed self-join (each walk is
+    * steps+1 rows, so per-key fan-out is O(steps * window) — constant) +
+    * one pair-count aggregation; output is the weighted co-occurrence
+    * table an embedding trainer consumes.
+    */
+  def skipgramPairs(walks: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, "window >= 1")
+    val a = walks.select(col("walk_id"), col("step").as("sa"), col("node").as("center"))
+    val b = walks.select(col("walk_id"), col("step").as("sb"), col("node").as("context"))
+    a.join(b, Seq("walk_id"))
+      .filter(col("sa") =!= col("sb") &&
+        abs(col("sa") - col("sb")) <= window &&
+        col("center") =!= col("context"))
+      .groupBy("center", "context").agg(count(lit(1)).as("n"))
+  }
+
   /** Global transitivity: 3 * triangles / wedges over the undirected
     * simple graph, quantized at 1e6 (integral division of non-negatives —
     * exact in every engine). One canonical triangle count + one degree

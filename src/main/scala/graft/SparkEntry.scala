@@ -1933,6 +1933,41 @@ CAST(i * 1000000 // least(sa.sz, sb.sz) AS BIGINT) AS containment_q
 FROM it JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
 WHERE i * 1000000 // least(sa.sz, sb.sz) >= 500000 ORDER BY 1, 2""")),
 
+    // skip-gram training pairs off the deterministic walk corpus —
+    // the DeepWalk/node2vec pair-extraction stage
+    ("q_skipgram", (s, dir) =>
+      GraphAlgorithms.skipgramPairs(
+          GraphAlgorithms.randomWalks(sparse(s, dir), steps = 4), 2)
+        .orderBy("center", "context"),
+      Some(skipgramSql(4, 2))),
+
+    // rolling 7-day behavioral features per user: daily rollup first,
+    // then a RANGE-framed window over integer day numbers
+    ("q_rolling_7d", (s, dir) =>
+      EventStream.rollingDailyCounts(tbl(s, dir, "events"), "user_id", 7)
+        .orderBy("user_id", "day"),
+      Some("""WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n,
+sum(CAST(floor(value * 100) AS BIGINT)) AS cents FROM events GROUP BY 1, 2),
+x AS (SELECT user_id, day, CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT) AS dnum, n, cents FROM d)
+SELECT user_id, day, CAST(sum(n) OVER w AS BIGINT) AS roll_n, CAST(sum(cents) OVER w AS BIGINT) AS roll_cents
+FROM x WINDOW w AS (PARTITION BY user_id ORDER BY dnum RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) ORDER BY 1, 2""")),
+
+    // product-quantization codes: per-subspace integer codebooks + exact
+    // L2 argmin — the ~64x at-rest compression for a vector corpus
+    ("q_pq_codes", (s, dir) =>
+      Similarity.pqCodes(emb(s, dir), "vec_id", "embedding", "label", 8, 64)
+        .orderBy("vec_id", "subspace"),
+      Some("""WITH u AS (SELECT vec_id, s.i, CAST(floor(CAST(embedding[s.i] AS DOUBLE) * 10000000) AS BIGINT) AS x, label FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) s),
+sub AS (SELECT vec_id, label AS cell, (i - 1) // 8 AS s, i, x FROM u),
+cents AS (SELECT cell AS code, s, i,
+CAST(CASE WHEN sum(x) >= 0 THEN sum(x) // count(*) ELSE -((-sum(x)) // count(*)) END AS BIGINT) AS c
+FROM sub GROUP BY 1, 2, 3),
+d AS (SELECT sub.vec_id, sub.s, cents.code, sum(CAST((x - c) * (x - c) AS HUGEINT)) AS d2
+FROM sub JOIN cents ON cents.s = sub.s AND cents.i = sub.i GROUP BY 1, 2, 3)
+SELECT vec_id, s AS subspace, CAST(code AS INT) AS code
+FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn FROM d)
+WHERE rn = 1 ORDER BY 1, 2""")),
+
     // global transitivity: 3 * triangles / wedges, single-row summary
     ("q_transitivity", (s, dir) =>
       GraphAlgorithms.transitivity(sparse(s, dir)),
@@ -2115,7 +2150,7 @@ SELECT n.id, v.qs AS pr_q FROM nodes n JOIN v$iters v ON n.id = v.id ORDER BY 1"
     * md5(walk ":" i) mod deg neighbor in the target-sorted adjacency;
     * mirrors GraphAlgorithms.randomWalks hop for hop.
     */
-  private def walksSql(steps: Int): String = {
+  private def walksBody(steps: Int): String = {
     val stepCtes = (1 to steps).map { i =>
       s"""w$i AS MATERIALIZED (SELECT w.walk_id, COALESCE(a.target, w.cur) AS cur
 FROM w${i - 1} w
@@ -2130,9 +2165,21 @@ symd AS MATERIALIZED (SELECT DISTINCT source, target FROM (SELECT source, target
 adj AS MATERIALIZED (SELECT source, target, row_number() OVER (PARTITION BY source ORDER BY target) - 1 AS nidx FROM symd),
 dg AS MATERIALIZED (SELECT source, count(*) AS deg FROM symd GROUP BY 1),
 w0 AS MATERIALIZED (SELECT id AS walk_id, id AS cur FROM nodes),
-$stepCtes
-SELECT walk_id, CAST(step AS INT) AS step, node FROM ($unions) ORDER BY 1, 2"""
+$stepCtes,
+wk AS MATERIALIZED ($unions)"""
   }
+
+  private def walksSql(steps: Int): String =
+    s"""${walksBody(steps)}
+SELECT walk_id, CAST(step AS INT) AS step, node FROM wk ORDER BY 1, 2"""
+
+  /** Skip-gram context pairs off the replayed walk corpus. */
+  private def skipgramSql(steps: Int, window: Int): String =
+    s"""${walksBody(steps)}
+SELECT a.node AS center, b.node AS context, count(*) AS n
+FROM wk a JOIN wk b ON a.walk_id = b.walk_id AND a.step <> b.step
+AND abs(a.step - b.step) <= $window AND a.node <> b.node
+GROUP BY 1, 2 ORDER BY 1, 2"""
 
   /** Unrolled weighted-PageRank oracle: contributions are
     * qs * wq DIV wout in HUGEINT (the qs*wq product overflows BIGINT);

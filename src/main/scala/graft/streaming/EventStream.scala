@@ -122,6 +122,30 @@ object EventStream {
       .filter(col("rn") <= k).drop("rn")
   }
 
+  /** Rolling N-day per-key features: for every (key, active day), the
+    * event count and exact cent total over the trailing `days`-day window
+    * — classic behavioral feature generation. The daily rollup happens
+    * FIRST (one shuffle over (key, day) — never a window over raw events),
+    * then a RANGE-framed window over integer day numbers computes the
+    * trailing sums; per-key state in the window is bounded by `days` rows.
+    */
+  def rollingDailyCounts(events: DataFrame, keyCol: String = "user_id",
+                         days: Int = 7): DataFrame = {
+    require(days >= 1, "window of at least one day")
+    val daily = normalizeTs(events)
+      .groupBy(col(keyCol), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("cents"))
+      .withColumn("dnum", datediff(col("day"), lit("1970-01-01")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy("dnum")
+      .rangeBetween(-(days - 1).toLong, 0)
+    daily
+      .select(col(keyCol), col("day"),
+        sum("n").over(w).as("roll_n"),
+        sum("cents").over(w).as("roll_cents"))
+  }
+
   /** Cohort retention: users grouped by the calendar day of their FIRST
     * event (the cohort), counted by how many are active again `day_offset`
     * days later. Two aggregations (per-user first day; distinct

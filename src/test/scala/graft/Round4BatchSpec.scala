@@ -280,6 +280,47 @@ class Round4BatchSpec extends AnyFunSuite with SparkFixture {
     assert(GraphAlgorithms.transitivity(empty).collect().head.isNullAt(2))
   }
 
+  test("skipgramPairs counts co-occurrences within the window") {
+    val walks = Seq((1L, 0, 10L), (1L, 1, 20L), (1L, 2, 30L), (1L, 3, 40L))
+      .toDF("walk_id", "step", "node")
+    val got = GraphAlgorithms.skipgramPairs(walks, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // within distance 2 on a 4-node walk: 10 with {20,30}, 20 with all,
+    // 30 with all, 40 with {20,30} — symmetric, each pair once per side
+    assert(got == Map(
+      (10L, 20L) -> 1L, (10L, 30L) -> 1L, (20L, 10L) -> 1L, (20L, 30L) -> 1L,
+      (20L, 40L) -> 1L, (30L, 10L) -> 1L, (30L, 20L) -> 1L, (30L, 40L) -> 1L,
+      (40L, 20L) -> 1L, (40L, 30L) -> 1L))
+  }
+
+  test("rollingDailyCounts applies the trailing range frame exactly") {
+    import java.sql.Timestamp
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 01:00:00"), 7L, "a", 1.0),
+      (2L, Timestamp.valueOf("2024-01-07 01:00:00"), 7L, "a", 1.0),
+      (3L, Timestamp.valueOf("2024-01-08 01:00:00"), 7L, "a", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventStream.rollingDailyCounts(ev, "user_id", 7)
+      .collect().map(r => r.getDate(1).toString -> r.getLong(2)).toMap
+    // Jan 7 still sees Jan 1 (6 days back); Jan 8 no longer does
+    assert(got == Map("2024-01-01" -> 1L, "2024-01-07" -> 2L, "2024-01-08" -> 2L))
+  }
+
+  test("pqCodes picks per-subspace nearest codebook entries independently") {
+    val emb = Seq(
+      (1L, Array(1.0f, 1.0f, -1.0f, -1.0f), 0),
+      (2L, Array(-1.0f, -1.0f, 1.0f, 1.0f), 1),
+      (3L, Array(1.0f, 1.0f, 1.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.pqCodes(emb, "vec_id", "embedding", "label", 2, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // vec 3's first half matches cell 0's codebook exactly, second half
+    // its own cell's — codes mix across subspaces, the point of PQ
+    assert(got((1L, 0L)) == 0 && got((1L, 1L)) == 0)
+    assert(got((2L, 0L)) == 1 && got((2L, 1L)) == 1)
+    assert(got((3L, 0L)) == 0 && got((3L, 1L)) == 1, s"got $got")
+  }
+
   test("principalComponent finds the dominant axis, quantized") {
     // spread along dim 1, slight correlated dim-2 noise: PC1 ~ dim 1
     val emb = Seq(
