@@ -18,6 +18,15 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    // absorb JVM/codegen/scheduler/parquet cold-start before timing: the
+    // first timed query otherwise carries ~5-10s of warmup (measured), which
+    // lands on whichever query the Map iterates first and reads as a fake
+    // regression of that query
+    selected.headOption.foreach { case (name, fn) =>
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      System.err.println(s"[bench] warmup ($name) done")
+    }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
