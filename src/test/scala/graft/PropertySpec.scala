@@ -168,6 +168,77 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("transitivity stays within [0, 1e6] and agrees with the definition") {
+    forAll(6) { g =>
+      val r = GraphAlgorithms.transitivity(mk(g)).collect().head
+      val (tri, wedges) = (r.getLong(0), r.getLong(1))
+      if (wedges == 0) assert(r.isNullAt(2))
+      else {
+        val q = r.getLong(2)
+        assert(q >= 0L && q <= 1000000L)
+        assert(q == 3 * tri * 1000000L / wedges)
+      }
+    }
+  }
+
+  test("bipartiteProject equals the brute-force pair count when uncapped") {
+    forAll(6) { g =>
+      // membership = (grp-attr, node-id): nodes sharing a grp value pair up
+      val memb = g._1.map(_.swap).toDF("grp", "item")
+      val got = GraphAlgorithms.bipartiteProject(memb, "grp", "item",
+          maxPerGroup = 100, minCount = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val byGrp = g._1.groupBy(_._2).view.mapValues(_.map(_._1).distinct.sorted)
+      val want = byGrp.values.flatMap { items =>
+        for (a <- items; b <- items if a < b) yield (a, b)
+      }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      assert(got == want, s"got $got want $want")
+    }
+  }
+
+  test("modularity of the all-in-one partition is m/m - 1 = depends only on degrees") {
+    forAll(6) { g =>
+      val nf = mk(g)
+      val one = nf.nodes.select(col("id"), lit(0L).as("community"))
+      val r = GraphAlgorithms.modularity(nf, one).collect().head
+      if (r.getLong(0) > 0) {
+        // single community: e_within = m and sum_deg_sq = (2m)^2, so
+        // Q = 1 - 1 = 0 exactly
+        assert(r.getLong(1) == r.getLong(0))
+        assert(r.getLong(3) == 0L, s"single-community Q must be 0: $r")
+      }
+    }
+  }
+
+  test("wlRefinement refines monotonically: label classes never merge") {
+    forAll(5) { g =>
+      val nf = mk(g)
+      val l1 = GraphAlgorithms.wlRefinement(nf, 1).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val l2 = GraphAlgorithms.wlRefinement(nf, 2).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      // 1-WL refinement: same round-2 label => same round-1 label
+      l2.keys.foreach { a =>
+        l2.keys.foreach { b =>
+          if (l2(a) == l2(b)) assert(l1(a) == l1(b),
+            s"nodes $a,$b merged between rounds")
+        }
+      }
+    }
+  }
+
+  test("negativeSamples never emits an existing edge or a self pair") {
+    forAll(5) { g =>
+      val nf = mk(g)
+      if (g._2.nonEmpty) {
+        val edges = g._2.toSet
+        val neg = GraphAlgorithms.negativeSamples(nf, 6, 2)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        assert(neg.forall { case (s, t) => !edges.contains((s, t)) && s != t })
+      }
+    }
+  }
+
   test("saltedJoin equals the plain join on random graphs") {
     forAll(5) { g =>
       import graft.operators.SkewJoin
