@@ -1738,6 +1738,40 @@ object GraphAlgorithms {
       .select("source", "target", "j")
   }
 
+  /** Weighted k-core (s-core) peeling: iteratively remove nodes whose
+    * cent-quantized strength WITHIN the surviving subgraph falls below
+    * `thresholdQ`; after `rounds` fixed rounds, emit each survivor with its
+    * in-core strength. The weighted generalization of `kCore` with the
+    * identical plan shape — per round one induced-strength aggregation over
+    * the alive set (two semi joins + one sum shuffle); parallel edges sum
+    * up front, self-loops drop. Fixed rounds keep it oracle-replayable; at
+    * convergence the alive set is the exact s-core, otherwise a superset
+    * (same contract as `kCore`).
+    */
+  def weightedKCore(nf: NetworkFrame, weightCol: String, thresholdQ: Long,
+                    rounds: Int = 4): DataFrame = withoutConstraintPropagation(nf.edges) {
+    require(rounds >= 1, "at least one peel round")
+    val wq = floor(col(weightCol).cast("double") * 100).cast("long")
+    val sym = nf.edges.select(col("source"), col("target"), wq.as("wq"))
+      .union(nf.edges.select(col("target").as("source"),
+        col("source").as("target"), wq.as("wq")))
+      .filter(col("source") =!= col("target"))
+      .groupBy("source", "target").agg(sum("wq").as("wq"))
+      .localCheckpoint()
+    def coreStrength(alive: DataFrame): DataFrame = sym
+      .join(alive.withColumnRenamed("id", "source"), Seq("source"), "left_semi")
+      .join(alive.withColumnRenamed("id", "target"), Seq("target"), "left_semi")
+      .groupBy(col("source").as("id"))
+      .agg(sum(col("wq").cast("decimal(38,0)")).cast("long").as("strength_q"))
+    var alive = nf.nodes.select(col("id")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      alive = coreStrength(alive).filter(col("strength_q") >= thresholdQ)
+        .select("id").localCheckpoint()
+    }
+    // strengths RE-derived within the final core (mirrors kCore's contract)
+    coreStrength(alive)
+  }
+
   /** Skip-gram (center, context) pair counts from a walk corpus — the
     * training-pair extraction step of DeepWalk/node2vec. Pairs are nodes
     * co-occurring within `window` steps on the same walk (self-pairs from

@@ -1968,6 +1968,41 @@ SELECT vec_id, s AS subspace, CAST(code AS INT) AS code
 FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn FROM d)
 WHERE rn = 1 ORDER BY 1, 2""")),
 
+    // as-of join with staleness tolerance: matches older than 1h are
+    // nulled (merge_asof tolerance semantics), same one-window-pass plan
+    ("q_asof_within", (s, dir) => {
+      val ev = EventStream.normalizeTs(tbl(s, dir, "events"))
+      graft.operators.AsOfJoin.asofBackwardWithin(
+          ev.filter(col("event_type") === "click")
+            .select("event_id", "user_id", "ts"),
+          ev.filter(col("event_type") === "purchase"),
+          keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+          valueCols = Seq("value"), tolerance = "1 HOUR",
+          tieCol = Some("event_id"))
+        .select("event_id", "user_id", "asof_value").orderBy("event_id")
+    },
+      Some("""WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts, arg_max(value, event_id) AS value FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT c.event_id, c.user_id, CASE WHEN p.ts >= c.ts - INTERVAL 1 HOUR THEN p.value END AS asof_value
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts ORDER BY 1""")),
+
+    // weighted k-core (s-core): strength-threshold peeling, survivors with
+    // their in-core strength
+    ("q_weighted_kcore", (s, dir) =>
+      GraphAlgorithms.weightedKCore(sparse(s, dir), "weight", 40000000L, 4)
+        .orderBy("id"),
+      Some(wkcoreSql(40000000L, 4))),
+
+    // equal-width feature binning in exact cent arithmetic: global min/max
+    // via a broadcast 1-row aggregate, one group-by-bin shuffle
+    ("q_feature_bins", (s, dir) =>
+      graft.functions.Sampling.featureBins(tbl(s, dir, "customer"), "c_acctbal", 10)
+        .orderBy("bin"),
+      Some("""WITH v AS (SELECT CAST(floor(c_acctbal * 100) AS BIGINT) AS q FROM customer),
+mm AS (SELECT min(q) AS mn, max(q) AS mx FROM v)
+SELECT (q - mn) * 10 // (mx - mn + 1) AS bin, count(*) AS n, min(q) AS lo_q, max(q) AS hi_q
+FROM v, mm GROUP BY 1 ORDER BY 1""")),
+
     // global transitivity: 3 * triangles / wedges, single-row summary
     ("q_transitivity", (s, dir) =>
       GraphAlgorithms.transitivity(sparse(s, dir)),
@@ -1979,6 +2014,26 @@ SELECT CAST(n_triangles AS BIGINT) AS n_triangles, CAST(n_wedges AS BIGINT) AS n
 CASE WHEN n_wedges = 0 THEN CAST(NULL AS BIGINT) ELSE CAST(3 * n_triangles * 1000000 // n_wedges AS BIGINT) END AS transitivity_q
 FROM tri, w"""))
   )
+
+  /** Unrolled weighted-k-core oracle: per round, in-core strengths over the
+    * surviving set, then the threshold filter — mirrors
+    * GraphAlgorithms.weightedKCore round for round, with the final
+    * strengths re-derived within the converged core.
+    */
+  private def wkcoreSql(thresholdQ: Long, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT source AS id, sum(wq) AS st FROM syw WHERE source IN (SELECT id FROM r${i - 1}) AND target IN (SELECT id FROM r${i - 1}) GROUP BY 1),
+r$i AS MATERIALIZED (SELECT id FROM d$i WHERE st >= $thresholdQ)"""
+    }.mkString(",\n")
+    s"""WITH nodes AS MATERIALIZED (SELECT c_custkey AS id FROM customer),
+se AS MATERIALIZED (SELECT o_custkey AS source, o_orderkey % (SELECT count(*) FROM customer) AS target, CAST(floor(o_totalprice * 100) AS BIGINT) AS wq FROM orders WHERE o_orderkey % 10 = 0),
+syw AS MATERIALIZED (SELECT source, target, sum(wq) AS wq FROM (SELECT source, target, wq FROM se UNION ALL SELECT target, source, wq FROM se) WHERE source <> target GROUP BY 1, 2),
+r0 AS MATERIALIZED (SELECT id FROM nodes),
+$steps
+SELECT source AS id, CAST(sum(wq) AS BIGINT) AS strength_q FROM syw
+WHERE source IN (SELECT id FROM r$rounds) AND target IN (SELECT id FROM r$rounds)
+GROUP BY 1 ORDER BY 1"""
+  }
 
   /** Unrolled WL-refinement oracle: per round, the sorted neighbor-label
     * multiset is string-aggregated and re-hashed — mirrors

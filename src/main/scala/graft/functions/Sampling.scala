@@ -79,4 +79,24 @@ object Sampling {
     // bucket wins — equivalent to checking cumulative upper bounds in order
     df.withColumn("split", assignment)
   }
+
+  /** Equal-width feature binning over the global [min, max] range —
+    * histogram/discretization in exact integer arithmetic: values
+    * cent-quantize to longs, bin = (q - min) * bins DIV (max - min + 1)
+    * (non-negative operands, so truncating DIV == floor in every engine;
+    * the +1 keeps the max value inside the last bin). The 1-row min/max
+    * aggregate broadcasts via crossJoin — no driver action, one scan + one
+    * tiny agg + one group-by-bin shuffle. Output: one row per non-empty
+    * bin (bin, n, lo_q, hi_q — the observed quantized range).
+    */
+  def featureBins(df: DataFrame, valueCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 1, "at least one bin")
+    val q = floor(col(valueCol).cast("double") * 100).cast("long")
+    val vals = df.select(q.as("q"))
+    val mm = vals.agg(min("q").as("mn"), max("q").as("mx"))
+    vals.crossJoin(broadcast(mm))
+      .withColumn("bin", expr(s"(q - mn) * $bins div (mx - mn + 1)"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), min("q").as("lo_q"), max("q").as("hi_q"))
+  }
 }

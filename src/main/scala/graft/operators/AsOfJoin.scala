@@ -84,4 +84,23 @@ object AsOfJoin {
       .select(leftCols.map(col) ++
         valueCols.map(c => col(s"__asof_$c").as(s"asof_$c")): _*)
   }
+
+  /** As-of backward join with a staleness tolerance: matches older than
+    * `tolerance` (an interval literal, e.g. "1 HOUR") are nulled out —
+    * pandas `merge_asof(tolerance=...)`. Implemented by carrying the
+    * matched right row's OWN time through the same single window pass and
+    * masking stale values afterwards; identical cost to `asofBackward`
+    * (one shuffle, no join).
+    */
+  def asofBackwardWithin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                         leftTime: String, rightTime: String,
+                         valueCols: Seq[String], tolerance: String,
+                         tieCol: Option[String] = None): DataFrame = {
+    val withT = asofBackward(left, right.withColumn("__rt", col(rightTime)),
+      keys, leftTime, rightTime, valueCols :+ "__rt", tieCol)
+    val fresh = col("asof___rt") >= col(leftTime) - expr(s"INTERVAL $tolerance")
+    valueCols.foldLeft(withT) { (df, c) =>
+      df.withColumn(s"asof_$c", when(fresh, col(s"asof_$c")))
+    }.drop("asof___rt")
+  }
 }

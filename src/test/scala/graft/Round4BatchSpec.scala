@@ -321,6 +321,46 @@ class Round4BatchSpec extends AnyFunSuite with SparkFixture {
     assert(got((3L, 0L)) == 0 && got((3L, 1L)) == 1, s"got $got")
   }
 
+  test("asofBackwardWithin nulls matches older than the tolerance") {
+    import java.sql.Timestamp
+    import graft.operators.AsOfJoin
+    val clicks = Seq(
+      (1L, 7L, Timestamp.valueOf("2024-01-01 01:40:00")), // purchase 70m ago
+      (2L, 7L, Timestamp.valueOf("2024-01-01 01:00:00"))) // purchase 30m ago
+      .toDF("event_id", "user_id", "ts")
+    val purchases = Seq((9L, 7L, Timestamp.valueOf("2024-01-01 00:30:00"), 5.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = AsOfJoin.asofBackwardWithin(clicks, purchases, Seq("user_id"),
+        "ts", "ts", Seq("value"), "1 HOUR", Some("event_id"))
+      .select("event_id", "asof_value")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got == Map(1L -> None, 2L -> Some(5.0)), s"got $got")
+  }
+
+  test("weightedKCore peels below-threshold strength and cascades") {
+    // triangle 1-2-3 (w=1.0 each) + pendant 4 on node 3 (w=0.5):
+    // threshold 100 centq peels 4 (strength 50), triangle survives at 200
+    val nf = NetworkFrame((1L to 4L).toDF("id"),
+      Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (1L, 3L, 1.0), (3L, 4L, 0.5))
+        .toDF("source", "target", "weight"))
+    val got = GraphAlgorithms.weightedKCore(nf, "weight", 100L, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 200L, 2L -> 200L, 3L -> 200L), s"got $got")
+  }
+
+  test("featureBins spans [min, max] with exact integer widths") {
+    import graft.functions.Sampling
+    val df = (0 to 9).map(i => Tuple1(i.toDouble)).toDF("v")
+    val got = Sampling.featureBins(df, "v", 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 9L).map(_ -> 1L).toMap, s"got $got")
+    // negatives bin correctly (quantized range crosses zero)
+    val neg = Seq(Tuple1(-1.0), Tuple1(1.0)).toDF("v")
+    val nb = Sampling.featureBins(neg, "v", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nb == Map(0L -> 1L, 1L -> 1L), s"got $nb")
+  }
+
   test("principalComponent finds the dominant axis, quantized") {
     // spread along dim 1, slight correlated dim-2 noise: PC1 ~ dim 1
     val emb = Seq(
