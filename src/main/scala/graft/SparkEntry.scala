@@ -2003,6 +2003,18 @@ mm AS (SELECT min(q) AS mn, max(q) AS mx FROM v)
 SELECT (q - mn) * 10 // (mx - mn + 1) AS bin, count(*) AS n, min(q) AS lo_q, max(q) AS hi_q
 FROM v, mm GROUP BY 1 ORDER BY 1""")),
 
+    // SCD type-2 dimension history: changelog rows become validity
+    // intervals closed by the next change (lead window, one key shuffle)
+    ("q_scd2", (s, dir) =>
+      EventStream.scd2History(tbl(s, dir, "events"), "user_id")
+        .select("user_id", "event_id", "effective_from", "effective_to",
+          "is_current")
+        .orderBy("user_id", "effective_from", "event_id"),
+      Some("""SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS effective_from,
+CAST(lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP) AS effective_to,
+lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+FROM events ORDER BY user_id, effective_from, event_id""")),
+
     // global transitivity: 3 * triangles / wedges, single-row summary
     ("q_transitivity", (s, dir) =>
       GraphAlgorithms.transitivity(sparse(s, dir)),

@@ -146,6 +146,22 @@ object EventStream {
         sum("cents").over(w).as("roll_cents"))
   }
 
+  /** SCD type-2 history from a changelog: each (key, event) row becomes a
+    * validity interval [effective_from, effective_to) with the NEXT change
+    * closing it (open-ended NULL for the current row) plus an is_current
+    * flag — the warehouse dimension-history layout, derived with one
+    * shuffle on the key and a per-key lead() window (no self-join).
+    */
+  def scd2History(events: DataFrame, keyCol: String, tsCol: String = "ts",
+                  tieCol: String = "event_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(asc(tsCol), asc(tieCol))
+    normalizeTs(events)
+      .withColumn("effective_from", col(tsCol))
+      .withColumn("effective_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("effective_to").isNull)
+  }
+
   /** Cohort retention: users grouped by the calendar day of their FIRST
     * event (the cohort), counted by how many are active again `day_offset`
     * days later. Two aggregations (per-user first day; distinct

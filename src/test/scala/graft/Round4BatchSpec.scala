@@ -361,6 +361,21 @@ class Round4BatchSpec extends AnyFunSuite with SparkFixture {
     assert(nb == Map(0L -> 1L, 1L -> 1L), s"got $nb")
   }
 
+  test("scd2History closes each interval with the next change") {
+    import java.sql.Timestamp
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 01:00:00"), 7L, "a", 1.0),
+      (2L, Timestamp.valueOf("2024-01-01 02:00:00"), 7L, "b", 2.0),
+      (9L, Timestamp.valueOf("2024-01-01 03:00:00"), 8L, "c", 3.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventStream.scd2History(ev, "user_id")
+      .select("event_id", "effective_to", "is_current")
+      .collect().map(r => r.getLong(0) -> ((Option(r.getTimestamp(1)).map(_.toString), r.getBoolean(2)))).toMap
+    assert(got(1L) == ((Some("2024-01-01 02:00:00.0"), false)))
+    assert(got(2L) == ((None, true)))
+    assert(got(9L) == ((None, true)))
+  }
+
   test("principalComponent finds the dominant axis, quantized") {
     // spread along dim 1, slight correlated dim-2 noise: PC1 ~ dim 1
     val emb = Seq(
