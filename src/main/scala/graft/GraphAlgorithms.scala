@@ -654,15 +654,14 @@ object GraphAlgorithms {
         .join(prod, Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("ms"), lit(0).cast(D38)).as("ms"))
         .localCheckpoint()
-      val mx = full.agg(max(col("ms"))).first().getDecimal(0)
-      v =
-        if (mx == null || mx.signum == 0)
-          full.select(col("id"), lit(0L).as("qs"))
-        else
-          // integral division of non-negatives: truncation == floor, and
-          // both engines (Spark DIV, DuckDB //) agree exactly
-          full.selectExpr("id",
-            s"CAST((ms * 1000000) DIV CAST('${mx.toPlainString}' AS DECIMAL(38,0)) AS BIGINT) AS qs")
+      // the max rides as a broadcast 1-row aggregate (no driver scalar
+      // read — halves the per-iteration jobs); integral division of
+      // non-negatives: truncation == floor, both engines agree exactly
+      v = full
+        .crossJoin(broadcast(full.agg(max(col("ms")).as("mx"))))
+        .selectExpr("id",
+          """CAST(CASE WHEN mx IS NULL OR mx = 0 THEN 0
+             ELSE (ms * 1000000) DIV mx END AS BIGINT) AS qs""")
     }
     nf.nodes.join(v, Seq("id"), "left_outer")
       .orderBy(col("qs"), col("id"))
@@ -1406,15 +1405,17 @@ object GraphAlgorithms {
     val D38 = "decimal(38,0)"
     val e = nf.edges.select(col("source"), col("target")).distinct().localCheckpoint()
     val nodes = nf.nodes.select(col("id")).localCheckpoint()
-    def renorm(raw: DataFrame): DataFrame = {
-      val mx = raw.agg(max(col("s"))).first().getDecimal(0)
-      val out =
-        if (mx == null || mx.signum == 0) nodes.select(col("id"), lit(0L).as("q"))
-        else nodes.join(raw, Seq("id"), "left_outer")
-          .selectExpr("id",
-            s"CAST((COALESCE(s, 0) * 1000000) DIV CAST('${mx.toPlainString}' AS DECIMAL(38,0)) AS BIGINT) AS q")
-      out.localCheckpoint()
-    }
+    // the max rides along as a broadcast 1-row aggregate instead of a
+    // driver-read scalar: one job per renorm (the checkpoint) instead of
+    // two, halving the per-iteration driver round trips; values identical
+    // (same max, same integral division — operands stay non-negative)
+    def renorm(raw: DataFrame): DataFrame =
+      nodes.join(raw, Seq("id"), "left_outer")
+        .crossJoin(broadcast(raw.agg(max(col("s")).as("mx"))))
+        .selectExpr("id",
+          """CAST(CASE WHEN mx IS NULL OR mx = 0 THEN 0
+             ELSE (COALESCE(s, 0) * 1000000) DIV mx END AS BIGINT) AS q""")
+        .localCheckpoint()
     var h = nodes.select(col("id"), lit(1000000L).as("q")).localCheckpoint()
     var a: DataFrame = h
     for (_ <- 1 to iterations) {
