@@ -1808,6 +1808,138 @@ object GraphAlgorithms {
         .as("transitivity_q"))
   }
 
+  /** Eccentricity lower bounds from the k smallest node ids: one
+    * multi-source BFS (state keyed (seed, id), the same loop as
+    * `harmonicCentrality`), then per-seed max distance + reached count.
+    * Depth-capped, so the result is an eccentricity LOWER bound within the
+    * seed's maxDepth-ball — exact whenever the BFS exhausts the component
+    * (csgraph-parity texture next to `estimateDiameter`,
+    * networkframe.py:721-730's csgraph delegation family). All k sweeps
+    * share each round's single join + anti-join shuffle.
+    */
+  def eccentricities(nf: NetworkFrame, k: Int = 8, maxDepth: Int = 12):
+      DataFrame = withoutConstraintPropagation(nf.edges) {
+    require(k >= 1 && maxDepth >= 1, "need at least one seed and one hop")
+    val e = nf.symmetrizedEdges.distinct().localCheckpoint()
+    var dist = nf.nodes.select(col("id")).orderBy("id").limit(k)
+      .select(col("id").as("seed"), col("id"), lit(0L).as("d"))
+      .localCheckpoint()
+    var frontier = dist
+    var hops = 0
+    var done = frontier.isEmpty
+    while (!done && hops < maxDepth) {
+      val next = e.join(frontier.withColumnRenamed("id", "source"), Seq("source"))
+        .select(col("seed"), col("target").as("id"), (col("d") + 1).as("d"))
+        .distinct()
+        .join(dist.select("seed", "id"), Seq("seed", "id"), "left_anti")
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        dist = dist.union(next).localCheckpoint()
+        frontier = next
+      }
+      hops += 1
+    }
+    dist.groupBy("seed")
+      .agg(max("d").as("ecc_lb"), count(lit(1)).as("n_reached"))
+  }
+
+  /** Minimum spanning forest by Borůvka rounds — the scipy.csgraph
+    * `minimum_spanning_tree` counterpart for the reference's sparse-export
+    * consumers (networkframe.py:759-778 hands CSR matrices to csgraph).
+    * Edge weights are cent-quantized and ties are broken by the global
+    * total order (wq, u, v), which perturbs weights into distinctness, so
+    * the forest is UNIQUE and deterministic. Per round every component
+    * picks its lightest incident inter-component edge (one struct-min
+    * aggregation — Spark orders structs lexicographically), the chosen
+    * edges contract via a pointer-doubled min-label fixpoint over the
+    * CONTRACTION graph (component-level, exponentially smaller than the
+    * input), and components at least halve — O(log n) outer rounds, each
+    * one join + one agg shuffle over edges still crossing components.
+    * Returns the forest edge list (u < v, wq cents).
+    */
+  /** Eager localCheckpoint that also RESETS plan statistics. Spark's
+    * LogicalRDD preserves the origin plan's stats through localCheckpoint,
+    * and join size estimates are PRODUCTS of child sizes — so a fixpoint
+    * that checkpoints self-joins of its own checkpointed output compounds
+    * sizeInBytes multiplicatively round-over-round. The BigInt digit count
+    * roughly quadruples per round, and by ~8 nested rounds the driver spends
+    * minutes inside BigInteger.multiply in stats estimation (measured: the
+    * Borůvka loop at sf0.01 hard-hangs planning; same family as the
+    * constraint-propagation guard above). The public-API reset is a
+    * Row-encoded rebuild of the checkpointed RDD — per-round state frames
+    * are node-sized, so the re-encode is noise; runtime broadcast decisions
+    * are unaffected because AQE re-plans from ACTUAL shuffle sizes, not
+    * these estimates.
+    */
+  private def flatCheckpoint(df: DataFrame): DataFrame = {
+    val c = df.localCheckpoint()
+    c.sparkSession.createDataFrame(c.rdd, c.schema)
+  }
+
+  def minimumSpanningForest(nf: NetworkFrame, weightCol: String = "weight",
+                            maxRounds: Int = 20): DataFrame =
+      withoutConstraintPropagation(nf.edges) {
+    val canon = nf.edges
+      .select(least(col("source"), col("target")).as("u"),
+        greatest(col("source"), col("target")).as("v"),
+        floor(col(weightCol).cast("double") * 100).cast("long").as("wq"))
+      .filter(col("u") =!= col("v"))
+      .groupBy("u", "v").agg(min("wq").as("wq"))
+      .transform(flatCheckpoint)
+    var comp = nf.nodes.select(col("id"), col("id").as("comp")).transform(flatCheckpoint)
+    var mst = canon.limit(0).select("u", "v", "wq")
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val labeled = canon
+        .join(comp.select(col("id").as("u"), col("comp").as("cu")), Seq("u"))
+        .join(comp.select(col("id").as("v"), col("comp").as("cv")), Seq("v"))
+        .filter(col("cu") =!= col("cv"))
+        .transform(flatCheckpoint)
+      if (labeled.isEmpty) done = true
+      else {
+        val pick = struct(col("wq"), col("u"), col("v"), col("cu"), col("cv"))
+        val incident = labeled.select(col("cu").as("c"), pick.as("e"))
+          .union(labeled.select(col("cv").as("c"), pick.as("e")))
+        val chosen = incident.groupBy("c").agg(min("e").as("e"))
+          .select(col("e.wq").as("wq"), col("e.u").as("u"), col("e.v").as("v"),
+            col("e.cu").as("cu"), col("e.cv").as("cv"))
+          .distinct()
+          .transform(flatCheckpoint)
+        mst = mst.union(chosen.select("u", "v", "wq")).transform(flatCheckpoint)
+        // contract the chosen edges: min-label fixpoint over COMPONENT ids
+        val ce = chosen.select(col("cu").as("a"), col("cv").as("b"))
+          .union(chosen.select(col("cv").as("a"), col("cu").as("b")))
+          .distinct().transform(flatCheckpoint)
+        var m = comp.select(col("comp").as("c")).distinct()
+          .select(col("c"), col("c").as("lab")).transform(flatCheckpoint)
+        var conv = false
+        var r2 = 0
+        while (!conv && r2 < 40) {
+          val msgs = ce.join(m.select(col("c").as("a"), col("lab").as("la")), Seq("a"))
+            .groupBy(col("b").as("c")).agg(min("la").as("ml"))
+          val prop = m.join(msgs, Seq("c"), "left_outer")
+            .select(col("c"),
+              least(col("lab"), coalesce(col("ml"), col("lab"))).as("lab"))
+          val next = prop.as("x")
+            .join(prop.select(col("c").as("c2"), col("lab").as("l2")).as("y"),
+              col("x.lab") === col("c2"), "left_outer")
+            .select(col("x.c").as("c"), coalesce(col("l2"), col("x.lab")).as("lab"))
+            .transform(flatCheckpoint)
+          val changed = next.join(m.withColumnRenamed("lab", "prev"), Seq("c"))
+            .filter(col("lab") =!= col("prev")).limit(1).count()
+          m = next; conv = changed == 0; r2 += 1
+        }
+        comp = comp.join(m.select(col("c").as("comp"), col("lab")), Seq("comp"))
+          .select(col("id"), col("lab").as("comp")).transform(flatCheckpoint)
+        round += 1
+        System.err.println(s"[graft] boruvka round $round: contraction fixpoint $r2 rounds")
+      }
+    }
+    mst
+  }
+
   private def induce(edges: DataFrame, ids: DataFrame): DataFrame =
     edges
       .join(ids.withColumnRenamed("id", "source"), Seq("source"), "left_semi")

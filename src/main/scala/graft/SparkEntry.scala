@@ -2024,7 +2024,175 @@ deg AS (SELECT id, count(*) AS d FROM (SELECT s AS id FROM und UNION ALL SELECT 
 w AS (SELECT COALESCE(sum(d * (d - 1) // 2), 0) AS n_wedges FROM deg)
 SELECT CAST(n_triangles AS BIGINT) AS n_triangles, CAST(n_wedges AS BIGINT) AS n_wedges,
 CASE WHEN n_wedges = 0 THEN CAST(NULL AS BIGINT) ELSE CAST(3 * n_triangles * 1000000 // n_wedges AS BIGINT) END AS transitivity_q
-FROM tri, w"""))
+FROM tri, w""")),
+
+    // ============== batch G: spanning forest, profiling, blocking ==============
+
+    // eccentricity profile from the 8 smallest ids (depth-capped multi-
+    // source BFS; exact where the sweep exhausts the component)
+    ("q_eccentricity", (s, dir) =>
+      GraphAlgorithms.eccentricities(sparse(s, dir), k = 8, maxDepth = 12)
+        .orderBy("seed"),
+      Some(s"""$G, seeds AS (SELECT id FROM nodes ORDER BY id LIMIT 8),
+bfs(seed, id, d) AS (
+  SELECT id, id, 0 FROM seeds
+  UNION
+  SELECT b.seed, s.target, b.d + 1 FROM bfs b JOIN sym s ON s.source = b.id WHERE b.d < 12),
+md AS (SELECT seed, id, min(d) AS d FROM bfs GROUP BY 1, 2)
+SELECT seed, CAST(max(d) AS BIGINT) AS ecc_lb, count(*) AS n_reached FROM md GROUP BY 1 ORDER BY 1""")),
+
+    // minimum spanning forest (Borůvka); oracle replays the rounds unrolled
+    ("q_mst", (s, dir) =>
+      GraphAlgorithms.minimumSpanningForest(sparse(s, dir))
+        .agg(count(lit(1)).as("n_edges"), sum("wq").as("total_wq")),
+      Some(mstSql(12))),
+
+    // ROLLUP aggregation with explicit grouping-level id
+    ("q_rollup", (s, dir) =>
+      graph(s, dir).nodes
+        .rollup("c_mktsegment", "c_nationkey")
+        .agg(sum(floor(col("c_acctbal") * 100).cast("long")).as("bal_cents"),
+          count(lit(1)).as("n"),
+          (grouping(col("c_mktsegment")) * 2 + grouping(col("c_nationkey")))
+            .cast("long").as("gid"))
+        .select(coalesce(col("c_mktsegment"), lit("ALL")).as("seg"),
+          coalesce(col("c_nationkey"), lit(-1L)).as("nat"),
+          col("gid"), col("bal_cents"), col("n"))
+        .orderBy("gid", "seg", "nat"),
+      Some(s"""$G SELECT COALESCE(c_mktsegment, 'ALL') AS seg, CAST(COALESCE(c_nationkey, -1) AS BIGINT) AS nat,
+CAST(GROUPING(c_mktsegment) * 2 + GROUPING(c_nationkey) AS BIGINT) AS gid,
+CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents, count(*) AS n
+FROM nodes GROUP BY ROLLUP(c_mktsegment, c_nationkey) ORDER BY 3, 1, 2""")),
+
+    // gaps-and-islands: per-user consecutive-day activity streaks
+    ("q_streaks", (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("day")
+      val days = EventStream.normalizeTs(tbl(s, dir, "events"))
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      days
+        .withColumn("dn", datediff(col("day"), to_date(lit("2020-01-01"))))
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("user_id"), (col("dn") - col("rn")).as("grp"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(max("len").as("longest"), count(lit(1)).as("n_streaks"))
+        .orderBy("user_id")
+    },
+      Some("""WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+num AS (SELECT user_id, day, datediff('day', DATE '2020-01-01', day) AS dn,
+row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn FROM days),
+isl AS (SELECT user_id, dn - rn AS grp, count(*) AS len FROM num GROUP BY 1, 2)
+SELECT user_id, CAST(max(len) AS BIGINT) AS longest, count(*) AS n_streaks FROM isl GROUP BY 1 ORDER BY 1""")),
+
+    // per-group mode with deterministic tie-break (count desc, then id) —
+    // the rank filter plans as WindowGroupLimit, so only per-group leaders
+    // survive the shuffle
+    ("q_mode", (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(desc("n"), asc("user_id"))
+      tbl(s, dir, "events")
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select("event_type", "user_id", "n").orderBy("event_type")
+    },
+      Some("""WITH c AS (SELECT event_type, user_id, count(*) AS n FROM events GROUP BY 1, 2),
+r AS (SELECT event_type, user_id, n, row_number() OVER (PARTITION BY event_type ORDER BY n DESC, user_id) AS rk FROM c)
+SELECT event_type, user_id, n FROM r WHERE rk = 1 ORDER BY 1""")),
+
+    // fuzzy-duplicate pairs: Levenshtein <= 3 within brand blocks
+    ("q_edit_distance", (s, dir) =>
+      Dedup.editDistancePairs(tbl(s, dir, "part"), "p_partkey", "p_name",
+          col("p_brand"), 3)
+        .orderBy("id_a", "id_b"),
+      Some("""SELECT a.p_partkey AS id_a, b.p_partkey AS id_b, CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 3 ORDER BY 1, 2""")),
+
+    // character diversity (inverse Simpson, exact integer arithmetic)
+    ("q_char_diversity", (s, dir) =>
+      TextAnalysis.charDiversity(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+cc AS (SELECT doc_id, ch, count(*) AS cnt FROM ch WHERE len(ch) > 0 GROUP BY 1, 2)
+SELECT doc_id, count(*) AS distinct_chars, CAST(sum(cnt) AS BIGINT) AS n_chars,
+CAST((CAST(sum(cnt) AS HUGEINT) * sum(cnt) * 1000000) // sum(CAST(cnt AS HUGEINT) * cnt) AS BIGINT) AS inv_simpson_q
+FROM cc GROUP BY 1 ORDER BY 1""")),
+
+    // corpus-drift profile: pairwise cosine between source unigram vectors
+    ("q_source_cosine", (s, dir) =>
+      TextAnalysis.groupTokenCosine(docs(s, dir), "source", "text")
+        .orderBy("grp_a", "grp_b"),
+      Some("""WITH tk AS (SELECT source AS grp, unnest(string_split(text, ' ')) AS token FROM documents),
+c AS (SELECT grp, token, count(*) AS c FROM tk GROUP BY 1, 2),
+norms AS (SELECT grp, sum(CAST(c AS HUGEINT) * c) AS n2 FROM c GROUP BY 1),
+dots AS (SELECT a.grp AS grp_a, b.grp AS grp_b, sum(CAST(a.c AS HUGEINT) * b.c) AS dot
+FROM c a JOIN c b ON a.token = b.token AND a.grp < b.grp GROUP BY 1, 2)
+SELECT grp_a, grp_b, CAST(floor(CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) * 1000000) AS BIGINT) AS cos_q
+FROM dots JOIN norms na ON na.grp = grp_a JOIN norms nb ON nb.grp = grp_b ORDER BY 1, 2""")),
+
+    // mutual-kNN similarity graph over the embedding table
+    ("q_knn_graph", (s, dir) =>
+      Similarity.mutualKnnGraph(emb(s, dir), "vec_id", "embedding", 5)
+        .orderBy("vec_a", "vec_b"),
+      Some(s"""$EMB_U,
+norms AS (SELECT vec_id, sum(x * x) AS nn FROM u GROUP BY 1),
+dq AS (SELECT a.vec_id AS qa, b.vec_id AS cb, sum(a.x * b.x) AS d
+FROM u a JOIN u b ON a.i = b.i AND a.vec_id <> b.vec_id GROUP BY 1, 2),
+sims AS (SELECT qa, cb, CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS sv
+FROM dq JOIN norms na ON na.vec_id = qa JOIN norms nb ON nb.vec_id = cb),
+rk AS (SELECT qa, cb, sv, row_number() OVER (PARTITION BY qa ORDER BY sv DESC, cb) AS rn FROM sims),
+tk AS (SELECT qa, cb, sv FROM rk WHERE rn <= 5)
+SELECT t.qa AS vec_a, t.cb AS vec_b, CAST(floor(t.sv * 1000000) AS BIGINT) AS cos_q
+FROM tk t JOIN tk r ON r.qa = t.cb AND r.cb = t.qa WHERE t.qa < t.cb ORDER BY 1, 2""")),
+
+    // unpivot/melt wide per-nation aggregates into long form
+    ("q_unpivot", (s, dir) =>
+      graph(s, dir).nodes.groupBy(col("c_nationkey").as("nation"))
+        .agg(sum(floor(col("c_acctbal") * 100).cast("long")).as("bal_cents"),
+          count(lit(1)).as("n_cust"))
+        .selectExpr("nation",
+          "stack(2, 'bal_cents', bal_cents, 'n_cust', n_cust) AS (metric, value)")
+        .orderBy("nation", "metric"),
+      Some("""WITH agg AS (SELECT c_nationkey AS nation, CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents, count(*) AS n_cust FROM customer GROUP BY 1)
+SELECT nation, metric, value FROM (
+SELECT nation, 'bal_cents' AS metric, bal_cents AS value FROM agg
+UNION ALL SELECT nation, 'n_cust', n_cust FROM agg) ORDER BY 1, 2""")),
+
+    // decile profile over a global total order. ntile's single-partition
+    // sort is deliberate here (one machine sorts |customer| ranks); the
+    // range-partitioned alternative for 100 TB is the percent_rank path
+    // q_feature_bins takes
+    ("q_ntile", (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("c_acctbal").asc, col("id").asc)
+      graph(s, dir).nodes
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"),
+          min(floor(col("c_acctbal") * 100).cast("long")).as("min_cents"),
+          max(floor(col("c_acctbal") * 100).cast("long")).as("max_cents"))
+        .orderBy("decile")
+    },
+      Some(s"""$G, d AS (SELECT c_acctbal, ntile(10) OVER (ORDER BY c_acctbal, id) AS decile FROM nodes)
+SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n,
+CAST(min(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+CAST(max(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS max_cents
+FROM d GROUP BY 1 ORDER BY 1""")),
+
+    // behavior transitions: event-type bigram counts in per-user time order
+    ("q_event_bigrams", (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      EventStream.normalizeTs(tbl(s, dir, "events"))
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("prev_type", "next_type")
+    },
+      Some("""WITH seq AS (SELECT user_id, event_type, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events)
+SELECT prev_type, event_type AS next_type, count(*) AS n FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 
   /** Unrolled weighted-k-core oracle: per round, in-core strengths over the
@@ -2045,6 +2213,37 @@ $steps
 SELECT source AS id, CAST(sum(wq) AS BIGINT) AS strength_q FROM syw
 WHERE source IN (SELECT id FROM r$rounds) AND target IN (SELECT id FROM r$rounds)
 GROUP BY 1 ORDER BY 1"""
+  }
+
+  /** Unrolled Borůvka oracle: per round, every component's lightest
+    * incident inter-component edge by the global tie-break (wq, u, v),
+    * then components recomputed as connected components of the accumulated
+    * forest (a recursive reach per round — node-level contraction, exactly
+    * what GraphAlgorithms.minimumSpanningForest's component-level fixpoint
+    * computes). Components at least double in size per round, so `rounds`
+    * >= log2(largest tree) replays to convergence; later rounds select
+    * nothing and are no-ops. Validated against an independent Kruskal.
+    */
+  private def mstSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      val p = i - 1
+      s"""e$i AS MATERIALIZED (SELECT c.u, c.v, c.wq, la.lab AS cu, lb.lab AS cv FROM canon c JOIN lab$p la ON la.id = c.u JOIN lab$p lb ON lb.id = c.v WHERE la.lab <> lb.lab),
+inc$i AS (SELECT cu AS c, wq, u, v FROM e$i UNION ALL SELECT cv, wq, u, v FROM e$i),
+sel$i AS MATERIALIZED (SELECT DISTINCT wq, u, v FROM (SELECT c, wq, u, v, row_number() OVER (PARTITION BY c ORDER BY wq, u, v) AS rn FROM inc$i) WHERE rn = 1),
+mst$i AS MATERIALIZED (SELECT u, v, wq FROM mst$p UNION SELECT u, v, wq FROM sel$i),
+fsym$i AS (SELECT u AS s, v AS t FROM mst$i UNION SELECT v, u FROM mst$i),
+f$i(id, r) AS (SELECT id, id FROM nodes UNION SELECT f$i.id, y.t FROM f$i JOIN fsym$i y ON y.s = f$i.r),
+lab$i AS MATERIALIZED (SELECT id, min(r) AS lab FROM f$i GROUP BY 1)"""
+    }.mkString(",\n")
+    s"""WITH RECURSIVE nodes AS MATERIALIZED (SELECT c_custkey AS id FROM customer),
+canon AS MATERIALIZED (SELECT least(o_custkey, o_orderkey % (SELECT count(*) FROM customer)) AS u,
+greatest(o_custkey, o_orderkey % (SELECT count(*) FROM customer)) AS v,
+min(CAST(floor(o_totalprice * 100) AS BIGINT)) AS wq
+FROM orders WHERE o_orderkey % 10 = 0 AND o_custkey <> o_orderkey % (SELECT count(*) FROM customer) GROUP BY 1, 2),
+mst0 AS (SELECT u, v, wq FROM canon WHERE 1 = 0),
+lab0 AS (SELECT id, id AS lab FROM nodes),
+$steps
+SELECT count(*) AS n_edges, CAST(sum(wq) AS BIGINT) AS total_wq FROM mst$rounds"""
   }
 
   /** Unrolled WL-refinement oracle: per round, the sorted neighbor-label

@@ -357,4 +357,28 @@ object Dedup {
             struct(col("seg_start"), col("seg"))))),
           s => s.getField("seg")), " ")).as("clean_text"))
   }
+
+  /** Fuzzy-duplicate pairs by Levenshtein distance within caller-supplied
+    * blocks (the classic record-linkage blocking discipline): only rows
+    * sharing a block key are ever compared, so the shuffle key is the block
+    * and the pair space is sum(|block|^2), never O(n^2). The caller picks a
+    * block key tight enough for the target scale (brand, prefix, length
+    * bucket, an LSH bucket, ...); edit distance itself is the codegen'd
+    * built-in `levenshtein`, exact in both engines. Emits (id_a < id_b,
+    * dist) for pairs within maxDist.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        blockCol: org.apache.spark.sql.Column,
+                        maxDist: Int): DataFrame = {
+    require(maxDist >= 0, "maxDist must be non-negative")
+    val t = df.select(col(idCol).as("id"), col(textCol).as("txt"),
+        blockCol.as("blk"))
+      .repartition(col("blk"))
+    val a = t.select(col("blk"), col("id").as("id_a"), col("txt").as("txt_a"))
+    val b = t.select(col("blk"), col("id").as("id_b"), col("txt").as("txt_b"))
+    a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("txt_a"), col("txt_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+  }
 }

@@ -318,6 +318,56 @@ object TextAnalysis {
       .select("doc_a", "doc_b", "cos_q")
   }
 
+  /** Character diversity per document: distinct characters and the inverse
+    * Simpson index total^2 / sum(count^2) (effective alphabet size — the
+    * log-free cousin of character entropy, and a standard gibberish /
+    * mojibake quality signal). All arithmetic is exact integer (DECIMAL 38
+    * intermediates, integral division at 1e6), so the result is identical
+    * in every engine and at any parallelism. One explode + one (doc, char)
+    * aggregation — partial map-side combine collapses repeats before the
+    * shuffle.
+    */
+  def charDiversity(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("distinct_chars"),
+        sum("cnt").as("n_chars"),
+        expr("""CAST((CAST(sum(cnt) AS DECIMAL(38,0)) * sum(cnt) * 1000000)
+                DIV sum(CAST(cnt AS DECIMAL(38,0)) * cnt) AS BIGINT)""")
+          .as("inv_simpson_q"))
+
+  /** Pairwise cosine similarity between per-group unigram count vectors —
+    * corpus-level drift/overlap profiling (which sources look alike, is a
+    * crawl snapshot diverging). The group-by-token matrix is tiny relative
+    * to the corpus (|groups| x |vocab|), so after the one count shuffle the
+    * pair join runs on token-keyed postings exactly like `tfidfCosinePairs`;
+    * dots/norms are exact DECIMAL(38), the single final sqrt sees identical
+    * operands in every engine.
+    */
+  def groupTokenCosine(df: DataFrame, groupCol: String, textCol: String):
+      DataFrame = {
+    val counts = df
+      .select(col(groupCol).as("grp"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("grp", "token").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val norms = counts.groupBy("grp")
+      .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("n2"))
+    val a = counts.select(col("token"), col("grp").as("grp_a"), col("c").as("ca"))
+    val b = counts.select(col("token"), col("grp").as("grp_b"), col("c").as("cb"))
+    a.join(b, Seq("token")).filter(col("grp_a") < col("grp_b"))
+      .groupBy("grp_a", "grp_b")
+      .agg(sum(expr("CAST(ca AS DECIMAL(38,0)) * cb")).as("dot"))
+      .join(norms.select(col("grp").as("grp_a"), col("n2").as("na")), Seq("grp_a"))
+      .join(norms.select(col("grp").as("grp_b"), col("n2").as("nb")), Seq("grp_b"))
+      .select(col("grp_a"), col("grp_b"), expr(
+        """CAST(floor(CAST(dot AS DOUBLE)
+           / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1000000) AS BIGINT)""")
+        .as("cos_q"))
+  }
+
   /** Corpus vocabulary: top-`k` tokens by document frequency (ties broken
     * by total term frequency desc, then token asc), with global rank.
     * One shuffle on the token (partial aggregation collapses per-doc
