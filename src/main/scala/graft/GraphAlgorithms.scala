@@ -1888,7 +1888,9 @@ object GraphAlgorithms {
       .groupBy("u", "v").agg(min("wq").as("wq"))
       .transform(flatCheckpoint)
     var comp = nf.nodes.select(col("id"), col("id").as("comp")).transform(flatCheckpoint)
-    var mst = canon.limit(0).select("u", "v", "wq")
+    // forest edges accumulate as already-checkpointed per-round picks; the
+    // final union is assembled once, never re-checkpointed in the loop
+    var picks = List.empty[DataFrame]
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
@@ -1897,47 +1899,62 @@ object GraphAlgorithms {
         .join(comp.select(col("id").as("v"), col("comp").as("cv")), Seq("v"))
         .filter(col("cu") =!= col("cv"))
         .transform(flatCheckpoint)
-      if (labeled.isEmpty) done = true
+      val pick = struct(col("wq"), col("u"), col("v"), col("cu"), col("cv"))
+      val incident = labeled.select(col("cu").as("c"), pick.as("e"))
+        .union(labeled.select(col("cv").as("c"), pick.as("e")))
+      val chosen = incident.groupBy("c").agg(min("e").as("e"))
+        .select(col("e.wq").as("wq"), col("e.u").as("u"), col("e.v").as("v"),
+          col("e.cu").as("cu"), col("e.cv").as("cv"))
+        .distinct()
+        .transform(flatCheckpoint)
+      if (chosen.isEmpty) done = true
       else {
-        val pick = struct(col("wq"), col("u"), col("v"), col("cu"), col("cv"))
-        val incident = labeled.select(col("cu").as("c"), pick.as("e"))
-          .union(labeled.select(col("cv").as("c"), pick.as("e")))
-        val chosen = incident.groupBy("c").agg(min("e").as("e"))
-          .select(col("e.wq").as("wq"), col("e.u").as("u"), col("e.v").as("v"),
-            col("e.cu").as("cu"), col("e.cv").as("cv"))
-          .distinct()
-          .transform(flatCheckpoint)
-        mst = mst.union(chosen.select("u", "v", "wq")).transform(flatCheckpoint)
-        // contract the chosen edges: min-label fixpoint over COMPONENT ids
+        picks = chosen.select("u", "v", "wq") :: picks
+        // contract the chosen edges: min-label fixpoint over COMPONENT ids.
+        // Only components incident to a chosen edge can change label, so the
+        // fixpoint state is the (exponentially shrinking) contraction graph,
+        // not the full node set.
         val ce = chosen.select(col("cu").as("a"), col("cv").as("b"))
           .union(chosen.select(col("cv").as("a"), col("cu").as("b")))
           .distinct().transform(flatCheckpoint)
-        var m = comp.select(col("comp").as("c")).distinct()
+        var m = ce.select(col("a").as("c")).distinct()
           .select(col("c"), col("c").as("lab")).transform(flatCheckpoint)
         var conv = false
         var r2 = 0
         while (!conv && r2 < 40) {
-          val msgs = ce.join(m.select(col("c").as("a"), col("lab").as("la")), Seq("a"))
-            .groupBy(col("b").as("c")).agg(min("la").as("ml"))
-          val prop = m.join(msgs, Seq("c"), "left_outer")
-            .select(col("c"),
-              least(col("lab"), coalesce(col("ml"), col("lab"))).as("lab"))
-          val next = prop.as("x")
-            .join(prop.select(col("c").as("c2"), col("lab").as("l2")).as("y"),
-              col("x.lab") === col("c2"), "left_outer")
-            .select(col("x.c").as("c"), coalesce(col("l2"), col("x.lab")).as("lab"))
-            .transform(flatCheckpoint)
-          val changed = next.join(m.withColumnRenamed("lab", "prev"), Seq("c"))
-            .filter(col("lab") =!= col("prev")).limit(1).count()
-          m = next; conv = changed == 0; r2 += 1
+          // two propagate+double steps per convergence check: the check is a
+          // full job, and the fixpoint almost always needs >= 2 more rounds
+          // when it needed any
+          val steps = if (r2 == 0) 1 else 2
+          var k = 0
+          while (k < steps) {
+            val msgs = ce.join(m.select(col("c").as("a"), col("lab").as("la")), Seq("a"))
+              .groupBy(col("b").as("c")).agg(min("la").as("ml"))
+            val prop = m.join(msgs, Seq("c"), "left_outer")
+              .select(col("c"),
+                least(col("lab"), coalesce(col("ml"), col("lab"))).as("lab"))
+            m = prop.as("x")
+              .join(prop.select(col("c").as("c2"), col("lab").as("l2")).as("y"),
+                col("x.lab") === col("c2"), "left_outer")
+              .select(col("x.c").as("c"), coalesce(col("l2"), col("x.lab")).as("lab"))
+              .transform(flatCheckpoint)
+            k += 1
+          }
+          // converged when no remaining chosen edge still crosses labels
+          val crossing = ce
+            .join(m.select(col("c").as("a"), col("lab").as("la")), Seq("a"))
+            .join(m.select(col("c").as("b"), col("lab").as("lb")), Seq("b"))
+            .filter(col("la") =!= col("lb")).limit(1).count()
+          conv = crossing == 0; r2 += 1
         }
-        comp = comp.join(m.select(col("c").as("comp"), col("lab")), Seq("comp"))
-          .select(col("id"), col("lab").as("comp")).transform(flatCheckpoint)
+        comp = comp.join(m.select(col("c").as("comp"), col("lab")), Seq("comp"), "left_outer")
+          .select(col("id"), coalesce(col("lab"), col("comp")).as("comp"))
+          .transform(flatCheckpoint)
         round += 1
-        System.err.println(s"[graft] boruvka round $round: contraction fixpoint $r2 rounds")
+        System.err.println(s"[graft] boruvka round $round: contraction fixpoint $r2 checks")
       }
     }
-    mst
+    picks.foldLeft(canon.limit(0).select("u", "v", "wq"))(_ union _)
   }
 
   private def induce(edges: DataFrame, ids: DataFrame): DataFrame =
