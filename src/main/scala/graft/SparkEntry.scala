@@ -2192,7 +2192,103 @@ FROM d GROUP BY 1 ORDER BY 1""")),
         .orderBy("prev_type", "next_type")
     },
       Some("""WITH seq AS (SELECT user_id, event_type, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events)
-SELECT prev_type, event_type AS next_type, count(*) AS n FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2"""))
+SELECT prev_type, event_type AS next_type, count(*) AS n FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ============== batch H: sketches, layout keys, interval algebra ==============
+
+    // count-min sketch frequency estimates vs true counts (est >= true)
+    ("q_cms", (s, dir) =>
+      TextAnalysis.cmsProfile(docs(s, dir), "text", d = 4, w = 64,
+          minTrue = 10)
+        .orderBy("token"),
+      Some("""WITH tk AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+truec AS (SELECT token, count(*) AS true_n FROM tk GROUP BY 1 HAVING count(*) >= 10),
+hs AS (SELECT token, true_n, unnest(generate_series(0, 3)) AS j FROM truec),
+hb AS (SELECT token, true_n, j, CAST(concat('0x', substr(md5(CAST(j AS VARCHAR) || ':' || token), 1, 8)) AS BIGINT) % 64 AS bucket FROM hs),
+allhb AS (SELECT j, CAST(concat('0x', substr(md5(CAST(j AS VARCHAR) || ':' || token), 1, 8)) AS BIGINT) % 64 AS bucket FROM tk, (SELECT unnest(generate_series(0, 3)) AS j)),
+sk AS (SELECT j, bucket, count(*) AS n FROM allhb GROUP BY 1, 2)
+SELECT hb.token, CAST(hb.true_n AS BIGINT) AS true_n, CAST(min(sk.n) AS BIGINT) AS est_n
+FROM hb JOIN sk ON sk.j = hb.j AND sk.bucket = hb.bucket GROUP BY 1, 2 ORDER BY 1""")),
+
+    // Z-order (Morton) layout key: per-z-range bucket stats over the
+    // (nation, balance-band) plane — the multi-dim data-skipping curve
+    ("q_zorder", (s, dir) => {
+      val z = Storage.zorderKey(col("c_nationkey"),
+        floor((col("c_acctbal") + 1000) / 100).cast("long"), 7)
+      graph(s, dir).nodes.select(z.as("zkey"))
+        .groupBy((col("zkey") / 64).cast("long").as("zbucket"))
+        .agg(count(lit(1)).as("n"), min("zkey").as("min_z"), max("zkey").as("max_z"))
+        .orderBy("zbucket")
+    },
+      Some(s"""$G, b AS (SELECT CAST(c_nationkey AS BIGINT) AS x, CAST(floor((c_acctbal + 1000) / 100) AS BIGINT) AS y FROM nodes),
+z AS (SELECT ${Storage.zorderSql("x", "y", 7)} AS zkey FROM b)
+SELECT zkey // 64 AS zbucket, count(*) AS n, CAST(min(zkey) AS BIGINT) AS min_z, CAST(max(zkey) AS BIGINT) AS max_z
+FROM z GROUP BY 1 ORDER BY 1""")),
+
+    // per-user union length of [ts, ts + value minutes] exposure intervals
+    ("q_interval_union", (s, dir) => {
+      val iv = tbl(s, dir, "events").select(col("user_id"), col("event_id"),
+        expr("ts DIV 1000000000").as("s"),
+        (expr("ts DIV 1000000000") + floor(col("value") * 60).cast("long")).as("e"))
+      graft.operators.RangeJoin.intervalUnion(iv, "user_id", "s", "e", "event_id")
+        .select(col("user_id"), col("covered").as("covered_sec"), col("n_islands"))
+        .orderBy("user_id")
+    },
+      Some("""WITH iv AS (SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS s,
+epoch_ns(ts) // 1000000000 + CAST(floor(value * 60) AS BIGINT) AS e FROM events),
+m AS (SELECT user_id, s, e, event_id, max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM iv),
+fl AS (SELECT user_id, s, e, event_id, CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS ni FROM m),
+isl AS (SELECT user_id, s, e, sum(ni) OVER (PARTITION BY user_id ORDER BY s, e, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM fl),
+g AS (SELECT user_id, island, max(e) - min(s) AS len FROM isl GROUP BY 1, 2)
+SELECT user_id, CAST(sum(len) AS BIGINT) AS covered_sec, count(*) AS n_islands FROM g GROUP BY 1 ORDER BY 1""")),
+
+    // per-component order and size with edge density at 1e6 (reuses the
+    // cached weak-label fixpoint, like the rest of the component family)
+    ("q_component_density", (s, dir) => {
+      val lab = sparseLabels(s, dir)
+      val und = sparse(s, dir).symmetrizedEdges
+        .filter(col("source") =!= col("target"))
+        .select(least(col("source"), col("target")).as("u"),
+          greatest(col("source"), col("target")).as("v")).distinct()
+      val m = und
+        .join(lab.select(col("id").as("u"), col("component")), Seq("u"))
+        .groupBy("component").agg(count(lit(1)).as("n_edges"))
+      lab.groupBy("component").agg(count(lit(1)).as("n_nodes"))
+        .join(m, Seq("component"), "left_outer")
+        .select(col("component"), col("n_nodes"),
+          coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+          expr("""CASE WHEN n_nodes < 2 THEN CAST(NULL AS BIGINT)
+                  ELSE coalesce(n_edges, 0) * 2000000 DIV (n_nodes * (n_nodes - 1)) END""")
+            .as("density_q"))
+        .orderBy("component")
+    },
+      Some(s"""$G$LAB, und AS (SELECT DISTINCT least(source, target) AS u, greatest(source, target) AS v FROM sedges WHERE source <> target),
+em AS (SELECT l.component, count(*) AS n_edges FROM und JOIN lab l ON l.id = und.u GROUP BY 1),
+nn AS (SELECT component, count(*) AS n_nodes FROM lab GROUP BY 1)
+SELECT nn.component, nn.n_nodes, CAST(COALESCE(em.n_edges, 0) AS BIGINT) AS n_edges,
+CASE WHEN nn.n_nodes < 2 THEN CAST(NULL AS BIGINT) ELSE CAST(COALESCE(em.n_edges, 0) * 2000000 // (nn.n_nodes * (nn.n_nodes - 1)) AS BIGINT) END AS density_q
+FROM nn LEFT JOIN em ON em.component = nn.component ORDER BY 1""")),
+
+    // exact per-group percentiles (percentile_disc semantics spelled out as
+    // rank arithmetic so both engines agree bit-for-bit)
+    ("q_percentiles", (s, dir) => {
+      val byType = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+      val rk = byType.orderBy("cents", "event_id")
+      tbl(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .withColumn("rn", row_number().over(rk))
+        .withColumn("n", count(lit(1)).over(byType))
+        .groupBy("event_type")
+        .agg(max(when(col("rn") <= ceil(col("n") * 0.5), col("cents"))).as("p50_cents"),
+          max(when(col("rn") <= ceil(col("n") * 0.9), col("cents"))).as("p90_cents"))
+        .orderBy("event_type")
+    },
+      Some("""WITH c AS (SELECT event_type, event_id, CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+rk AS (SELECT event_type, cents, row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM c)
+SELECT event_type, CAST(max(CASE WHEN rn <= CAST(ceil(0.5 * n) AS BIGINT) THEN cents END) AS BIGINT) AS p50_cents,
+CAST(max(CASE WHEN rn <= CAST(ceil(0.9 * n) AS BIGINT) THEN cents END) AS BIGINT) AS p90_cents
+FROM rk GROUP BY 1 ORDER BY 1"""))
   )
 
   /** Unrolled weighted-k-core oracle: per round, in-core strengths over the

@@ -67,4 +67,27 @@ object Storage {
   def readCell(spark: SparkSession, path: String, cellCol: String,
                cell: Any): DataFrame =
     spark.read.parquet(path).filter(org.apache.spark.sql.functions.col(cellCol) === cell)
+
+  /** Z-order (Morton) key: interleave the low `bits` bits of two
+    * non-negative integer dimensions — sort/range-partition by this and
+    * both dimensions cluster simultaneously, so min/max file statistics
+    * prune scans filtered on EITHER column (the standard multi-dimensional
+    * data-skipping layout; Delta/Iceberg expose the same curve). Built from
+    * plain div/mod/multiply so it stays in whole-stage codegen and an
+    * oracle can replay it textually.
+    */
+  def zorderKey(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+                bits: Int = 8): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, shiftright}
+    (0 until bits).map { j =>
+      shiftright(x.cast("long"), j).bitwiseAND(lit(1L)) * lit(1L << (2 * j)) +
+      shiftright(y.cast("long"), j).bitwiseAND(lit(1L)) * lit(1L << (2 * j + 1))
+    }.reduce(_ + _)
+  }
+
+  /** The same Morton interleave as SQL text (oracle mirror of zorderKey). */
+  def zorderSql(x: String, y: String, bits: Int = 8): String =
+    (0 until bits).map { j =>
+      s"(($x // ${1L << j}) % 2) * ${1L << (2 * j)} + (($y // ${1L << j}) % 2) * ${1L << (2 * j + 1)}"
+    }.mkString(" + ")
 }

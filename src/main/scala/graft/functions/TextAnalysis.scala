@@ -318,6 +318,44 @@ object TextAnalysis {
       .select("doc_a", "doc_b", "cos_q")
   }
 
+  /** Count-min sketch of the corpus token stream: d md5-derived hash rows x
+    * w buckets, cell = total token occurrences hashing there. The sketch is
+    * MERGEABLE (cells add), so shards sketch locally and a d*w-cell
+    * reduction combines them — the 100 TB path for frequency estimation
+    * without a full vocabulary shuffle. Hashing is the engine-portable
+    * md5-prefix trick used across this repo, so an oracle replays cells
+    * exactly.
+    */
+  def countMinSketch(df: DataFrame, textCol: String,
+                     d: Int = 4, w: Int = 64): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .select(col("token"), explode(sequence(lit(0), lit(d - 1))).as("j"))
+      .select(col("j"),
+        (conv(substring(md5(concat(col("j").cast("string"), lit(":"),
+          col("token"))), 1, 8), 16, 10).cast("long") % w).as("bucket"))
+      .groupBy("j", "bucket").agg(count(lit(1)).as("n"))
+
+  /** Point estimates from a count-min sketch next to the true counts, for
+    * tokens at or above `minTrue` occurrences: est = min over the d rows of
+    * the token's cell. est >= true always (collisions only inflate);
+    * equality here is the small-corpus case.
+    */
+  def cmsProfile(df: DataFrame, textCol: String, d: Int = 4, w: Int = 64,
+                 minTrue: Long = 1): DataFrame = {
+    val sketch = countMinSketch(df, textCol, d, w)
+    val truec = df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("true_n"))
+      .filter(col("true_n") >= minTrue)
+    truec
+      .select(col("token"), col("true_n"),
+        explode(sequence(lit(0), lit(d - 1))).as("j"))
+      .select(col("token"), col("true_n"), col("j"),
+        (conv(substring(md5(concat(col("j").cast("string"), lit(":"),
+          col("token"))), 1, 8), 16, 10).cast("long") % w).as("bucket"))
+      .join(sketch, Seq("j", "bucket"))
+      .groupBy("token", "true_n").agg(min("n").as("est_n"))
+  }
+
   /** Character diversity per document: distinct characters and the inverse
     * Simpson index total^2 / sum(count^2) (effective alphabet size — the
     * log-free cousin of character entropy, and a standard gibberish /

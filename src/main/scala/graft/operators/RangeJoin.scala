@@ -40,4 +40,31 @@ object RangeJoin {
       .filter(col("p_ts") >= col(startCol) && col("p_ts") < col(endCol))
       .drop("bucket")
   }
+
+  /** Per-key union length of integer intervals [start, end] — the classic
+    * sweep: order each key's intervals, carry the running max end over
+    * PRECEDING rows, open a new island where a start clears it, then sum
+    * island extents. Coverage and island counts are the standard
+    * sessionized-exposure aggregates (ad attribution, uptime, sensor
+    * coverage). One shuffle on the key; windows are integer-exact, ties
+    * broken by (start, end, tieCol) so the island ids are deterministic at
+    * any parallelism. Output: (key, covered, n_islands).
+    */
+  def intervalUnion(iv: DataFrame, keyCol: String, startCol: String,
+                    endCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy(keyCol)
+    val sweep = byKey.orderBy(startCol, endCol, tieCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val run = byKey.orderBy(startCol, endCol, tieCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    iv.withColumn("__pm", max(col(endCol)).over(sweep))
+      .withColumn("__ni",
+        when(col("__pm").isNull || col(startCol) > col("__pm"), 1L).otherwise(0L))
+      .withColumn("__island", sum("__ni").over(run))
+      .groupBy(col(keyCol), col("__island"))
+      .agg((max(col(endCol)) - min(col(startCol))).as("__len"))
+      .groupBy(keyCol)
+      .agg(sum("__len").as("covered"), count(lit(1)).as("n_islands"))
+  }
 }

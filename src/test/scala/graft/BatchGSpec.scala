@@ -124,4 +124,38 @@ class BatchGSpec extends AnyFunSuite with SparkFixture {
     assert(got(("s1", "s2")) == 1000000L)
     assert(!got.contains(("s1", "s3")) && !got.contains(("s2", "s3")))
   }
+
+  test("intervalUnion merges overlaps and counts islands") {
+    import graft.operators.RangeJoin
+    // user 1: [0,10] ∪ [5,20] ∪ [30,40] -> covered 30, 2 islands;
+    // touching endpoints merge ([40,50] continues the second island);
+    // user 2: single point-interval [7,7] -> covered 0, 1 island
+    val iv = Seq(
+      (1L, 1L, 0L, 10L), (1L, 2L, 5L, 20L), (1L, 3L, 30L, 40L),
+      (1L, 4L, 40L, 50L), (2L, 5L, 7L, 7L))
+      .toDF("user_id", "event_id", "s", "e")
+    val got = RangeJoin.intervalUnion(iv, "user_id", "s", "e", "event_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == (40L, 2L)) // [0,20]=20 + [30,50]=20
+    assert(got(2L) == (0L, 1L))
+  }
+
+  test("cmsProfile estimates dominate true counts and are exact sans collisions") {
+    val df = Seq((1L, "a a a b"), (2L, "a b c")).toDF("id", "text")
+    val got = TextAnalysis.cmsProfile(df, "text", d = 4, w = 64)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == Set("a", "b", "c"))
+    got.values.foreach { case (t, e) => assert(e >= t) }
+    // 3 tokens in 4x64 cells: min over 4 rows collides with prob ~(3/64)^4
+    assert(got("a") == (4L, 4L) && got("b") == (2L, 2L) && got("c") == (1L, 1L))
+  }
+
+  test("zorderKey interleaves bits (Morton curve)") {
+    val df = Seq((3L, 5L), (0L, 0L), (7L, 0L), (0L, 7L)).toDF("x", "y")
+    val got = df.select(Storage.zorderKey(col("x"), col("y"), 3).as("z"))
+      .collect().map(_.getLong(0))
+    // z(3,5) = interleave(011, 101) = 100111 = 39; z(7,0)=010101=21;
+    // z(0,7)=101010=42
+    assert(got.toSeq == Seq(39L, 0L, 21L, 42L))
+  }
 }
