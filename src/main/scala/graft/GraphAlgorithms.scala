@@ -1957,6 +1957,59 @@ object GraphAlgorithms {
     picks.foldLeft(canon.limit(0).select("u", "v", "wq"))(_ union _)
   }
 
+  /** Earliest-arrival (foremost-path) temporal reachability: a node is
+    * reached when a path exists whose edge timestamps are NONDECREASING,
+    * and `arrival` is the least such final timestamp (Holme & Saramäki's
+    * temporal-network reachability; static BFS over-counts paths that go
+    * "back in time"). Seeds start at arrival -1 so any first edge
+    * qualifies. The fixpoint relaxes all seeds simultaneously — state is
+    * (seed, id, arrival), one time-filtered join + one min aggregation per
+    * round, checkpointed flat like every other fixpoint here. Arrivals
+    * only decrease and new nodes only appear, so convergence is monotone;
+    * rounds are bounded by the temporal diameter.
+    */
+  def temporalReachability(edges: DataFrame, seeds: DataFrame,
+                           maxRounds: Int = 30): DataFrame =
+      withoutConstraintPropagation(edges) {
+    val e = edges.select(col("source"), col("target"),
+        col("t").cast("long").as("t"))
+      .distinct().transform(flatCheckpoint)
+    var arr = seeds.select(col("id").as("seed"), col("id"),
+        lit(-1L).as("arrival"))
+      .transform(flatCheckpoint)
+    var done = false
+    var rounds = 0
+    while (!done && rounds < maxRounds) {
+      // two relaxations per materialization + convergence probe: the
+      // relaxation plan is join-linear in `arr` (no self-join), so chaining
+      // a second step costs no lineage blowup, and each probe is a full job
+      val prev = arr
+      var cur = arr
+      var k = 0
+      while (k < 2) {
+        val msgs = e
+          .join(cur.select(col("seed"), col("id").as("source"), col("arrival")),
+            Seq("source"))
+          .filter(col("t") >= col("arrival"))
+          .groupBy(col("seed"), col("target").as("id")).agg(min("t").as("cand"))
+        cur = cur.join(msgs, Seq("seed", "id"), "full_outer")
+          .select(col("seed"), col("id"),
+            least(coalesce(col("arrival"), col("cand")),
+              coalesce(col("cand"), col("arrival"))).as("arrival"))
+        k += 1
+      }
+      arr = flatCheckpoint(cur)
+      val changed = arr
+        .join(prev.withColumnRenamed("arrival", "prev"), Seq("seed", "id"),
+          "left_outer")
+        .filter(col("prev").isNull || col("arrival") =!= col("prev"))
+        .limit(1).count()
+      done = changed == 0; rounds += 1
+    }
+    System.err.println(s"[graft] temporalReachability converged in $rounds double-rounds")
+    arr
+  }
+
   private def induce(edges: DataFrame, ids: DataFrame): DataFrame =
     edges
       .join(ids.withColumnRenamed("id", "source"), Seq("source"), "left_semi")

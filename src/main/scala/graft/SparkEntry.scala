@@ -2288,7 +2288,138 @@ FROM nn LEFT JOIN em ON em.component = nn.component ORDER BY 1""")),
 rk AS (SELECT event_type, cents, row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM c)
 SELECT event_type, CAST(max(CASE WHEN rn <= CAST(ceil(0.5 * n) AS BIGINT) THEN cents END) AS BIGINT) AS p50_cents,
 CAST(max(CASE WHEN rn <= CAST(ceil(0.9 * n) AS BIGINT) THEN cents END) AS BIGINT) AS p90_cents
-FROM rk GROUP BY 1 ORDER BY 1"""))
+FROM rk GROUP BY 1 ORDER BY 1""")),
+
+    // ======= batch I: temporal paths, constrained funnels, robust stats =======
+
+    // time-respecting reachability over the FULL order graph (edge time =
+    // order date; a path must never go back in time)
+    ("q_temporal_reach", (s, dir) => {
+      val n = custCount.getOrElseUpdate(dir, tbl(s, dir, "customer").count())
+      val te = tbl(s, dir, "orders").select(
+        col("o_custkey").as("source"), (col("o_orderkey") % n).as("target"),
+        datediff(to_date(col("o_orderdate")), to_date(lit("1995-01-01"))).as("t"))
+      val seeds = tbl(s, dir, "customer")
+        .select(col("c_custkey").as("id")).orderBy("id").limit(4)
+      GraphAlgorithms.temporalReachability(te, seeds)
+        .orderBy("seed", "id")
+    },
+      Some("""WITH RECURSIVE n AS (SELECT count(*) AS c FROM customer),
+te AS (SELECT o_custkey AS source, o_orderkey % (SELECT c FROM n) AS target,
+datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS t FROM orders),
+seeds AS (SELECT c_custkey AS id FROM customer ORDER BY 1 LIMIT 4),
+f(seed, id, t) AS (SELECT id, id, CAST(-1 AS BIGINT) FROM seeds
+UNION SELECT f.seed, e.target, e.t FROM f JOIN te e ON e.source = f.id AND e.t >= f.t)
+SELECT seed, id, CAST(min(t) AS BIGINT) AS arrival FROM f GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // conversion funnel with a max-delay constraint: a click counts only
+    // within one hour of the user's most recent view
+    ("q_funnel_windowed", (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("tn", "event_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val e = tbl(s, dir, "events")
+        .filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts").as("tn"))
+      val conv = e
+        .withColumn("lv", max(when(col("event_type") === "view", col("tn"))).over(w))
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "click" && col("lv").isNotNull &&
+          col("tn") - col("lv") <= 3600000000000L, 1L).otherwise(0L)).as("c"))
+      val nv = e.filter(col("event_type") === "view")
+        .agg(count_distinct(col("user_id")).as("n_viewers"))
+      conv.agg(sum("c").as("n_converted")).crossJoin(nv)
+        .select(col("n_converted"), col("n_viewers"),
+          expr("n_converted * 1000000 DIV n_viewers").as("rate_q"))
+    },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS tn FROM events WHERE event_type IN ('view', 'click')),
+w AS (SELECT user_id, event_type, tn, max(CASE WHEN event_type = 'view' THEN tn END)
+OVER (PARTITION BY user_id ORDER BY tn, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv FROM e),
+conv AS (SELECT user_id, max(CASE WHEN event_type = 'click' AND lv IS NOT NULL AND tn - lv <= 3600000000000 THEN 1 ELSE 0 END) AS c FROM w GROUP BY 1),
+v AS (SELECT count(DISTINCT user_id) AS nv FROM e WHERE event_type = 'view')
+SELECT CAST(sum(c) AS BIGINT) AS n_converted, (SELECT nv FROM v) AS n_viewers,
+CAST(sum(c) * 1000000 // (SELECT nv FROM v) AS BIGINT) AS rate_q FROM conv""")),
+
+    // robust dispersion: median absolute deviation via two rank passes
+    ("q_mad", (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val c = tbl(s, dir, "events").select(col("event_type"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      val rk1 = W.partitionBy("event_type").orderBy("cents", "event_id")
+      val med = c
+        .withColumn("rn", row_number().over(rk1))
+        .withColumn("n", count(lit(1)).over(W.partitionBy("event_type")))
+        .groupBy("event_type")
+        .agg(max(when(col("rn") <= ceil(col("n") * 0.5), col("cents"))).as("med"))
+      val rk2 = W.partitionBy("event_type").orderBy("d", "event_id")
+      c.join(med, Seq("event_type"))
+        .select(col("event_type"), col("event_id"),
+          abs(col("cents") - col("med")).as("d"), col("med"))
+        .withColumn("rn", row_number().over(rk2))
+        .withColumn("n", count(lit(1)).over(W.partitionBy("event_type")))
+        .groupBy(col("event_type"), col("med").as("med_cents"))
+        .agg(max(when(col("rn") <= ceil(col("n") * 0.5), col("d"))).as("mad_cents"))
+        .orderBy("event_type")
+    },
+      Some("""WITH c AS (SELECT event_type, event_id, CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+rk AS (SELECT event_type, cents, row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM c),
+med AS (SELECT event_type, max(CASE WHEN rn <= CAST(ceil(0.5 * n) AS BIGINT) THEN cents END) AS med FROM rk GROUP BY 1),
+dev AS (SELECT c.event_type, abs(c.cents - med.med) AS d, c.event_id FROM c JOIN med ON med.event_type = c.event_type),
+rk2 AS (SELECT event_type, d, row_number() OVER (PARTITION BY event_type ORDER BY d, event_id) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM dev)
+SELECT m.event_type, CAST(m.med AS BIGINT) AS med_cents, CAST(max(CASE WHEN rk2.rn <= CAST(ceil(0.5 * rk2.n) AS BIGINT) THEN rk2.d END) AS BIGINT) AS mad_cents
+FROM rk2 JOIN med m ON m.event_type = rk2.event_type GROUP BY 1, 2 ORDER BY 1""")),
+
+    // language-ID confusion matrix: annotated lang x heuristic prediction
+    ("q_lang_confusion", (s, dir) =>
+      docs(s, dir)
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred"),
+      Some("""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
+h AS (SELECT doc_id, lang,
+len(list_filter(l, x -> x IN ('the','a','of','and','is'))) AS h_en,
+len(list_filter(l, x -> x IN ('der','die','das','und','ist'))) AS h_de,
+len(list_filter(l, x -> x IN ('le','les','et','est','une'))) AS h_fr,
+len(list_filter(l, x -> x IN ('el','los','las','y','es'))) AS h_es,
+len(list_filter(l, x -> x IN ('的','是','在'))) AS h_zh FROM t),
+p AS (SELECT lang, CASE WHEN greatest(h_en,h_de,h_fr,h_es,h_zh) = 0 THEN 'und'
+WHEN h_en = greatest(h_en,h_de,h_fr,h_es,h_zh) THEN 'en'
+WHEN h_de = greatest(h_en,h_de,h_fr,h_es,h_zh) THEN 'de'
+WHEN h_fr = greatest(h_en,h_de,h_fr,h_es,h_zh) THEN 'fr'
+WHEN h_es = greatest(h_en,h_de,h_fr,h_es,h_zh) THEN 'es'
+ELSE 'zh' END AS lang_pred FROM h)
+SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // mergeable log2-bin histogram with conservative quantile upper bounds
+    // (bin counts ADD across shards — the sketch path where exact rank
+    // arithmetic would need a full sort)
+    ("q_hist_quantiles", (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val b = tbl(s, dir, "events")
+        .select(col("event_type"), floor(col("value") * 100).cast("long").as("cents"))
+        .select(col("event_type"),
+          when(col("cents") <= 0, 0)
+            .otherwise(length(conv(col("cents"), 10, 2))).cast("long").as("bin"))
+      val cum = b.groupBy("event_type", "bin").agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(
+          W.partitionBy("event_type").orderBy("bin")))
+        .withColumn("n", sum("cnt").over(W.partitionBy("event_type")))
+      val ub = expr("shiftleft(CAST(1 AS BIGINT), CAST(bin AS INT)) - 1")
+      cum.groupBy("event_type")
+        .agg(min(when(col("cum") >= ceil(col("n") * 0.5), ub)).as("est_p50"),
+          min(when(col("cum") >= ceil(col("n") * 0.9), ub)).as("est_p90"),
+          count(lit(1)).as("n_bins"))
+        .orderBy("event_type")
+    },
+      Some("""WITH c AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+b AS (SELECT event_type, CASE WHEN cents <= 0 THEN 0 ELSE length(bin(cents)) END AS bin FROM c),
+h AS (SELECT event_type, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+cum AS (SELECT event_type, bin, sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum, sum(cnt) OVER (PARTITION BY event_type) AS n FROM h)
+SELECT event_type,
+CAST(min(CASE WHEN cum >= CAST(ceil(0.5 * n) AS BIGINT) THEN (1::BIGINT << bin) - 1 END) AS BIGINT) AS est_p50,
+CAST(min(CASE WHEN cum >= CAST(ceil(0.9 * n) AS BIGINT) THEN (1::BIGINT << bin) - 1 END) AS BIGINT) AS est_p90,
+count(*) AS n_bins FROM cum GROUP BY 1 ORDER BY 1"""))
   )
 
   /** Unrolled weighted-k-core oracle: per round, in-core strengths over the

@@ -150,6 +150,19 @@ class BatchGSpec extends AnyFunSuite with SparkFixture {
     assert(got("a") == (4L, 4L) && got("b") == (2L, 2L) && got("c") == (1L, 1L))
   }
 
+  test("temporalReachability honors time ordering on paths") {
+    // 1 -t=5-> 2 -t=3-> 3: static reach would include 3, but the only
+    // 2->3 edge departs BEFORE arrival at 2, so 3 is unreachable from 1.
+    // 1 -t=1-> 4 -t=2-> 5 is a valid nondecreasing path.
+    val edges = Seq(
+      (1L, 2L, 5L), (2L, 3L, 3L), (1L, 4L, 1L), (4L, 5L, 2L))
+      .toDF("source", "target", "t")
+    val seeds = Seq(1L).map(Tuple1(_)).toDF("id")
+    val got = GraphAlgorithms.temporalReachability(edges, seeds)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> -1L, 2L -> 5L, 4L -> 1L, 5L -> 2L))
+  }
+
   test("zorderKey interleaves bits (Morton curve)") {
     val df = Seq((3L, 5L), (0L, 0L), (7L, 0L), (0L, 7L)).toDF("x", "y")
     val got = df.select(Storage.zorderKey(col("x"), col("y"), 3).as("z"))
