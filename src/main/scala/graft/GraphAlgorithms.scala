@@ -2010,6 +2010,40 @@ object GraphAlgorithms {
     arr
   }
 
+  /** Katz centrality, quantized: x' = base + (alphaNum * A^T x) DIV alphaDen
+    * per round, base = 1e6, over the deduplicated directed edge set. The
+    * attenuation alpha = alphaNum/alphaDen stays in exact integer arithmetic
+    * (truncating DIV of non-negatives == floor in every engine), so a DuckDB
+    * oracle can replay every round bit-for-bit. Converges geometrically when
+    * alpha < 1/lambda_max; with quantization the iterate is deterministic
+    * regardless. Same per-round shape as `pageRank`: one join + one
+    * aggregation shuffle, lineage cut by localCheckpoint — O(iterations)
+    * rounds independent of graph size, sums accumulate in DECIMAL(38,0) so
+    * hub in-degrees cannot overflow at 100 TB.
+    */
+  def katzCentrality(nf: NetworkFrame, iterations: Int = 8,
+                     alphaNum: Int = 5, alphaDen: Int = 100): DataFrame =
+      withoutConstraintPropagation(nf.edges) {
+    require(iterations >= 1, "at least one iteration")
+    require(alphaNum > 0 && alphaDen > alphaNum, "need 0 < alpha < 1")
+    val base = 1000000L
+    val e = nf.edges.select(col("source"), col("target")).distinct()
+      .localCheckpoint()
+    var v = nf.nodes.select(col("id"), lit(base).as("qs")).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val recv = e
+        .join(v.withColumnRenamed("id", "source"), Seq("source"))
+        .groupBy(col("target").as("id"))
+        .agg(sum(col("qs").cast("decimal(38,0)")).as("m"))
+      v = nf.nodes.select(col("id"))
+        .join(recv, Seq("id"), "left_outer")
+        .selectExpr("id",
+          s"CAST($base + ($alphaNum * coalesce(m, CAST(0 AS DECIMAL(38,0)))) DIV $alphaDen AS BIGINT) AS qs")
+        .localCheckpoint()
+    }
+    nf.nodes.join(v, Seq("id"), "left_outer").orderBy(desc("qs"), asc("id"))
+  }
+
   private def induce(edges: DataFrame, ids: DataFrame): DataFrame =
     edges
       .join(ids.withColumnRenamed("id", "source"), Seq("source"), "left_semi")

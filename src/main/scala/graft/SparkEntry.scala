@@ -2419,7 +2419,168 @@ cum AS (SELECT event_type, bin, sum(cnt) OVER (PARTITION BY event_type ORDER BY 
 SELECT event_type,
 CAST(min(CASE WHEN cum >= CAST(ceil(0.5 * n) AS BIGINT) THEN (1::BIGINT << bin) - 1 END) AS BIGINT) AS est_p50,
 CAST(min(CASE WHEN cum >= CAST(ceil(0.9 * n) AS BIGINT) THEN (1::BIGINT << bin) - 1 END) AS BIGINT) AS est_p90,
-count(*) AS n_bins FROM cum GROUP BY 1 ORDER BY 1"""))
+count(*) AS n_bins FROM cum GROUP BY 1 ORDER BY 1""")),
+
+    // ========= batch J: attenuation centrality, priority sampling, =========
+    // ========= membership sketches, novelty, attribution, NFC      =========
+
+    // Katz centrality: attenuated walk-count importance (alpha = 5/100),
+    // exact integer iterate; the oracle unrolls all 8 rounds
+    ("q_katz", (s, dir) =>
+      GraphAlgorithms.katzCentrality(sparse(s, dir), iterations = 8)
+        .select(col("id"), col("qs").as("katz_q")).orderBy("id"),
+      Some(katzSql(8, 5, 100))),
+
+    // deterministic weighted (priority) sample: top-50 smallest
+    // hash-DIV-weight priorities — heavier orders oversampled, fully
+    // replayable; plans as TakeOrderedAndProject, not a global sort
+    ("q_weighted_sample", (s, dir) =>
+      graft.functions.Sampling.weightedSample(
+          tbl(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+          "o_orderkey", "o_totalprice", 50, salt = "ws")
+        .select(col("o_orderkey"), col("priority"))
+        .orderBy("priority", "o_orderkey"),
+      Some("""WITH w AS (SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS wq,
+CAST(concat('0x', substr(md5(concat('ws', CAST(o_orderkey AS VARCHAR))), 1, 8)) AS BIGINT) AS h FROM orders)
+SELECT o_orderkey, (h * 10000) // wq AS priority FROM w WHERE wq > 0 ORDER BY 2, 1 LIMIT 50""")),
+
+    // per-source Bloom membership bitmaps over distinct tokens (mergeable
+    // by bitwise OR — the shard-local membership sketch)
+    ("q_bloom", (s, dir) =>
+      TextAnalysis.bloomFilter(docs(s, dir), "source", "text", words = 4, k = 3)
+        .orderBy("grp", "word"),
+      Some("""WITH tk AS (SELECT source AS grp, unnest(string_split(text, ' ')) AS token FROM documents),
+dtk AS (SELECT DISTINCT grp, token FROM tk),
+ps AS (SELECT grp, token, unnest(generate_series(0, 2)) AS j FROM dtk),
+pos AS (SELECT grp, CAST(concat('0x', substr(md5(CAST(j AS VARCHAR) || ':' || token), 1, 8)) AS BIGINT) % 252 AS pos FROM ps)
+SELECT grp, pos // 63 AS word, bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS bits
+FROM pos GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // per-document 8-gram novelty: fraction of shingles occurring in no
+    // other document (low = template/boilerplate debris, high = unique
+    // content) — two shuffles, no self-join
+    ("q_ngram_novelty", (s, dir) =>
+      Dedup.ngramNovelty(docs(s, dir), "doc_id", "text", 8)
+        .withColumnRenamed("id", "doc_id").orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 7, 0)), i -> array_to_string(list_slice(l, i, i + 7), ' '))) AS shingle FROM t),
+dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+pd AS (SELECT sh.doc_id, count(*) AS n_shingles, sum(CASE WHEN dfc.df = 1 THEN 1 ELSE 0 END) AS n_unique FROM sh JOIN dfc USING (shingle) GROUP BY 1)
+SELECT d.doc_id, CAST(COALESCE(pd.n_shingles, 0) AS BIGINT) AS n_shingles,
+CAST(COALESCE(pd.n_unique, 0) AS BIGINT) AS n_unique,
+CASE WHEN COALESCE(pd.n_shingles, 0) = 0 THEN CAST(NULL AS BIGINT)
+ELSE CAST(pd.n_unique * 1000000 // pd.n_shingles AS BIGINT) END AS novelty_ppm
+FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id ORDER BY 1""")),
+
+    // last-touch marketing attribution: each purchase credits the user's
+    // most recent prior view/click within 7 days ('none' otherwise) —
+    // one window pass over the per-user event order, no join
+    ("q_attribution", (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+      tbl(s, dir, "events")
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .withColumn("ltt",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w))
+        .withColumn("ltts",
+          last(when(col("event_type") =!= "purchase", col("ts")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(when(col("ltts").isNull ||
+            col("ts") - col("ltts") > 604800000000000L, "none")
+          .otherwise(col("ltt")).as("attributed"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .groupBy("attributed")
+        .agg(count(lit(1)).as("n_conversions"),
+          sum("cents").as("attributed_cents"))
+        .orderBy("attributed")
+    },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS tn, value FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+l AS (SELECT *, last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tn, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ltt,
+last_value(CASE WHEN event_type <> 'purchase' THEN tn END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tn, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ltts FROM e),
+p AS (SELECT CASE WHEN ltts IS NULL OR tn - ltts > 604800000000000 THEN 'none' ELSE ltt END AS attributed, value FROM l WHERE event_type = 'purchase')
+SELECT attributed, count(*) AS n_conversions, CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS attributed_cents
+FROM p GROUP BY 1 ORDER BY 1""")),
+
+    // Unicode NFC normalization via the native graft_nfc expression —
+    // the canonical-composition pass every text-dedup pipeline runs first
+    ("q_nfc", (s, dir) => {
+      graft.functions.NfcNormalize.register(s)
+      docs(s, dir).select(col("doc_id"),
+          expr("md5(graft_nfc(text))").as("norm_hash"),
+          when(expr("graft_nfc(text)") === col("text"), 0L).otherwise(1L)
+            .as("changed"))
+        .orderBy("doc_id")
+    },
+      Some("""SELECT doc_id, md5(nfc_normalize(text)) AS norm_hash,
+CAST(CASE WHEN nfc_normalize(text) = text THEN 0 ELSE 1 END AS BIGINT) AS changed
+FROM documents ORDER BY 1""")),
+
+    // interpolated (percentile_cont) quartiles in exact integer arithmetic:
+    // result scaled x100 (cent-hundredths) so the linear interpolation
+    // lo + (hi-lo)*frac stays integral in both engines
+    ("q_percentile_cont", (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val byP = W.partitionBy("pri")
+      val rk = byP.orderBy("cents", "okey")
+      tbl(s, dir, "orders")
+        .select(col("o_orderpriority").as("pri"), col("o_orderkey").as("okey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .withColumn("rn", row_number().over(rk))
+        .withColumn("n", count(lit(1)).over(byP))
+        .withColumn("i25", expr("((n - 1) * 25) div 100"))
+        .withColumn("f25", expr("((n - 1) * 25) % 100"))
+        .withColumn("i75", expr("((n - 1) * 75) div 100"))
+        .withColumn("f75", expr("((n - 1) * 75) % 100"))
+        .groupBy("pri")
+        .agg(max(when(col("rn") === col("i25") + 1, col("cents"))).as("lo25"),
+          max(when(col("rn") === least(col("i25") + 2, col("n")), col("cents"))).as("hi25"),
+          max("f25").as("fr25"),
+          max(when(col("rn") === col("i75") + 1, col("cents"))).as("lo75"),
+          max(when(col("rn") === least(col("i75") + 2, col("n")), col("cents"))).as("hi75"),
+          max("f75").as("fr75"))
+        .select(col("pri"),
+          (col("lo25") * 100 + (col("hi25") - col("lo25")) * col("fr25")).as("p25_c100"),
+          (col("lo75") * 100 + (col("hi75") - col("lo75")) * col("fr75")).as("p75_c100"))
+        .orderBy("pri")
+    },
+      Some("""WITH c AS (SELECT o_orderpriority AS pri, o_orderkey AS okey, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+rk AS (SELECT pri, cents, row_number() OVER (PARTITION BY pri ORDER BY cents, okey) AS rn, count(*) OVER (PARTITION BY pri) AS n FROM c),
+x AS (SELECT pri, cents, rn, n, ((n - 1) * 25) // 100 AS i25, ((n - 1) * 25) % 100 AS f25, ((n - 1) * 75) // 100 AS i75, ((n - 1) * 75) % 100 AS f75 FROM rk),
+a AS (SELECT pri, max(CASE WHEN rn = i25 + 1 THEN cents END) AS lo25, max(CASE WHEN rn = least(i25 + 2, n) THEN cents END) AS hi25, max(f25) AS fr25,
+max(CASE WHEN rn = i75 + 1 THEN cents END) AS lo75, max(CASE WHEN rn = least(i75 + 2, n) THEN cents END) AS hi75, max(f75) AS fr75 FROM x GROUP BY 1)
+SELECT pri, CAST(lo25 * 100 + (hi25 - lo25) * fr25 AS BIGINT) AS p25_c100,
+CAST(lo75 * 100 + (hi75 - lo75) * fr75 AS BIGINT) AS p75_c100 FROM a ORDER BY 1""")),
+
+    // CUBE aggregation (all four grouping levels) with explicit grouping id
+    ("q_cube", (s, dir) =>
+      graph(s, dir).nodes
+        .cube("c_mktsegment", "c_nationkey")
+        .agg(sum(floor(col("c_acctbal") * 100).cast("long")).as("bal_cents"),
+          count(lit(1)).as("n"),
+          (grouping(col("c_mktsegment")) * 2 + grouping(col("c_nationkey")))
+            .cast("long").as("gid"))
+        .select(coalesce(col("c_mktsegment"), lit("ALL")).as("seg"),
+          coalesce(col("c_nationkey"), lit(-1L)).as("nat"),
+          col("gid"), col("bal_cents"), col("n"))
+        .orderBy("gid", "seg", "nat"),
+      Some(s"""$G SELECT COALESCE(c_mktsegment, 'ALL') AS seg, CAST(COALESCE(c_nationkey, -1) AS BIGINT) AS nat,
+CAST(GROUPING(c_mktsegment) * 2 + GROUPING(c_nationkey) AS BIGINT) AS gid,
+CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents, count(*) AS n
+FROM nodes GROUP BY CUBE(c_mktsegment, c_nationkey) ORDER BY 3, 1, 2""")),
+
+    // streaming windowed top-k: the per-window event-type leaderboard off
+    // the real microbatch aggregate (rank planned as WindowGroupLimit)
+    ("q_stream_topk", (s, dir) =>
+      EventStream.topKPerWindow(
+        EventStream.runStreamingOnce(s, s"$dir/events.parquet", "1 hour",
+          s"stream_topk_${Counter.next()}"), 3)
+        .orderBy("window_start", "rk"),
+      Some("""WITH a AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type, count(*) AS n_events FROM events GROUP BY 1, 2),
+r AS (SELECT window_start, event_type, n_events, row_number() OVER (PARTITION BY window_start ORDER BY n_events DESC, event_type) AS rk FROM a)
+SELECT window_start, CAST(rk AS BIGINT) AS rk, event_type, n_events FROM r WHERE rk <= 3 ORDER BY 1, 2"""))
   )
 
   /** Unrolled weighted-k-core oracle: per round, in-core strengths over the
@@ -2623,6 +2784,21 @@ params AS MATERIALIZED (SELECT 1000000000000 // count(*) AS base FROM nodes),
 v0 AS MATERIALIZED (SELECT id, CAST((SELECT base FROM params) AS BIGINT) AS qs FROM nodes),
 $steps
 SELECT n.id, v.qs AS prc_q FROM nodes n JOIN v$iters v ON n.id = v.id ORDER BY 1"""
+  }
+
+  /** Unrolled Katz-centrality oracle: v{i} = base + (alphaNum * received)
+    * DIV alphaDen, mirroring GraphAlgorithms.katzCentrality round for round.
+    */
+  private def katzSql(iters: Int, alphaNum: Int, alphaDen: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS MATERIALIZED (SELECT e.target AS id, sum(v.qs) AS m FROM de e JOIN v${i - 1} v ON v.id = e.source GROUP BY 1),
+v$i AS MATERIALIZED (SELECT n.id, CAST(1000000 + ($alphaNum * COALESCE(c.m, 0)) // $alphaDen AS BIGINT) AS qs FROM nodes n LEFT JOIN c$i c ON n.id = c.id)"""
+    }.mkString(",\n")
+    s"""WITH nodes AS MATERIALIZED (SELECT c_custkey AS id FROM customer),
+de AS MATERIALIZED (SELECT DISTINCT o_custkey AS source, o_orderkey % (SELECT count(*) FROM customer) AS target FROM orders WHERE o_orderkey % 10 = 0),
+v0 AS MATERIALIZED (SELECT id, CAST(1000000 AS BIGINT) AS qs FROM nodes),
+$steps
+SELECT n.id, v.qs AS katz_q FROM nodes n JOIN v$iters v ON n.id = v.id ORDER BY 1"""
   }
 
   private def pagerankSql(iters: Int, damping: Int): String = {

@@ -259,6 +259,34 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Per-document n-gram novelty: the fraction (ppm, integral division —
+    * exact in every engine) of a document's distinct shingles that occur in
+    * NO other document. The inverse of the memorization/boilerplate signal:
+    * low novelty means the document is assembled from corpus-common n-grams
+    * (template or near-duplicate debris that survived pair-level dedup),
+    * high novelty means unique content worth keeping. One shingle explode +
+    * one df aggregation on the shingle key + one per-doc rollup — no
+    * self-join at all, so unlike the pair operators this scans 100 TB with
+    * two shuffles total. Documents shorter than one shingle report 0
+    * shingles and a NULL novelty.
+    */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+                   shingleLen: Int = 8): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(TextAnalysis.shingles(col(textCol), shingleLen)).as("shingle"))
+    // shingles are distinct per doc, so count per shingle == document freq
+    val dfc = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val perDoc = sh.join(dfc, Seq("shingle"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+    df.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        expr("""CASE WHEN coalesce(n_shingles, 0) = 0 THEN CAST(NULL AS BIGINT)
+                ELSE n_unique * 1000000 DIV n_shingles END""").as("novelty_ppm"))
+  }
+
   /** Asymmetric n-gram CONTAINMENT pairs: for doc pairs sharing a shingle,
     * the larger of the two directional containments
     * max(|A inter B| / |A|, |A inter B| / |B|) = inter / min(|A|, |B|),

@@ -80,6 +80,30 @@ object Sampling {
     df.withColumn("split", assignment)
   }
 
+  /** Deterministic weighted sample of k rows without replacement: each row
+    * gets priority = (hash32 * 10000) DIV wq — a salted 32-bit hash scaled
+    * down by its cent-quantized weight (A-ES-style priority sampling with an
+    * integer key instead of u^(1/w): heavier rows draw stochastically
+    * smaller priorities, and the whole draw is a pure function of the key,
+    * so it replays identically in any engine) — and the k smallest
+    * priorities win (ties broken by key). Rows with non-positive weight are
+    * excluded. The global top-k plans as TakeOrderedAndProject (per-partition
+    * heap + driver merge of k rows), NOT a global sort — the 100 TB shape.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String, k: Int,
+                     salt: String = ""): DataFrame = {
+    require(k > 0, "positive sample size required")
+    val h32 = conv(substring(md5(concat(lit(salt), col(keyCol).cast("string"))),
+      1, 8), 16, 10).cast("long")
+    val wq = floor(col(weightCol).cast("double") * 100).cast("long")
+    df.filter(wq > 0)
+      .withColumn("__h", h32).withColumn("__wq", wq)
+      .withColumn("priority", expr("(__h * 10000) div __wq"))
+      .drop("__h", "__wq")
+      .orderBy(col("priority"), col(keyCol))
+      .limit(k)
+  }
+
   /** Equal-width feature binning over the global [min, max] range —
     * histogram/discretization in exact integer arithmetic: values
     * cent-quantize to longs, bin = (q - min) * bins DIV (max - min + 1)

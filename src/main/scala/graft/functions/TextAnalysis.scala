@@ -356,6 +356,33 @@ object TextAnalysis {
       .groupBy("token", "true_n").agg(min("n").as("est_n"))
   }
 
+  /** Per-group Bloom filter over the distinct token set: `words` 63-bit
+    * BIGINT words (bit 63 stays clear so shifts never touch the sign bit —
+    * engine-portable), k md5-derived probes per token, cells combined with
+    * bit_or. MERGEABLE: the filter of a union of shards is the bitwise OR
+    * of their filters, so a 100 TB corpus builds per-partition filters
+    * map-side and ORs d*words cells in the reduce — the same shape as
+    * `countMinSketch` but for membership instead of frequency. Output one
+    * row per (grp, word) with the packed bits; a membership probe checks
+    * its k (word, bit) cells are all set.
+    */
+  def bloomFilter(df: DataFrame, groupCol: String, textCol: String,
+                  words: Int = 4, k: Int = 3): DataFrame = {
+    require(words >= 1 && k >= 1, "need at least one word and one probe")
+    val m = words * 63
+    df.select(col(groupCol).as("grp"), explode(tokens(col(textCol))).as("token"))
+      .distinct()
+      .select(col("grp"), col("token"),
+        explode(sequence(lit(0), lit(k - 1))).as("j"))
+      .select(col("grp"),
+        (conv(substring(md5(concat(col("j").cast("string"), lit(":"),
+          col("token"))), 1, 8), 16, 10).cast("long") % m).as("pos"))
+      .select(col("grp"), (col("pos") / 63).cast("long").as("word"),
+        (col("pos") % 63).cast("int").as("bit"))
+      .groupBy("grp", "word")
+      .agg(expr("bit_or(shiftleft(1L, bit))").as("bits"))
+  }
+
   /** Character diversity per document: distinct characters and the inverse
     * Simpson index total^2 / sum(count^2) (effective alphabet size — the
     * log-free cousin of character entropy, and a standard gibberish /

@@ -40,6 +40,23 @@ object EventStream {
   def withEventWatermark(events: DataFrame, delay: String = "10 minutes"): DataFrame =
     normalizeTs(events).withWatermark("ts", delay)
 
+  /** Top-k event types per window by count (deterministic tie-break on
+    * type) over a `windowedTypeCounts`-shaped frame — the per-window
+    * leaderboard view a monitoring pipeline derives from the streamed
+    * aggregate. The rank filter plans as WindowGroupLimit, so each
+    * partition forwards at most k rows per window before the exchange;
+    * state stays (windows-in-flight x k) regardless of type cardinality.
+    */
+  def topKPerWindow(windowed: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("window_start").orderBy(desc("n_events"), asc("event_type"))
+    windowed
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("window_start", "rk", "event_type", "n_events")
+  }
+
   /** Sliding (hopping) window counts per event type: each event lands in
     * duration/slide overlapping windows (Spark materializes the expansion
     * then aggregates — the same plan streaming uses, state bounded by
