@@ -2044,6 +2044,95 @@ object GraphAlgorithms {
     nf.nodes.join(v, Seq("id"), "left_outer").orderBy(desc("qs"), asc("id"))
   }
 
+  /** Full k-core decomposition: core_number(v) = the largest k such that v
+    * survives k-core peeling, computed by ascending-k peeling with a warm
+    * start — the k-core is a subset of the (k-1)-core, so level k peels
+    * the level-(k-1) survivor set, not the whole graph (each level's work
+    * shrinks as the graph thins; the standard distributed formulation).
+    * Fixed `rounds` per level keeps the output a pure function of the
+    * graph, replayable by an unrolled oracle (same contract as `kCore`).
+    * Nodes outside the 1-core (isolated or dangling into nothing) report
+    * core 0. Per level-round: one semi-join induction + one degree
+    * aggregation, lineage cut per round.
+    */
+  def coreNumbers(nf: NetworkFrame, maxK: Int = 4, rounds: Int = 8): DataFrame =
+      withoutConstraintPropagation(nf.edges) {
+    require(maxK >= 1 && rounds >= 1, "need at least one level and one round")
+    val sym = nf.symmetrizedEdges
+      .select(col("source"), col("target"))
+      .filter(col("source") =!= col("target")).distinct()
+      .localCheckpoint()
+    var surviving = nf.nodes.select("id").localCheckpoint()
+    val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (k <- 1 to maxK) {
+      for (_ <- 1 to rounds) {
+        surviving = induce(sym, surviving)
+          .groupBy(col("source").as("id"))
+          .agg(count(lit(1)).as("d"))
+          .filter(col("d") >= k).select("id").localCheckpoint()
+      }
+      levels += surviving.withColumn("k", lit(k.toLong))
+    }
+    val deepest = levels.reduce(_ union _)
+      .groupBy("id").agg(max("k").as("core_number"))
+    nf.nodes.select("id").join(deepest, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("core_number"), lit(0L)).as("core_number"))
+  }
+
+  /** One synchronized Louvain move round: every node simultaneously
+    * evaluates moving to each neighboring community and takes the move with
+    * the largest positive modularity gain (integer-quantized: with 2m = the
+    * symmetrized edge count, gain_q(c) = 2m*(k_{u,c} - k_{u,own\u}) -
+    * k_u*(st_c - (st_own - k_u)) — the standard Louvain delta scaled by
+    * (2m)^2, exact in BIGINT), ties broken toward the smaller community id,
+    * staying put when no gain is positive. Synchronized + quantized makes
+    * the round a pure function of (graph, labels) — deterministic at any
+    * parallelism, unlike the reference sequential-sweep Louvain — so an
+    * oracle replays it exactly; iterate it to a fixpoint for full phase-1
+    * community detection. Cost: two aggregations (degrees, community
+    * totals) + one neighbor-label join + one per-node argmax, all shuffling
+    * on node/community keys; the 2m scalar rides as a broadcast 1-row
+    * aggregate, no driver action.
+    */
+  def louvainMoveRound(nf: NetworkFrame, labels: DataFrame): DataFrame =
+      withoutConstraintPropagation(nf.edges) {
+    val sym = nf.symmetrizedEdges
+      .select(col("source"), col("target"))
+      .filter(col("source") =!= col("target")).distinct()
+      .localCheckpoint()
+    val lab = labels.select(col("id"), col("community")).localCheckpoint()
+    val deg = sym.groupBy(col("source").as("id")).agg(count(lit(1)).as("k"))
+    val m2 = sym.agg(count(lit(1)).as("m2"))
+    val st = lab.join(deg, Seq("id"), "left_outer")
+      .groupBy("community").agg(sum(coalesce(col("k"), lit(0L))).as("st"))
+    val kuc = sym
+      .join(lab.select(col("id").as("target"), col("community").as("c")),
+        Seq("target"))
+      .groupBy(col("source").as("id"), col("c")).agg(count(lit(1)).as("kuc"))
+    val own = lab.select(col("id"), col("community").as("cown"))
+    val base = kuc
+      .join(own, Seq("id"))
+      .join(deg, Seq("id"))
+      .join(st.select(col("community").as("c"), col("st").as("stc")), Seq("c"))
+      .join(st.select(col("community").as("cown"), col("st").as("stown")),
+        Seq("cown"))
+      .join(kuc.select(col("id"), col("c").as("cown"), col("kuc").as("kuown")),
+        Seq("id", "cown"), "left_outer")
+      .withColumn("kuown", coalesce(col("kuown"), lit(0L)))
+      .crossJoin(broadcast(m2))
+    val gains = base.filter(col("c") =!= col("cown"))
+      .select(col("id"), col("c"),
+        (col("m2") * (col("kuc") - col("kuown")) -
+          col("k") * (col("stc") - (col("stown") - col("k")))).as("g"))
+      .filter(col("g") > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(desc("g"), asc("c"))
+    val best = gains.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("id"), col("c"))
+    lab.join(best, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("c"), col("community")).as("community"))
+  }
+
   private def induce(edges: DataFrame, ids: DataFrame): DataFrame =
     edges
       .join(ids.withColumnRenamed("id", "source"), Seq("source"), "left_semi")

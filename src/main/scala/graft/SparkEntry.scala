@@ -2580,7 +2580,96 @@ FROM nodes GROUP BY CUBE(c_mktsegment, c_nationkey) ORDER BY 3, 1, 2""")),
         .orderBy("window_start", "rk"),
       Some("""WITH a AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type, count(*) AS n_events FROM events GROUP BY 1, 2),
 r AS (SELECT window_start, event_type, n_events, row_number() OVER (PARTITION BY window_start ORDER BY n_events DESC, event_type) AS rk FROM a)
-SELECT window_start, CAST(rk AS BIGINT) AS rk, event_type, n_events FROM r WHERE rk <= 3 ORDER BY 1, 2"""))
+SELECT window_start, CAST(rk AS BIGINT) AS rk, event_type, n_events FROM r WHERE rk <= 3 ORDER BY 1, 2""")),
+
+    // ===== batch K: decompositions, community moves, changelog algebra =====
+
+    // full k-core decomposition (core numbers) by ascending-k warm-start
+    // peeling; the oracle unrolls every level's peel chain
+    ("q_core_numbers", (s, dir) =>
+      GraphAlgorithms.coreNumbers(sparse(s, dir), maxK = 4, rounds = 8)
+        .orderBy("id"),
+      Some(coreSql(4, 8))),
+
+    // one synchronized Louvain modularity-gain move round from singleton
+    // communities (deterministic: quantized gain, smaller-id tie-break)
+    ("q_louvain_move", (s, dir) => {
+      val g = sparse(s, dir)
+      val singletons = g.nodes.select(col("id"), col("id").as("community"))
+      GraphAlgorithms.louvainMoveRound(g, singletons).orderBy("id")
+    },
+      Some(s"""$G, symd AS (SELECT DISTINCT source, target FROM (SELECT source, target FROM sedges UNION ALL SELECT target, source FROM sedges) WHERE source <> target),
+deg AS (SELECT source AS id, count(*) AS k FROM symd GROUP BY 1),
+m2v AS (SELECT count(*) AS m2 FROM symd),
+lab AS (SELECT id, id AS community FROM nodes),
+st AS (SELECT l.community, sum(COALESCE(d.k, 0)) AS st FROM lab l LEFT JOIN deg d ON d.id = l.id GROUP BY 1),
+kuc AS (SELECT s.source AS id, l.community AS c, count(*) AS kuc FROM symd s JOIN lab l ON l.id = s.target GROUP BY 1, 2),
+own AS (SELECT id, community AS cown FROM lab),
+base AS (SELECT k.id, k.c, k.kuc, o.cown, d.k, sc.st AS stc, so.st AS stown, COALESCE(ko.kuc, 0) AS kuown
+FROM kuc k JOIN own o ON o.id = k.id JOIN deg d ON d.id = k.id
+JOIN st sc ON sc.community = k.c JOIN st so ON so.community = o.cown
+LEFT JOIN kuc ko ON ko.id = k.id AND ko.c = o.cown),
+gains AS (SELECT id, c, (SELECT m2 FROM m2v) * (kuc - kuown) - k * (stc - (stown - k)) AS g FROM base WHERE c <> cown),
+best AS (SELECT id, c FROM (SELECT id, c, row_number() OVER (PARTITION BY id ORDER BY g DESC, c) AS rn FROM gains WHERE g > 0) WHERE rn = 1)
+SELECT l.id, COALESCE(b.c, l.community) AS community FROM lab l LEFT JOIN best b ON b.id = l.id ORDER BY 1""")),
+
+    // MERGE/upsert changelog compaction: last op per key wins, deletes
+    // drop the key (signup=insert, error=delete, rest=update)
+    ("q_merge_upsert", (s, dir) => {
+      val log = tbl(s, dir, "events").select(col("user_id"), col("event_id"),
+        col("ts"), floor(col("value") * 100).cast("long").as("cents"),
+        when(col("event_type") === "signup", "I")
+          .when(col("event_type") === "error", "D").otherwise("U").as("op"))
+      EventStream.applyChangelog(log, "user_id", "op", Seq("ts", "event_id"))
+        .select("user_id", "op", "cents", "event_id").orderBy("user_id")
+    },
+      Some("""WITH log AS (SELECT user_id, event_id, ts, CAST(floor(value * 100) AS BIGINT) AS cents,
+CASE WHEN event_type = 'signup' THEN 'I' WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op FROM events),
+r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM log)
+SELECT user_id, op, cents, event_id FROM r WHERE rn = 1 AND op <> 'D' ORDER BY 1""")),
+
+    // per-user time-weighted average value (step-function integral over
+    // nanosecond gaps, exact decimal accumulation)
+    ("q_twap", (s, dir) =>
+      EventStream.timeWeightedAverage(tbl(s, dir, "events"), "user_id")
+        .orderBy("user_id"),
+      Some("""WITH c AS (SELECT user_id, event_id, epoch_ns(ts) AS tn, CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+l AS (SELECT user_id, tn, cents, lead(tn) OVER (PARTITION BY user_id ORDER BY tn, event_id) AS nts FROM c),
+g AS (SELECT user_id, sum(CAST(nts - tn AS HUGEINT) * cents) AS num, sum(CAST(nts - tn AS HUGEINT)) AS den, count(*) AS n_gaps
+FROM l WHERE nts IS NOT NULL GROUP BY 1)
+SELECT user_id, n_gaps, CAST(num // den AS BIGINT) AS twap_cents FROM g ORDER BY 1""")),
+
+    // source mixing allocation: per-source sampling rate toward a uniform
+    // target mix (the data-mixing planning step of corpus assembly)
+    ("q_mix_rates", (s, dir) => {
+      val bySrc = docs(s, dir).groupBy("source").agg(count(lit(1)).as("n"))
+      val tot = bySrc.agg(sum("n").as("total"), count(lit(1)).as("k"))
+      bySrc.crossJoin(broadcast(tot))
+        .selectExpr("source", "n", "CAST(total DIV k AS BIGINT) AS target_n",
+          "CAST(least(1000000, (total DIV k) * 1000000 DIV n) AS BIGINT) AS rate_ppm",
+          "CAST(n * least(1000000, (total DIV k) * 1000000 DIV n) DIV 1000000 AS BIGINT) AS expected_kept")
+        .orderBy("source")
+    },
+      Some("""WITH b AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+t AS (SELECT sum(n) AS total, count(*) AS k FROM b)
+SELECT source, n, CAST(total // k AS BIGINT) AS target_n,
+CAST(least(1000000, (total // k) * 1000000 // n) AS BIGINT) AS rate_ppm,
+CAST(n * least(1000000, (total // k) * 1000000 // n) // 1000000 AS BIGINT) AS expected_kept
+FROM b, t ORDER BY 1""")),
+
+    // IVF quantization diagnostics: per-cell mean squared residual against
+    // the integer centroids (decides re-training / cell-count changes)
+    ("q_ivf_residual", (s, dir) =>
+      Similarity.ivfResidualEnergy(emb(s, dir), "embedding", "label")
+        .orderBy("cell"),
+      Some("""WITH u AS (SELECT label AS cell, vec_id, s.i, CAST(floor(CAST(embedding[s.i] AS DOUBLE) * 10000000) AS BIGINT) AS x FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) s),
+g AS (SELECT cell, i, sum(x) AS sx, count(*) AS n FROM u GROUP BY 1, 2),
+cent AS (SELECT cell, i, CAST(CASE WHEN sx >= 0 THEN sx // n ELSE -((-sx) // n) END AS BIGINT) AS cq FROM g),
+r AS (SELECT u.cell, CAST(u.x - c.cq AS HUGEINT) * (u.x - c.cq) AS r2 FROM u JOIN cent c ON c.cell = u.cell AND c.i = u.i),
+e AS (SELECT cell, sum(r2) AS e FROM r GROUP BY 1),
+nv AS (SELECT label AS cell, count(*) AS n_vectors FROM embeddings GROUP BY 1)
+SELECT e.cell, nv.n_vectors, CAST(e.e // nv.n_vectors AS BIGINT) AS mean_resid_q
+FROM e JOIN nv USING (cell) ORDER BY 1"""))
   )
 
   /** Unrolled weighted-k-core oracle: per round, in-core strengths over the
@@ -2946,6 +3035,33 @@ SELECT n.id, v.qs AS pprm_q FROM nodes n JOIN v$iters v ON n.id = v.id ORDER BY 
     * GraphAlgorithms.kCore round for round. MATERIALIZED per CTE or DuckDB
     * re-inlines the chain exponentially.
     */
+  /** Unrolled core-number oracle: per level k an 8-round peel chain warm-
+    * started from level k-1's survivors, then max level per node — mirrors
+    * GraphAlgorithms.coreNumbers level for level, round for round.
+    */
+  private def coreSql(maxK: Int, rounds: Int): String = {
+    val chains = (1 to maxK).map { k =>
+      val prev = if (k == 1) "r0" else s"r${k - 1}_$rounds"
+      (1 to rounds).map { i =>
+        val from = if (i == 1) prev else s"r${k}_${i - 1}"
+        s"""d${k}_$i AS MATERIALIZED (SELECT source AS id, count(*) AS d FROM sy WHERE source IN (SELECT id FROM $from) AND target IN (SELECT id FROM $from) GROUP BY 1),
+r${k}_$i AS MATERIALIZED (SELECT id FROM d${k}_$i WHERE d >= $k)"""
+      }.mkString(",\n")
+    }.mkString(",\n")
+    val unions = (1 to maxK)
+      .map(k => s"SELECT id, $k AS k FROM r${k}_$rounds")
+      .mkString("\nUNION ALL ")
+    s"""WITH nodes AS MATERIALIZED (SELECT c_custkey AS id FROM customer),
+se AS MATERIALIZED (SELECT o_custkey AS source, o_orderkey % (SELECT count(*) FROM customer) AS target FROM orders WHERE o_orderkey % 10 = 0),
+sy AS MATERIALIZED (SELECT source, target FROM (SELECT source, target FROM se UNION SELECT target, source FROM se) WHERE source <> target),
+r0 AS MATERIALIZED (SELECT id FROM nodes),
+$chains,
+lv AS MATERIALIZED ($unions),
+mx AS (SELECT id, max(k) AS core_number FROM lv GROUP BY 1)
+SELECT n.id, CAST(COALESCE(mx.core_number, 0) AS BIGINT) AS core_number
+FROM nodes n LEFT JOIN mx ON mx.id = n.id ORDER BY 1"""
+  }
+
   private def kcoreSql(k: Int, rounds: Int): String = {
     val steps = (1 to rounds).map { i =>
       s"""d$i AS MATERIALIZED (SELECT source AS id, count(*) AS d FROM sy WHERE source IN (SELECT id FROM r${i - 1}) AND target IN (SELECT id FROM r${i - 1}) GROUP BY 1),

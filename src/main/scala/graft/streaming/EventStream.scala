@@ -72,6 +72,50 @@ object EventStream {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value_dec").cast("double").as("sum_value"))
 
+  /** MERGE/upsert semantics over a changelog: keep each key's latest row
+    * (by the deterministic `orderCols` tuple, descending) and drop keys
+    * whose final operation is a delete — the changelog -> table-state
+    * compaction a lakehouse MERGE INTO performs, as one per-key window
+    * top-1 (WindowGroupLimit: partitions forward one row per key before
+    * the exchange) plus a filter. No global sort, no driver state; at
+    * 100 TB this is the standard incremental-compaction shape, run per
+    * partition of the log.
+    */
+  def applyChangelog(log: DataFrame, keyCol: String, opCol: String,
+                     orderCols: Seq[String], deleteOp: String = "D"): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one ordering column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(orderCols.map(c => col(c).desc): _*)
+    log.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .filter(col(opCol) =!= deleteOp)
+  }
+
+  /** Per-key time-weighted average (TWAP): each observation holds until the
+    * next one, so the average is sum(value_i * dt_i) / (t_last - t_first)
+    * over consecutive gaps — the step-function integral, in exact integer
+    * arithmetic (cent values x nanosecond gaps accumulate in DECIMAL(38,0);
+    * the final integral division is engine-portable). One window pass for
+    * the lead + one per-key aggregation; keys with fewer than two events
+    * have no time span and are omitted.
+    */
+  def timeWeightedAverage(events: DataFrame, keyCol: String = "user_id"):
+      DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy("tn", "event_id")
+    events
+      .select(col(keyCol), col("event_id"), col("ts").as("tn"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .withColumn("nts", lead("tn", 1).over(w))
+      .filter(col("nts").isNotNull)
+      .groupBy(keyCol)
+      .agg(sum(((col("nts") - col("tn")).cast("decimal(38,0)") * col("cents")))
+          .as("num"),
+        sum((col("nts") - col("tn")).cast("decimal(38,0)")).as("den"),
+        count(lit(1)).as("n_gaps"))
+      .selectExpr(keyCol, "n_gaps", "CAST(num DIV den AS BIGINT) AS twap_cents")
+  }
+
   /** CDC compaction: the latest row per key (event time desc, then the
     * tie-break column desc — deterministic on replayed logs). This is the
     * changelog -> current-state view: one shuffle on the key, a per-key
