@@ -2079,6 +2079,41 @@ object GraphAlgorithms {
       .select(col("id"), coalesce(col("core_number"), lit(0L)).as("core_number"))
   }
 
+  /** Distributed greedy graph coloring by iterated Luby MIS layers: layer c
+    * computes a maximal independent set of the still-uncolored subgraph and
+    * assigns it color c — independent sets are exactly the color classes, so
+    * the result is a proper coloring (no edge joins two same-colored nodes)
+    * using at most maxdeg+1 layers. Fixed (layers, rounds) keeps the output
+    * a pure function of the graph, replayable by an unrolled oracle; nodes
+    * still undecided after all layers report color 0 (same leftover
+    * contract as `maximalIndependentSet`). The classic scalable coloring —
+    * register allocation, conflict-free scheduling, independent-batch
+    * partitioning for async graph updates.
+    */
+  def greedyColoring(nf: NetworkFrame, layers: Int = 5, rounds: Int = 4):
+      DataFrame = withoutConstraintPropagation(nf.edges) {
+    require(layers >= 1, "at least one layer")
+    val allNodes = nf.nodes.select("id").localCheckpoint()
+    val sym = nf.symmetrizedEdges
+      .select(col("source"), col("target"))
+      .filter(col("source") =!= col("target")).distinct()
+      .localCheckpoint()
+    var uncolored = allNodes
+    var colored: DataFrame = null
+    for (c <- 1 to layers) {
+      val sub = nf.copy(nodes = uncolored, edges = induce(sym, uncolored))
+      val in = maximalIndependentSet(sub, rounds)
+        .filter(col("status") === "in")
+        .select(col("id"), lit(c.toLong).as("color"))
+      colored = if (colored == null) in.localCheckpoint()
+                else colored.union(in).localCheckpoint()
+      uncolored = uncolored.join(in.select("id"), Seq("id"), "left_anti")
+        .localCheckpoint()
+    }
+    allNodes.join(colored, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("color"), lit(0L)).as("color"))
+  }
+
   /** One synchronized Louvain move round: every node simultaneously
     * evaluates moving to each neighboring community and takes the move with
     * the largest positive modularity gain (integer-quantized: with 2m = the
@@ -2088,13 +2123,21 @@ object GraphAlgorithms {
     * staying put when no gain is positive. Synchronized + quantized makes
     * the round a pure function of (graph, labels) — deterministic at any
     * parallelism, unlike the reference sequential-sweep Louvain — so an
-    * oracle replays it exactly; iterate it to a fixpoint for full phase-1
-    * community detection. Cost: two aggregations (degrees, community
-    * totals) + one neighbor-label join + one per-node argmax, all shuffling
-    * on node/community keys; the 2m scalar rides as a broadcast 1-row
+    * oracle replays it exactly; iterate it (alternating `down`) to a
+    * fixpoint for full phase-1 community detection. Fully synchronized
+    * moves can livelock on symmetric swaps (u moves to v's community while
+    * v moves to u's, forever), so each round is direction-constrained: the
+    * argmax move executes only toward a smaller community id when
+    * `down = true`, only toward a larger one otherwise — alternating
+    * directions breaks every swap cycle while still applying each node's
+    * best move (the standard parity trick of synchronized/distributed
+    * Louvain). Cost: two aggregations (degrees, community totals) + one
+    * neighbor-label join + one per-node argmax, all shuffling on
+    * node/community keys; the 2m scalar rides as a broadcast 1-row
     * aggregate, no driver action.
     */
-  def louvainMoveRound(nf: NetworkFrame, labels: DataFrame): DataFrame =
+  def louvainMoveRound(nf: NetworkFrame, labels: DataFrame,
+                       down: Boolean = true): DataFrame =
       withoutConstraintPropagation(nf.edges) {
     val sym = nf.symmetrizedEdges
       .select(col("source"), col("target"))
@@ -2129,8 +2172,12 @@ object GraphAlgorithms {
       .partitionBy("id").orderBy(desc("g"), asc("c"))
     val best = gains.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).select(col("id"), col("c"))
+    val allowed =
+      if (down) col("c") < col("community") else col("c") > col("community")
     lab.join(best, Seq("id"), "left_outer")
-      .select(col("id"), coalesce(col("c"), col("community")).as("community"))
+      .select(col("id"),
+        when(col("c").isNotNull && allowed, col("c"))
+          .otherwise(col("community")).as("community"))
   }
 
   private def induce(edges: DataFrame, ids: DataFrame): DataFrame =

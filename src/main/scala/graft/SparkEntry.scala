@@ -2598,20 +2598,34 @@ SELECT window_start, CAST(rk AS BIGINT) AS rk, event_type, n_events FROM r WHERE
       val singletons = g.nodes.select(col("id"), col("id").as("community"))
       GraphAlgorithms.louvainMoveRound(g, singletons).orderBy("id")
     },
-      Some(s"""$G, symd AS (SELECT DISTINCT source, target FROM (SELECT source, target FROM sedges UNION ALL SELECT target, source FROM sedges) WHERE source <> target),
-deg AS (SELECT source AS id, count(*) AS k FROM symd GROUP BY 1),
-m2v AS (SELECT count(*) AS m2 FROM symd),
-lab AS (SELECT id, id AS community FROM nodes),
-st AS (SELECT l.community, sum(COALESCE(d.k, 0)) AS st FROM lab l LEFT JOIN deg d ON d.id = l.id GROUP BY 1),
-kuc AS (SELECT s.source AS id, l.community AS c, count(*) AS kuc FROM symd s JOIN lab l ON l.id = s.target GROUP BY 1, 2),
-own AS (SELECT id, community AS cown FROM lab),
-base AS (SELECT k.id, k.c, k.kuc, o.cown, d.k, sc.st AS stc, so.st AS stown, COALESCE(ko.kuc, 0) AS kuown
-FROM kuc k JOIN own o ON o.id = k.id JOIN deg d ON d.id = k.id
-JOIN st sc ON sc.community = k.c JOIN st so ON so.community = o.cown
-LEFT JOIN kuc ko ON ko.id = k.id AND ko.c = o.cown),
-gains AS (SELECT id, c, (SELECT m2 FROM m2v) * (kuc - kuown) - k * (stc - (stown - k)) AS g FROM base WHERE c <> cown),
-best AS (SELECT id, c FROM (SELECT id, c, row_number() OVER (PARTITION BY id ORDER BY g DESC, c) AS rn FROM gains WHERE g > 0) WHERE rn = 1)
-SELECT l.id, COALESCE(b.c, l.community) AS community FROM lab l LEFT JOIN best b ON b.id = l.id ORDER BY 1""")),
+      Some(louvainSql(1))),
+
+    // Louvain phase 1: three synchronized move rounds iterated to a stable
+    // partition (the oracle replays every round's gains unrolled)
+    ("q_louvain", (s, dir) => {
+      val g = sparse(s, dir)
+      var labs = g.nodes.select(col("id"), col("id").as("community"))
+      for (r <- 1 to 3)
+        labs = GraphAlgorithms.louvainMoveRound(g, labs, down = r % 2 == 1)
+      labs.orderBy("id")
+    },
+      Some(louvainSql(3))),
+
+    // distributed greedy coloring by iterated Luby-MIS layers (color class
+    // = independent set, so the coloring is proper by construction)
+    ("q_coloring", (s, dir) =>
+      GraphAlgorithms.greedyColoring(sparse(s, dir), layers = 5, rounds = 4)
+        .orderBy("id"),
+      Some(colorSql(5, 4))),
+
+    // random-walk visit counts: the RW-sampling node-importance profile
+    // off the deterministic walk corpus (q_walks' exact walks, aggregated)
+    ("q_walk_visits", (s, dir) =>
+      GraphAlgorithms.randomWalks(sparse(s, dir), steps = 4)
+        .groupBy("node").agg(count(lit(1)).as("n_visits"))
+        .orderBy("node"),
+      Some(s"""${walksBody(4)}
+SELECT node, count(*) AS n_visits FROM wk GROUP BY 1 ORDER BY 1""")),
 
     // MERGE/upsert changelog compaction: last op per key wins, deletes
     // drop the key (signup=insert, error=delete, rest=update)
@@ -3035,6 +3049,62 @@ SELECT n.id, v.qs AS pprm_q FROM nodes n JOIN v$iters v ON n.id = v.id ORDER BY 
     * GraphAlgorithms.kCore round for round. MATERIALIZED per CTE or DuckDB
     * re-inlines the chain exponentially.
     */
+  /** Unrolled synchronized-Louvain oracle: per round, community strength
+    * totals, neighbor-community link counts, quantized gains, and the
+    * argmax move — mirrors GraphAlgorithms.louvainMoveRound round for
+    * round from singleton communities.
+    */
+  private def louvainSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""st$r AS MATERIALIZED (SELECT l.community, sum(COALESCE(d.k, 0)) AS st FROM lab$p l LEFT JOIN deg d ON d.id = l.id GROUP BY 1),
+kuc$r AS MATERIALIZED (SELECT s.source AS id, l.community AS c, count(*) AS kuc FROM symd s JOIN lab$p l ON l.id = s.target GROUP BY 1, 2),
+base$r AS MATERIALIZED (SELECT k.id, k.c, k.kuc, o.community AS cown, d.k, sc.st AS stc, so.st AS stown, COALESCE(ko.kuc, 0) AS kuown
+FROM kuc$r k JOIN lab$p o ON o.id = k.id JOIN deg d ON d.id = k.id
+JOIN st$r sc ON sc.community = k.c JOIN st$r so ON so.community = o.community
+LEFT JOIN kuc$r ko ON ko.id = k.id AND ko.c = o.community),
+best$r AS MATERIALIZED (SELECT id, c FROM (SELECT id, c, row_number() OVER (PARTITION BY id ORDER BY g DESC, c) AS rn FROM (SELECT id, c, (SELECT m2 FROM m2v) * (kuc - kuown) - k * (stc - (stown - k)) AS g FROM base$r WHERE c <> cown) WHERE g > 0) WHERE rn = 1),
+lab$r AS MATERIALIZED (SELECT l.id, CASE WHEN b.c IS NOT NULL AND b.c ${if (r % 2 == 1) "<" else ">"} l.community THEN b.c ELSE l.community END AS community FROM lab$p l LEFT JOIN best$r b ON b.id = l.id)"""
+    }.mkString(",\n")
+    s"""$G, symd AS MATERIALIZED (SELECT DISTINCT source, target FROM (SELECT source, target FROM sedges UNION ALL SELECT target, source FROM sedges) WHERE source <> target),
+deg AS MATERIALIZED (SELECT source AS id, count(*) AS k FROM symd GROUP BY 1),
+m2v AS MATERIALIZED (SELECT count(*) AS m2 FROM symd),
+lab0 AS MATERIALIZED (SELECT id, id AS community FROM nodes),
+$steps
+SELECT id, community FROM lab$rounds ORDER BY 1"""
+  }
+
+  /** Unrolled greedy-coloring oracle: per layer a misSql-style Luby chain
+    * over the still-uncolored set, color = layer of MIS admission; mirrors
+    * GraphAlgorithms.greedyColoring layer for layer, round for round.
+    */
+  private def colorSql(layers: Int, rounds: Int): String = {
+    val chains = (1 to layers).map { c =>
+      val u0 =
+        if (c == 1) s"u${c}_0 AS MATERIALIZED (SELECT c_custkey AS id FROM customer)"
+        else s"u${c}_0 AS MATERIALIZED (SELECT id FROM u${c - 1}_0 WHERE id NOT IN (SELECT id FROM col${c - 1}))"
+      val inner = (1 to rounds).map { i =>
+        val p = s"u${c}_${i - 1}"
+        s"""ky${c}_$i AS MATERIALIZED (SELECT id, md5(CAST(id AS VARCHAR) || ':$i') || '-' || lpad(CAST(id AS VARCHAR), 20, '0') AS k FROM $p),
+nm${c}_$i AS MATERIALIZED (SELECT e.target AS id, min(k.k) AS mnk FROM sy e JOIN ky${c}_$i k ON k.id = e.source JOIN $p ut ON ut.id = e.target GROUP BY 1),
+mi${c}_$i AS MATERIALIZED (SELECT k.id FROM ky${c}_$i k LEFT JOIN nm${c}_$i n ON n.id = k.id WHERE n.mnk IS NULL OR k.k < n.mnk),
+mo${c}_$i AS MATERIALIZED (SELECT DISTINCT e.target AS id FROM sy e JOIN mi${c}_$i m ON m.id = e.source JOIN $p ut ON ut.id = e.target WHERE e.target NOT IN (SELECT id FROM mi${c}_$i)),
+u${c}_$i AS MATERIALIZED (SELECT id FROM $p WHERE id NOT IN (SELECT id FROM mi${c}_$i) AND id NOT IN (SELECT id FROM mo${c}_$i))"""
+      }.mkString(",\n")
+      val colUnion = (1 to rounds).map(i => s"SELECT id FROM mi${c}_$i")
+        .mkString(" UNION ALL ")
+      s"$u0,\n$inner,\ncol$c AS MATERIALIZED ($colUnion)"
+    }.mkString(",\n")
+    val colorUnion = (1 to layers)
+      .map(c => s"SELECT id, $c AS color FROM col$c").mkString("\nUNION ALL ")
+    s"""WITH se AS MATERIALIZED (SELECT o_custkey AS source, o_orderkey % (SELECT count(*) FROM customer) AS target FROM orders WHERE o_orderkey % 10 = 0),
+sy AS MATERIALIZED (SELECT DISTINCT source, target FROM (SELECT source, target FROM se UNION ALL SELECT target, source FROM se) WHERE source <> target),
+$chains,
+allc AS MATERIALIZED ($colorUnion)
+SELECT n.c_custkey AS id, CAST(COALESCE(a.color, 0) AS BIGINT) AS color
+FROM customer n LEFT JOIN allc a ON a.id = n.c_custkey ORDER BY 1"""
+  }
+
   /** Unrolled core-number oracle: per level k an 8-round peel chain warm-
     * started from level k-1's survivors, then max level per node — mirrors
     * GraphAlgorithms.coreNumbers level for level, round for round.

@@ -21,16 +21,18 @@ class BatchKSpec extends AnyFunSuite with SparkFixture {
     assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
   }
 
-  test("louvainMoveRound merges a 4-cycle pairwise with id tie-breaks") {
-    // C4: every node gains by joining either neighbor; tie -> smaller id
+  test("louvainMoveRound applies only downward moves on a down round") {
+    // C4: every node's best move has gain 8 - 2*2 = 4 toward either
+    // neighbor (tie -> smaller community id); the down constraint blocks
+    // node 1 (both neighbors have larger ids) and sends 2, 3, 4 to 1
     val nodes = (1L to 4L).map(Tuple1(_)).toDF("id")
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
       .toDF("source", "target")
     val g = NetworkFrame(nodes, edges)
     val singles = nodes.select(col("id"), col("id").as("community"))
-    val got = GraphAlgorithms.louvainMoveRound(g, singles)
+    val got = GraphAlgorithms.louvainMoveRound(g, singles, down = true)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
   }
 
   test("louvainMoveRound keeps isolated nodes and respects given labels") {
@@ -43,6 +45,39 @@ class BatchKSpec extends AnyFunSuite with SparkFixture {
     // 1 and 2 already share a community (no positive gain to leave a
     // 2-clique for nothing); 3 is isolated and keeps its label
     assert(got == Map(1L -> 10L, 2L -> 10L, 3L -> 99L))
+  }
+
+  test("greedyColoring produces a proper coloring that covers small graphs") {
+    // deterministic pseudo-random graph on 30 nodes
+    val raw = (1 to 120).map(i => ((i * 13 % 30).toLong, (i * 23 % 30).toLong))
+      .filter { case (u, v) => u != v }
+    val nodes = (0L until 30L).map(Tuple1(_)).toDF("id")
+    val edges = raw.toDF("source", "target")
+    val colors = GraphAlgorithms
+      .greedyColoring(NetworkFrame(nodes, edges), layers = 8, rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // all colored (enough layers/rounds for a 30-node graph)
+    assert(colors.values.forall(_ >= 1L))
+    // proper: no edge connects two nodes of the same color
+    raw.foreach { case (u, v) =>
+      assert(colors(u) != colors(v), s"edge ($u,$v) monochromatic")
+    }
+  }
+
+  test("louvainMoveRound iterated to fixpoint finds the two cliques") {
+    // two triangles joined by one bridge edge: phase-1 Louvain should
+    // settle with each triangle in a single community
+    val nodes = (1L to 6L).map(Tuple1(_)).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (3L, 4L)).toDF("source", "target")
+    val g = NetworkFrame(nodes, edges)
+    var labs = nodes.select(col("id"), col("id").as("community"))
+    for (r <- 1 to 4)
+      labs = GraphAlgorithms.louvainMoveRound(g, labs, down = r % 2 == 1)
+    val got = labs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(got(1L), got(2L), got(3L)).size == 1, s"triangle A split: $got")
+    assert(Set(got(4L), got(5L), got(6L)).size == 1, s"triangle B split: $got")
+    assert(got(1L) != got(4L), s"triangles merged: $got")
   }
 
   test("applyChangelog keeps last op per key and drops deletes") {
