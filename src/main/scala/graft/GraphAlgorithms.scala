@@ -2079,6 +2079,38 @@ object GraphAlgorithms {
       .select(col("id"), coalesce(col("core_number"), lit(0L)).as("core_number"))
   }
 
+  /** Widest-path (maximin / bottleneck) distances from one source: the
+    * width of a node is the maximum over paths of the minimum cent-quantized
+    * edge weight along the path — max-min relaxation instead of min-plus
+    * (`shortestPaths`' tropical-semiring twin; same fixed-round Bellman-Ford
+    * shape, so the oracle unrolls identically). Parallel edges keep their
+    * max weight (the widest lane wins). The seed reports Long.MaxValue (an
+    * empty path has unbounded bottleneck); `rounds` bounds path length, so
+    * cost is O(rounds) join+agg shuffles regardless of graph size.
+    */
+  def widestPaths(nf: NetworkFrame, sourceId: Any, weightCol: String,
+                  rounds: Int, directed: Boolean = true): DataFrame =
+      withoutConstraintPropagation(nf.edges) {
+    require(rounds >= 1, "at least one relaxation round")
+    val wq = floor(col(weightCol).cast("double") * 100).cast("long")
+    val base = nf.edges.select(col("source"), col("target"), wq.as("wq"))
+    val dirEdges = if (directed) base
+      else base.union(base.select(col("target").as("source"),
+        col("source").as("target"), col("wq")))
+    val e = dirEdges
+      .groupBy("source", "target").agg(max("wq").as("wq")).localCheckpoint()
+    var cap = nf.nodes.select(col("id")).filter(col("id") === lit(sourceId))
+      .withColumn("cq", lit(Long.MaxValue)).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val relax = e.join(cap.select(col("id").as("source"), col("cq").as("sc")),
+          Seq("source"))
+        .select(col("target").as("id"), least(col("sc"), col("wq")).as("cq"))
+      cap = cap.union(relax).groupBy("id").agg(max("cq").as("cq"))
+        .localCheckpoint()
+    }
+    cap
+  }
+
   /** Distributed greedy graph coloring by iterated Luby MIS layers: layer c
     * computes a maximal independent set of the still-uncolored subgraph and
     * assigns it color c — independent sets are exactly the color classes, so

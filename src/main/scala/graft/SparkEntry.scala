@@ -2627,6 +2627,47 @@ SELECT window_start, CAST(rk AS BIGINT) AS rk, event_type, n_events FROM r WHERE
       Some(s"""${walksBody(4)}
 SELECT node, count(*) AS n_visits FROM wk GROUP BY 1 ORDER BY 1""")),
 
+    // ==== batch M: substring dedup spans, winnowing, bottleneck paths ====
+
+    // maximal duplicated 8-gram spans (exact-substring dedup cut list):
+    // corpus-repeated positions merged by gaps-and-islands
+    ("q_dup_spans", (s, dir) =>
+      Dedup.duplicatedSpans(docs(s, dir), "doc_id", "text", 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "span_start"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+sh AS (SELECT doc_id, unnest(generate_series(1, greatest(len(l) - 7, 0))) - 1 AS pos,
+array_to_string(list_slice(l, unnest(generate_series(1, greatest(len(l) - 7, 0))), unnest(generate_series(1, greatest(len(l) - 7, 0))) + 7), ' ') AS shingle FROM t),
+occ AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) >= 2),
+fl AS (SELECT sh.doc_id, sh.pos FROM sh JOIN occ USING (shingle)),
+rn AS (SELECT doc_id, pos, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn FROM fl)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start, CAST(max(pos) + 7 AS BIGINT) AS span_end, count(*) AS n_grams
+FROM rn GROUP BY doc_id, pos - rn ORDER BY 1, 2""")),
+
+    // winnowing (MOSS) fingerprints: per-window minimum k-gram hash with
+    // earliest-position ties — the density-bounded local sampling index
+    ("q_winnow", (s, dir) =>
+      TextAnalysis.winnowFingerprints(docs(s, dir), "doc_id", "text", 4, 4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "pos"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+hs0 AS (SELECT doc_id, unnest(generate_series(1, greatest(len(l) - 3, 0))) - 1 AS pos,
+array_to_string(list_slice(l, unnest(generate_series(1, greatest(len(l) - 3, 0))), unnest(generate_series(1, greatest(len(l) - 3, 0))) + 3), ' ') AS kg FROM t),
+hs AS (SELECT doc_id, pos, CAST(concat('0x', substr(md5(kg), 1, 8)) AS BIGINT) AS hq FROM hs0),
+n AS (SELECT doc_id, count(*) AS nh FROM hs GROUP BY 1),
+starts AS (SELECT doc_id, unnest(generate_series(0, CAST(nh - 4 AS INT))) AS s FROM n),
+wins AS (SELECT st.doc_id, st.s, h.pos, h.hq FROM starts st JOIN hs h ON h.doc_id = st.doc_id AND h.pos BETWEEN st.s AND st.s + 3),
+sel AS (SELECT doc_id, s, pos, hq, row_number() OVER (PARTITION BY doc_id, s ORDER BY hq, pos) AS rn FROM wins)
+SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, hq AS fp FROM sel WHERE rn = 1 ORDER BY 1, 2""")),
+
+    // widest (maximin / bottleneck) path capacities from node 0 — the
+    // max-min tropical twin of q_sssp, same unrolled relaxation oracle
+    ("q_widest_path", (s, dir) =>
+      GraphAlgorithms.widestPaths(sparse(s, dir), 0L, "weight",
+          rounds = 6, directed = false)
+        .orderBy("id"),
+      Some(wpathSql(6))),
+
     // MERGE/upsert changelog compaction: last op per key wins, deletes
     // drop the key (signup=insert, error=delete, rest=update)
     ("q_merge_upsert", (s, dir) => {
@@ -3187,6 +3228,23 @@ SELECT id, label FROM l$rounds ORDER BY 1"""
     * cent-quantized symmetrized sparse edges; mirrors
     * GraphAlgorithms.shortestPaths round for round.
     */
+  /** Unrolled widest-path oracle: max-min relaxation rounds mirroring
+    * GraphAlgorithms.widestPaths (parallel edges keep max weight; the seed
+    * carries Long.MaxValue).
+    */
+  private def wpathSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""c$i AS MATERIALIZED (SELECT id, max(cq) AS cq FROM (
+SELECT id, cq FROM c${i - 1}
+UNION ALL SELECT e.target AS id, least(c.cq, e.wq) AS cq FROM we e JOIN c${i - 1} c ON c.id = e.source) GROUP BY 1)"""
+    }.mkString(",\n")
+    s"""WITH swe AS MATERIALIZED (SELECT o_custkey AS source, o_orderkey % (SELECT count(*) FROM customer) AS target, CAST(floor(o_totalprice * 100) AS BIGINT) AS wq FROM orders WHERE o_orderkey % 10 = 0),
+we AS MATERIALIZED (SELECT source, target, max(wq) AS wq FROM (SELECT source, target, wq FROM swe UNION ALL SELECT target, source, wq FROM swe) GROUP BY 1,2),
+c0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS id, CAST(9223372036854775807 AS BIGINT) AS cq),
+$steps
+SELECT id, cq FROM c$rounds ORDER BY 1"""
+  }
+
   private def ssspSql(rounds: Int): String = {
     val steps = (1 to rounds).map { i =>
       s"""d$i AS MATERIALIZED (SELECT id, min(dq) AS dq FROM (

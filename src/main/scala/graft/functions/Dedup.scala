@@ -287,6 +287,38 @@ object Dedup {
                 ELSE n_unique * 1000000 DIV n_shingles END""").as("novelty_ppm"))
   }
 
+  /** Maximal duplicated token spans: the exact-substring-dedup primitive
+    * (the Lee et al. "Deduplicating Training Data Makes Language Models
+    * Better" operation, shingle-approximated at scale): a token position is
+    * duplicated if its n-gram occurs anywhere else in the corpus (another
+    * document or another position of the same one); runs of consecutive
+    * duplicated positions merge into maximal spans via the gaps-and-islands
+    * trick. A span (start, end) means tokens [start, end] inclusive
+    * (0-based) are covered by corpus-repeated n-grams — the byte ranges a
+    * substring-level deduplicator would cut. Cost: one explode + one
+    * occurrence count on the shingle key + one per-doc window — no
+    * suffix array and no self-join, so it runs where the true suffix
+    * automaton cannot.
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 8): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      posexplode(TextAnalysis.allShingles(col(textCol), n))
+        .as(Seq("pos", "shingle")))
+    val occ = sh.groupBy("shingle").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+    val flagged = sh.join(occ, Seq("shingle"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+    flagged.withColumn("rn", row_number().over(w))
+      .groupBy(col("id"), (col("pos") - col("rn")).as("grp"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") + (n - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("id"), col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"), col("n_grams"))
+  }
+
   /** Asymmetric n-gram CONTAINMENT pairs: for doc pairs sharing a shingle,
     * the larger of the two directional containments
     * max(|A inter B| / |A|, |A inter B| / |B|) = inter / min(|A|, |B|),

@@ -177,6 +177,34 @@ object TextAnalysis {
     array_min(windows)
   }
 
+  /** Winnowing fingerprints (the MOSS algorithm): hash every k-gram, slide
+    * a window of `w` consecutive hashes, select each window's minimum
+    * (ties to the earliest position), and deduplicate the selections. The
+    * guarantee: any shared run of at least w+k-1 tokens between two
+    * documents yields at least one identical selected fingerprint, while
+    * only ~2/(w+1) of positions are kept — the local-sampling dedup/
+    * plagiarism index with a density bound. Hashes are the engine-portable
+    * md5-prefix longs; selection is a per-doc running window min (struct
+    * min = (hash, pos) lexicographic), so the whole operator is one
+    * explode + one window pass, no join.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 4, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "positive k-gram and window sizes")
+    val hs = df.select(col(idCol).as("id"),
+        posexplode(allShingles(col(textCol), k)).as(Seq("pos", "kgram")))
+      .select(col("id"), col("pos"),
+        conv(substring(md5(col("kgram")), 1, 8), 16, 10).cast("long").as("hq"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    hs.withColumn("cnt", count(lit(1)).over(win))
+      .withColumn("sel", min(struct(col("hq"), col("pos"))).over(win))
+      .filter(col("cnt") === w)
+      .select(col("id"), col("sel.pos").cast("long").as("pos"),
+        col("sel.hq").as("fp"))
+      .distinct()
+  }
+
   /** Distinct `n`-word shingles of a document — the unit of MinHash /
     * Jaccard dedup.
     */
