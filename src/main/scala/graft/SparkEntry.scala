@@ -2660,6 +2660,17 @@ wins AS (SELECT st.doc_id, st.s, h.pos, h.hq FROM starts st JOIN hs h ON h.doc_i
 sel AS (SELECT doc_id, s, pos, hq, row_number() OVER (PARTITION BY doc_id, s ORDER BY hq, pos) AS rn FROM wins)
 SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, hq AS fp FROM sel WHERE rn = 1 ORDER BY 1, 2""")),
 
+    // exact streaming COUNT(DISTINCT): chained stateful operators
+    // (watermarked dedup on (window, user) -> windowed count, append mode)
+    ("q_stream_uniques", (s, dir) =>
+      EventStream.runUniquesStream(s, s"$dir/events.parquet", "1 hour",
+          "10 minutes", s"stream_uniques_${Counter.next()}")
+        .orderBy("window_start"),
+      Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, count(DISTINCT user_id) AS n_users
+FROM events
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+GROUP BY 1 ORDER BY 1""")),
+
     // widest (maximin / bottleneck) path capacities from node 0 — the
     // max-min tropical twin of q_sssp, same unrolled relaxation oracle
     ("q_widest_path", (s, dir) =>

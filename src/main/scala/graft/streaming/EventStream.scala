@@ -51,10 +51,13 @@ object EventStream {
     require(k >= 1, "k must be >= 1")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("window_start").orderBy(desc("n_events"), asc("event_type"))
+    // filter the raw rank (cast only afterward): an intermediate cast
+    // between row_number and its filter defeats the WindowGroupLimit match
     windowed
-      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
-      .select("window_start", "rk", "event_type", "n_events")
+      .select(col("window_start"), col("rk").cast("long").as("rk"),
+        col("event_type"), col("n_events"))
   }
 
   /** Sliding (hopping) window counts per event type: each event lands in
@@ -530,6 +533,39 @@ object EventStream {
     val agg = windowedTypeCounts(withEventWatermark(src), windowLen)
     val q = agg.writeStream
       .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+
+  /** Chained-stateful streaming pass: watermark -> streaming dropDuplicates
+    * on (window, user) -> windowed distinct-user count, append mode. Two
+    * stateful operators in one query (Spark 3.4+ multi-stateful support):
+    * the dedup state holds one entry per (window, user) until the watermark
+    * passes the window end, the aggregation state one row per window —
+    * exact streaming COUNT(DISTINCT) with bounded state, which a single
+    * stateful aggregate cannot express. Only watermark-finalized windows
+    * emit (the production contract, same as `runStreamingAppend`).
+    */
+  def runUniquesStream(spark: SparkSession, parquetPath: String,
+                       windowLen: String = "1 hour",
+                       delay: String = "10 minutes",
+                       queryName: String = "stream_uniques"): DataFrame = {
+    val schema = spark.read.parquet(parquetPath).schema
+    val srcPath = stageDir(parquetPath)
+    val src = spark.readStream.schema(schema).parquet(srcPath)
+    val dedup = withEventWatermark(src, delay)
+      .select(window(col("ts"), windowLen).as("w"), col("user_id"))
+      .dropDuplicates("w", "user_id")
+    val agg = dedup
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("w.start").as("window_start"), col("n_users"))
+    val q = agg.writeStream
+      .outputMode("append")
       .format("memory")
       .queryName(queryName)
       .start()

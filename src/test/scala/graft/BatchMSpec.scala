@@ -57,6 +57,29 @@ class BatchMSpec extends AnyFunSuite with SparkFixture {
     assert(n >= positions / 8, s"selected only $n of $positions hashes")
   }
 
+  test("weightedSample plans as TakeOrderedAndProject, not a global sort") {
+    val df = (1L to 500L).map(i => (i, i * 1.0 + 1)).toDF("k", "w")
+    val plan = graft.functions.Sampling.weightedSample(df, "k", "w", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(600))
+  }
+
+  test("topKPerWindow plans a map-side WindowGroupLimit") {
+    val df = (1 to 50).map(i => (s"w${i % 5}", s"t$i", i.toLong))
+      .toDF("window_start", "event_type", "n_events")
+    val plan = graft.streaming.EventStream.topKPerWindow(df, 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(600))
+  }
+
+  test("duplicatedSpans plans no cartesian product") {
+    val df = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    val plan = Dedup.duplicatedSpans(df, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+  }
+
   test("widestPaths computes maximin capacities exactly") {
     // 0 -1.00- 1 -3.00- 2  and  0 -2.00- 2: widest 0->2 = min(200) vs
     // min(100,300) -> 200; widest 0->1 = max(100, min(200,300)) = 200
