@@ -2079,6 +2079,51 @@ object GraphAlgorithms {
       .select(col("id"), coalesce(col("core_number"), lit(0L)).as("core_number"))
   }
 
+  /** Distributed maximal matching by synchronized propose-accept rounds:
+    * every unmatched node proposes to its smallest-id unmatched neighbor;
+    * mutual proposals (u -> v and v -> u) become matched pairs, both
+    * endpoints leave the pool, repeat. Deterministic (min-id proposals, no
+    * RNG) and maximal after enough rounds: while any edge joins two
+    * unmatched nodes, some mutual pair exists among min-proposals — the
+    * classic handshake matching used for graph coarsening (multilevel
+    * partitioners) and conflict-free pairing. Fixed `rounds` keeps the
+    * output oracle-replayable; per round one induction, one min
+    * aggregation, one self-join on proposal pairs (all key-partitioned, no
+    * all-pairs work). Output: (id, partner, matched_round), partner NULL
+    * for nodes left unmatched.
+    */
+  def maximalMatching(nf: NetworkFrame, rounds: Int = 6): DataFrame =
+      withoutConstraintPropagation(nf.edges) {
+    require(rounds >= 1, "at least one round")
+    val sym = nf.symmetrizedEdges
+      .select(col("source"), col("target"))
+      .filter(col("source") =!= col("target")).distinct()
+      .localCheckpoint()
+    var unmatched = nf.nodes.select("id").localCheckpoint()
+    var matched: DataFrame = null
+    for (r <- 1 to rounds) {
+      val e = induce(sym, unmatched)
+      val prop = e.groupBy(col("source").as("id")).agg(min("target").as("prop"))
+        .localCheckpoint()
+      val mutual = prop.as("a")
+        .join(prop.as("b"),
+          col("a.prop") === col("b.id") && col("b.prop") === col("a.id") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("u"), col("b.id").as("v"),
+          lit(r.toLong).as("matched_round"))
+        .localCheckpoint()
+      val pairRows = mutual
+        .select(col("u").as("id"), col("v").as("partner"), col("matched_round"))
+        .union(mutual.select(col("v").as("id"), col("u").as("partner"),
+          col("matched_round")))
+      matched = if (matched == null) pairRows.localCheckpoint()
+                else matched.union(pairRows).localCheckpoint()
+      unmatched = unmatched.join(pairRows.select("id"), Seq("id"), "left_anti")
+        .localCheckpoint()
+    }
+    nf.nodes.select("id").join(matched, Seq("id"), "left_outer")
+  }
+
   /** Widest-path (maximin / bottleneck) distances from one source: the
     * width of a node is the maximum over paths of the minimum cent-quantized
     * edge weight along the path — max-min relaxation instead of min-plus

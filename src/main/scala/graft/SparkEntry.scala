@@ -2679,6 +2679,48 @@ GROUP BY 1 ORDER BY 1""")),
         .orderBy("id"),
       Some(wpathSql(6))),
 
+    // ====== batch N: matching, keyness, data profiling ======
+
+    // distributed maximal matching (synchronized min-id propose-accept —
+    // the graph-coarsening pairing); the oracle unrolls every round
+    ("q_matching", (s, dir) =>
+      GraphAlgorithms.maximalMatching(sparse(s, dir), rounds = 6)
+        .orderBy("id"),
+      Some(matchSql(6))),
+
+    // per-source keyword extraction: exact integer rate-ratio keyness,
+    // top-5 per source (map-side WindowGroupLimit)
+    ("q_keyness", (s, dir) =>
+      TextAnalysis.groupTokenKeyness(docs(s, dir), "source", "text", 5, 50)
+        .orderBy("grp", "rk"),
+      Some("""WITH tk AS (SELECT source AS grp, unnest(string_split(text, ' ')) AS token FROM documents),
+c AS (SELECT grp, token, count(*) AS c FROM tk GROUP BY 1, 2),
+gt AS (SELECT grp, sum(c) AS gt FROM c GROUP BY 1),
+tt AS (SELECT token, sum(c) AS tt FROM c GROUP BY 1 HAVING sum(c) >= 50),
+tot AS (SELECT sum(c) AS total FROM c),
+l AS (SELECT grp, token, CAST((CAST(c AS HUGEINT) * (SELECT total FROM tot) * 1000000) // (CAST(gt AS HUGEINT) * tt) AS BIGINT) AS lift_ppm
+FROM c JOIN gt USING (grp) JOIN tt USING (token)),
+r AS (SELECT grp, token, lift_ppm, row_number() OVER (PARTITION BY grp ORDER BY lift_ppm DESC, token) AS rk FROM l)
+SELECT grp, CAST(rk AS BIGINT) AS rk, token, lift_ppm FROM r WHERE rk <= 5 ORDER BY 1, 2""")),
+
+    // one-pass multi-column data profile (row/null/exact-distinct/min/max)
+    ("q_profile", (s, dir) =>
+      graft.functions.DataProfile.columnProfile(tbl(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy("col_name"),
+      Some("""WITH a AS (SELECT count(*) AS total,
+count(o_orderkey) AS nn1, count(DISTINCT o_orderkey) AS nd1, CAST(min(o_orderkey) AS VARCHAR) AS mn1, CAST(max(o_orderkey) AS VARCHAR) AS mx1,
+count(o_custkey) AS nn2, count(DISTINCT o_custkey) AS nd2, CAST(min(o_custkey) AS VARCHAR) AS mn2, CAST(max(o_custkey) AS VARCHAR) AS mx2,
+count(o_orderstatus) AS nn3, count(DISTINCT o_orderstatus) AS nd3, min(o_orderstatus) AS mn3, max(o_orderstatus) AS mx3,
+count(o_orderpriority) AS nn4, count(DISTINCT o_orderpriority) AS nd4, min(o_orderpriority) AS mn4, max(o_orderpriority) AS mx4
+FROM orders)
+SELECT col_name, total AS n_rows, n_null, n_distinct, min_v, max_v FROM (
+SELECT 'o_orderkey' AS col_name, total, total - nn1 AS n_null, nd1 AS n_distinct, mn1 AS min_v, mx1 AS max_v FROM a
+UNION ALL SELECT 'o_custkey', total, total - nn2, nd2, mn2, mx2 FROM a
+UNION ALL SELECT 'o_orderstatus', total, total - nn3, nd3, mn3, mx3 FROM a
+UNION ALL SELECT 'o_orderpriority', total, total - nn4, nd4, mn4, mx4 FROM a)
+ORDER BY 1""")),
+
     // MERGE/upsert changelog compaction: last op per key wins, deletes
     // drop the key (signup=insert, error=delete, rest=update)
     ("q_merge_upsert", (s, dir) => {
@@ -3239,6 +3281,31 @@ SELECT id, label FROM l$rounds ORDER BY 1"""
     * cent-quantized symmetrized sparse edges; mirrors
     * GraphAlgorithms.shortestPaths round for round.
     */
+  /** Unrolled maximal-matching oracle: per round, min-id proposals over the
+    * still-unmatched induced graph, mutual pairs matched — mirrors
+    * GraphAlgorithms.maximalMatching round for round.
+    */
+  private def matchSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""er$r AS MATERIALIZED (SELECT source, target FROM sy WHERE source IN (SELECT id FROM u$p) AND target IN (SELECT id FROM u$p)),
+pr$r AS MATERIALIZED (SELECT source AS id, min(target) AS prop FROM er$r GROUP BY 1),
+mr$r AS MATERIALIZED (SELECT a.id AS u, b.id AS v FROM pr$r a JOIN pr$r b ON a.prop = b.id AND b.prop = a.id AND a.id < b.id),
+pa$r AS MATERIALIZED (SELECT u AS id, v AS partner, $r AS matched_round FROM mr$r UNION ALL SELECT v, u, $r FROM mr$r),
+u$r AS MATERIALIZED (SELECT id FROM u$p WHERE id NOT IN (SELECT id FROM pa$r))"""
+    }.mkString(",\n")
+    val unions = (1 to rounds).map(r => s"SELECT * FROM pa$r")
+      .mkString(" UNION ALL ")
+    s"""WITH nodes AS MATERIALIZED (SELECT c_custkey AS id FROM customer),
+se AS MATERIALIZED (SELECT o_custkey AS source, o_orderkey % (SELECT count(*) FROM customer) AS target FROM orders WHERE o_orderkey % 10 = 0),
+sy AS MATERIALIZED (SELECT DISTINCT source, target FROM (SELECT source, target FROM se UNION ALL SELECT target, source FROM se) WHERE source <> target),
+u0 AS MATERIALIZED (SELECT id FROM nodes),
+$steps,
+allp AS MATERIALIZED ($unions)
+SELECT n.id, p.partner, CAST(p.matched_round AS BIGINT) AS matched_round
+FROM nodes n LEFT JOIN allp p ON p.id = n.id ORDER BY 1"""
+  }
+
   /** Unrolled widest-path oracle: max-min relaxation rounds mirroring
     * GraphAlgorithms.widestPaths (parallel edges keep max weight; the seed
     * carries Long.MaxValue).

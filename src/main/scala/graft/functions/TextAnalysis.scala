@@ -177,6 +177,39 @@ object TextAnalysis {
     array_min(windows)
   }
 
+  /** Per-group token keyness: how over-represented each token is in a
+    * group versus the whole corpus, as an exact integer lift
+    * lift_ppm = (c * total * 1e6) DIV (groupTotal * tokenTotal) — the
+    * rate-ratio core of chi-square/log-odds keyword extraction without the
+    * engine-divergent logs. Tokens below `minTokenTotal` corpus occurrences
+    * are dropped (rare-token lifts are noise), and only the top `k` per
+    * group survive (rank filter plans as WindowGroupLimit — map-side
+    * top-k). The corpus-drift companion to `groupTokenCosine`: cosine says
+    * HOW FAR apart two sources are, keyness says WHICH tokens drive it.
+    */
+  def groupTokenKeyness(df: DataFrame, groupCol: String, textCol: String,
+                        k: Int = 5, minTokenTotal: Long = 50): DataFrame = {
+    val tk = df.select(col(groupCol).as("grp"),
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy("grp", "token").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val grpTot = tk.groupBy("grp").agg(sum("c").as("gt"))
+    val tokTot = tk.groupBy("token").agg(sum("c").as("tt"))
+      .filter(col("tt") >= minTokenTotal)
+    val tot = tk.agg(sum("c").as("total"))
+    val lifted = tk
+      .join(grpTot, Seq("grp"))
+      .join(tokTot, Seq("token"))
+      .crossJoin(broadcast(tot))
+      .selectExpr("grp", "token",
+        "CAST((CAST(c AS DECIMAL(38,0)) * total * 1000000) DIV (CAST(gt AS DECIMAL(38,0)) * tt) AS BIGINT) AS lift_ppm")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(desc("lift_ppm"), asc("token"))
+    lifted.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("grp"), col("rk").cast("long").as("rk"), col("token"),
+        col("lift_ppm"))
+  }
+
   /** Winnowing fingerprints (the MOSS algorithm): hash every k-gram, slide
     * a window of `w` consecutive hashes, select each window's minimum
     * (ties to the earliest position), and deduplicate the selections. The

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Batch N: maximal matching, token keyness, column profiling. */
+class BatchNSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+  import graft.functions.{DataProfile, TextAnalysis}
+
+  test("maximalMatching produces a valid maximal matching") {
+    val raw = (1 to 200).map(i => ((i * 13 % 40).toLong, (i * 29 % 40).toLong))
+      .filter { case (u, v) => u != v }
+    val nodes = (0L until 40L).map(Tuple1(_)).toDF("id")
+    val edges = raw.toDF("source", "target")
+    val rows = GraphAlgorithms
+      .maximalMatching(NetworkFrame(nodes, edges), rounds = 8)
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    val sym = raw.flatMap { case (u, v) => Seq((u, v), (v, u)) }.toSet
+    // symmetry + edges only
+    rows.foreach { case (id, p) =>
+      p.foreach { q =>
+        assert(rows(q) == Some(id), s"partner of $q is not $id")
+        assert(sym.contains((id, q)), s"matched pair ($id,$q) is not an edge")
+      }
+    }
+    // maximality: no edge joins two unmatched nodes
+    sym.foreach { case (u, v) =>
+      assert(rows(u).isDefined || rows(v).isDefined,
+        s"edge ($u,$v) has both endpoints unmatched")
+    }
+  }
+
+  test("groupTokenKeyness surfaces group-exclusive tokens with max lift") {
+    // "alpha" only in group a, "beta" only in b, "common" everywhere;
+    // with equal group sizes, exclusive tokens lift to ~2e6 ppm, shared
+    // tokens to ~1e6 ppm
+    val df = Seq(
+      ("a", Seq.fill(60)("alpha").mkString(" ") + " " + Seq.fill(60)("common").mkString(" ")),
+      ("b", Seq.fill(60)("beta").mkString(" ") + " " + Seq.fill(60)("common").mkString(" ")))
+      .toDF("grp", "text")
+    val got = TextAnalysis.groupTokenKeyness(df, "grp", "text", k = 2,
+        minTokenTotal = 50)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val a1 = got.find(t => t._1 == "a" && t._2 == 1L).get
+    assert(a1._3 == "alpha" && a1._4 == 2000000L, a1)
+    val b1 = got.find(t => t._1 == "b" && t._2 == 1L).get
+    assert(b1._3 == "beta" && b1._4 == 2000000L, b1)
+    val a2 = got.find(t => t._1 == "a" && t._2 == 2L).get
+    assert(a2._3 == "common" && a2._4 == 1000000L, a2)
+  }
+
+  test("columnProfile reports nulls, distincts, and extrema per column") {
+    val df = Seq(
+      (Some(3L), "x"), (Some(1L), "y"), (None, "x"), (Some(3L), "z"))
+      .toDF("num", "s")
+    val got = DataProfile.columnProfile(df, Seq("num", "s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+    assert(got("num") == ((4L, 1L, 2L, "1", "3")))
+    assert(got("s") == ((4L, 0L, 3L, "x", "z")))
+  }
+}
