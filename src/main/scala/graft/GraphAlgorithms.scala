@@ -2079,6 +2079,67 @@ object GraphAlgorithms {
       .select(col("id"), coalesce(col("core_number"), lit(0L)).as("core_number"))
   }
 
+  /** Weighted Louvain move round: `louvainMoveRound` with cent-quantized
+    * edge weights — node strength replaces degree, weighted links replace
+    * link counts, and 2m becomes the total symmetrized weight. Gains
+    * accumulate in DECIMAL(38,0) (weight products overflow BIGINT at
+    * scale); everything else — synchronized argmax, direction constraint,
+    * id tie-break — matches the unweighted round, so the same alternating
+    * iteration drives weighted phase-1 community detection.
+    */
+  def louvainMoveRoundWeighted(nf: NetworkFrame, labels: DataFrame,
+                               weightCol: String, down: Boolean = true):
+      DataFrame = withoutConstraintPropagation(nf.edges) {
+    val D38 = "decimal(38,0)"
+    val wq = floor(col(weightCol).cast("double") * 100).cast("long")
+    val base0 = nf.edges.select(col("source"), col("target"), wq.as("wq"))
+    val sym = base0
+      .union(base0.select(col("target").as("source"), col("source").as("target"),
+        col("wq")))
+      .filter(col("source") =!= col("target"))
+      .groupBy("source", "target").agg(sum("wq").as("wq"))
+      .filter(col("wq") > 0)
+      .localCheckpoint()
+    val lab = labels.select(col("id"), col("community")).localCheckpoint()
+    val deg = sym.groupBy(col("source").as("id"))
+      .agg(sum(col("wq").cast(D38)).as("k"))
+    val m2 = sym.agg(sum(col("wq").cast(D38)).as("m2"))
+    val st = lab.join(deg, Seq("id"), "left_outer")
+      .groupBy("community")
+      .agg(sum(coalesce(col("k"), lit(0).cast(D38))).as("st"))
+    val kuc = sym
+      .join(lab.select(col("id").as("target"), col("community").as("c")),
+        Seq("target"))
+      .groupBy(col("source").as("id"), col("c"))
+      .agg(sum(col("wq").cast(D38)).as("kuc"))
+    val own = lab.select(col("id"), col("community").as("cown"))
+    val joined = kuc
+      .join(own, Seq("id"))
+      .join(deg, Seq("id"))
+      .join(st.select(col("community").as("c"), col("st").as("stc")), Seq("c"))
+      .join(st.select(col("community").as("cown"), col("st").as("stown")),
+        Seq("cown"))
+      .join(kuc.select(col("id"), col("c").as("cown"), col("kuc").as("kuown")),
+        Seq("id", "cown"), "left_outer")
+      .withColumn("kuown", coalesce(col("kuown"), lit(0).cast(D38)))
+      .crossJoin(broadcast(m2))
+    val gains = joined.filter(col("c") =!= col("cown"))
+      .select(col("id"), col("c"),
+        (col("m2") * (col("kuc") - col("kuown")) -
+          col("k") * (col("stc") - (col("stown") - col("k")))).as("g"))
+      .filter(col("g") > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(desc("g"), asc("c"))
+    val best = gains.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("id"), col("c"))
+    val allowed =
+      if (down) col("c") < col("community") else col("c") > col("community")
+    lab.join(best, Seq("id"), "left_outer")
+      .select(col("id"),
+        when(col("c").isNotNull && allowed, col("c"))
+          .otherwise(col("community")).as("community"))
+  }
+
   /** Distributed maximal matching by synchronized propose-accept rounds:
     * every unmatched node proposes to its smallest-id unmatched neighbor;
     * mutual proposals (u -> v and v -> u) become matched pairs, both

@@ -2703,6 +2703,63 @@ FROM c JOIN gt USING (grp) JOIN tt USING (token)),
 r AS (SELECT grp, token, lift_ppm, row_number() OVER (PARTITION BY grp ORDER BY lift_ppm DESC, token) AS rk FROM l)
 SELECT grp, CAST(rk AS BIGINT) AS rk, token, lift_ppm FROM r WHERE rk <= 5 ORDER BY 1, 2""")),
 
+    // weighted Louvain phase 1: three alternating strength-weighted move
+    // rounds (DECIMAL gains; the oracle replays them in HUGEINT)
+    ("q_louvain_weighted", (s, dir) => {
+      val g = sparse(s, dir)
+      var labs = g.nodes.select(col("id"), col("id").as("community"))
+      for (r <- 1 to 3)
+        labs = GraphAlgorithms.louvainMoveRoundWeighted(g, labs, "weight",
+          down = r % 2 == 1)
+      labs.orderBy("id")
+    },
+      Some(louvainWSql(3))),
+
+    // graph snapshot diff: edge churn between the pre/post-1998 halves of
+    // the order stream (added / removed / persistent + stability ppm)
+    ("q_graph_diff", (s, dir) => {
+      val n = custCount.getOrElseUpdate(dir, tbl(s, dir, "customer").count())
+      val e = tbl(s, dir, "orders").select(
+        col("o_custkey").as("source"), (col("o_orderkey") % n).as("target"),
+        col("o_orderdate"))
+      val cut = lit("1998-01-01").cast("timestamp")
+      val before = e.filter(col("o_orderdate") < cut)
+        .select("source", "target").distinct()
+        .withColumn("ina", lit(1))
+      val after = e.filter(col("o_orderdate") >= cut)
+        .select("source", "target").distinct()
+        .withColumn("inb", lit(1))
+      before.join(after, Seq("source", "target"), "full_outer")
+        .agg(sum(when(col("inb").isNull, 1L).otherwise(0L)).as("n_removed"),
+          sum(when(col("ina").isNull, 1L).otherwise(0L)).as("n_added"),
+          sum(when(col("ina").isNotNull && col("inb").isNotNull, 1L)
+            .otherwise(0L)).as("n_persistent"))
+        .selectExpr("n_removed", "n_added", "n_persistent",
+          "CAST(n_persistent * 1000000 DIV (n_removed + n_added + n_persistent) AS BIGINT) AS stability_ppm")
+    },
+      Some("""WITH e AS (SELECT o_custkey AS source, o_orderkey % (SELECT count(*) FROM customer) AS target, o_orderdate FROM orders),
+a AS (SELECT DISTINCT source, target FROM e WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+b AS (SELECT DISTINCT source, target FROM e WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+f AS (SELECT COALESCE(a.source, b.source) AS s, a.source AS sa, b.source AS sb
+FROM a FULL JOIN b ON a.source = b.source AND a.target = b.target)
+SELECT CAST(sum(CASE WHEN sb IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+CAST(sum(CASE WHEN sa IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+CAST(sum(CASE WHEN sa IS NOT NULL AND sb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_persistent,
+CAST(sum(CASE WHEN sa IS NOT NULL AND sb IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+// count(*) AS BIGINT) AS stability_ppm FROM f""")),
+
+    // vocabulary growth checkpoints (Heaps'-law curve): distinct tokens
+    // seen after the first N documents, replayed from per-token first-ids
+    ("q_vocab_growth", (s, dir) =>
+      TextAnalysis.vocabularyGrowth(docs(s, dir), "doc_id", "text",
+          Seq(100L, 200L, 300L, 400L, 500L))
+        .orderBy("cp"),
+      Some("""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+f AS (SELECT token, min(doc_id) AS first_id FROM tk GROUP BY 1),
+cps AS (SELECT unnest([100, 200, 300, 400, 500]) AS cp)
+SELECT CAST(cp AS BIGINT) AS cp, count(*) AS vocab FROM f JOIN cps ON f.first_id <= cps.cp
+GROUP BY 1 ORDER BY 1""")),
+
     // one-pass multi-column data profile (row/null/exact-distinct/min/max)
     ("q_profile", (s, dir) =>
       graft.functions.DataProfile.columnProfile(tbl(s, dir, "orders"),
@@ -3281,6 +3338,33 @@ SELECT id, label FROM l$rounds ORDER BY 1"""
     * cent-quantized symmetrized sparse edges; mirrors
     * GraphAlgorithms.shortestPaths round for round.
     */
+  /** Unrolled weighted-Louvain oracle: louvainSql with strengths in place
+    * of degrees (HUGEINT sums/products mirror the engine's DECIMAL(38,0));
+    * mirrors GraphAlgorithms.louvainMoveRoundWeighted round for round.
+    */
+  private def louvainWSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""st$r AS MATERIALIZED (SELECT l.community, sum(COALESCE(d.k, 0)) AS st FROM lab$p l LEFT JOIN deg d ON d.id = l.id GROUP BY 1),
+kuc$r AS MATERIALIZED (SELECT s.source AS id, l.community AS c, sum(s.wq) AS kuc FROM symw s JOIN lab$p l ON l.id = s.target GROUP BY 1, 2),
+base$r AS MATERIALIZED (SELECT k.id, k.c, k.kuc, o.community AS cown, d.k, sc.st AS stc, so.st AS stown, COALESCE(ko.kuc, 0) AS kuown
+FROM kuc$r k JOIN lab$p o ON o.id = k.id JOIN deg d ON d.id = k.id
+JOIN st$r sc ON sc.community = k.c JOIN st$r so ON so.community = o.community
+LEFT JOIN kuc$r ko ON ko.id = k.id AND ko.c = o.community),
+best$r AS MATERIALIZED (SELECT id, c FROM (SELECT id, c, row_number() OVER (PARTITION BY id ORDER BY g DESC, c) AS rn FROM (SELECT id, c, (SELECT m2 FROM m2v) * (kuc - kuown) - k * (stc - (stown - k)) AS g FROM base$r WHERE c <> cown) WHERE g > 0) WHERE rn = 1),
+lab$r AS MATERIALIZED (SELECT l.id, CASE WHEN b.c IS NOT NULL AND b.c ${if (r % 2 == 1) "<" else ">"} l.community THEN b.c ELSE l.community END AS community FROM lab$p l LEFT JOIN best$r b ON b.id = l.id)"""
+    }.mkString(",\n")
+    s"""$G, symw AS MATERIALIZED (SELECT source, target, sum(wq) AS wq FROM (
+SELECT source, target, CAST(floor(weight * 100) AS BIGINT) AS wq FROM sedges
+UNION ALL SELECT target, source, CAST(floor(weight * 100) AS BIGINT) FROM sedges)
+WHERE source <> target GROUP BY 1, 2 HAVING sum(wq) > 0),
+deg AS MATERIALIZED (SELECT source AS id, sum(wq) AS k FROM symw GROUP BY 1),
+m2v AS MATERIALIZED (SELECT sum(wq) AS m2 FROM symw),
+lab0 AS MATERIALIZED (SELECT id, id AS community FROM nodes),
+$steps
+SELECT id, community FROM lab$rounds ORDER BY 1"""
+  }
+
   /** Unrolled maximal-matching oracle: per round, min-id proposals over the
     * still-unmatched induced graph, mutual pairs matched — mirrors
     * GraphAlgorithms.maximalMatching round for round.

@@ -177,6 +177,27 @@ object TextAnalysis {
     array_min(windows)
   }
 
+  /** Vocabulary growth curve (Heaps'-law profile): distinct-token count
+    * after ingesting documents up to each checkpoint id — each token
+    * contributes at its FIRST document (min doc id), so one token-level
+    * aggregation plus a broadcast join against the checkpoint list replays
+    * the whole ingestion curve without re-scanning per checkpoint. The
+    * corpus-planning signal: a flattening curve says new data is mostly
+    * repeating the existing vocabulary.
+    */
+  def vocabularyGrowth(df: DataFrame, idCol: String, textCol: String,
+                       checkpoints: Seq[Long]): DataFrame = {
+    require(checkpoints.nonEmpty, "at least one checkpoint")
+    val firsts = df.select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(min("id").as("first_id"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cps = checkpoints.toDF("cp")
+    firsts.join(broadcast(cps), col("first_id") <= col("cp"))
+      .groupBy("cp").agg(count(lit(1)).as("vocab"))
+  }
+
   /** Per-group token keyness: how over-represented each token is in a
     * group versus the whole corpus, as an exact integer lift
     * lift_ppm = (c * total * 1e6) DIV (groupTotal * tokenTotal) — the

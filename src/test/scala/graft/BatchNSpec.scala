@@ -52,6 +52,32 @@ class BatchNSpec extends AnyFunSuite with SparkFixture {
     assert(a2._3 == "common" && a2._4 == 1000000L, a2)
   }
 
+  test("louvainMoveRoundWeighted follows weight, not degree") {
+    // node 3 has two light edges into {1,2}'s community and one heavy edge
+    // to 4: weighted gain prefers 4 even though link count prefers {1,2}
+    val nodes = (1L to 4L).map(Tuple1(_)).toDF("id")
+    val edges = Seq(
+      (1L, 2L, 100.0), (1L, 3L, 1.0), (2L, 3L, 1.0), (3L, 4L, 500.0))
+      .toDF("source", "target", "weight")
+    val g = NetworkFrame(nodes, edges)
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 7L), (4L, 6L))
+      .toDF("id", "community")
+    val got = GraphAlgorithms
+      .louvainMoveRoundWeighted(g, labels, "weight", down = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(3L) == 6L, s"node 3 should join 4's heavy community: $got")
+  }
+
+  test("vocabularyGrowth counts distinct tokens at each checkpoint") {
+    val df = Seq(
+      (1L, "a b"), (2L, "b c"), (3L, "c d e"), (4L, "a"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.vocabularyGrowth(df, "doc_id", "text",
+        Seq(1L, 2L, 4L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 3L, 4L -> 5L))
+  }
+
   test("columnProfile reports nulls, distincts, and extrema per column") {
     val df = Seq(
       (Some(3L), "x"), (Some(1L), "y"), (None, "x"), (Some(3L), "z"))
