@@ -2760,6 +2760,77 @@ cps AS (SELECT unnest([100, 200, 300, 400, 500]) AS cp)
 SELECT CAST(cp AS BIGINT) AS cp, count(*) AS vocab FROM f JOIN cps ON f.first_id <= cps.cp
 GROUP BY 1 ORDER BY 1""")),
 
+    // deterministic Poisson bootstrap: 10 hash-replayable resamples of the
+    // order-value mean (map-side partial sums; no resampling shuffle)
+    ("q_bootstrap", (s, dir) =>
+      graft.functions.Sampling.poissonBootstrap(tbl(s, dir, "orders"),
+          "o_orderkey", "o_totalprice", replicates = 10, salt = "bs")
+        .orderBy("b"),
+      Some("""WITH r AS (SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents, unnest(generate_series(0, 9)) AS b FROM orders),
+h AS (SELECT b, cents, CAST(concat('0x', substr(md5(concat('bs', CAST(o_orderkey AS VARCHAR), ':', CAST(b AS VARCHAR))), 1, 8)) AS BIGINT) AS h FROM r),
+m AS (SELECT b, cents, CASE WHEN h < 1580030169 THEN 0 WHEN h < 3160060338 THEN 1 WHEN h < 3950075422 THEN 2 WHEN h < 4213413784 THEN 3 WHEN h < 4279248375 THEN 4 ELSE 5 END AS mult FROM h)
+SELECT CAST(b AS BIGINT) AS b, CAST(sum(mult) AS BIGINT) AS n_eff,
+CAST(sum(CAST(mult AS HUGEINT) * cents) AS BIGINT) AS sum_cents,
+CAST(sum(CAST(mult AS HUGEINT) * cents) * 1000000 // sum(mult) AS BIGINT) AS mean_cents_ppm
+FROM m GROUP BY 1 ORDER BY 1""")),
+
+    // percolation profile: component structure of the sparse graph as weak
+    // edges drop out at ascending weight thresholds (dendrogram texture)
+    ("q_percolation", (s, dir) => {
+      val g = sparse(s, dir)
+      val wq = floor(col("weight").cast("double") * 100).cast("long")
+      val frames = Seq(10000000L, 20000000L, 30000000L).map { t =>
+        val gt = g.copy(edges = g.edges.filter(wq >= t))
+        GraphAlgorithms.componentLabels(gt, "weak")
+          .groupBy("component").agg(count(lit(1)).as("sz"))
+          .agg(count(lit(1)).as("n_components"), max("sz").as("largest"))
+          .select(lit(t).as("threshold_q"), col("n_components"), col("largest"))
+      }
+      frames.reduce(_ union _).orderBy("threshold_q")
+    },
+      Some {
+        val per = Seq(10000000L, 20000000L, 30000000L).map { t =>
+          s"""(WITH RECURSIVE f AS (SELECT source, target FROM sedges WHERE CAST(floor(weight * 100) AS BIGINT) >= $t),
+sy AS (SELECT source, target FROM f UNION SELECT target, source FROM f),
+reach(id, r) AS (SELECT id, id FROM nodes UNION SELECT reach.id, s.target FROM reach JOIN sy s ON s.source = reach.r),
+lb AS (SELECT id, min(r) AS component FROM reach GROUP BY 1),
+cs AS (SELECT component, count(*) AS sz FROM lb GROUP BY 1)
+SELECT CAST($t AS BIGINT) AS threshold_q, count(*) AS n_components, CAST(max(sz) AS BIGINT) AS largest FROM cs)"""
+        }.mkString("\nUNION ALL ")
+        s"""$G SELECT * FROM ($per) ORDER BY 1"""
+      }),
+
+    // winsorized mean: rank-clip at p05/p95 per event type, then the exact
+    // 1e6-scaled mean of the clipped cents (outlier-robust central value)
+    ("q_winsorize", (s, dir) => {
+      val byType = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+      val rk = byType.orderBy("cents", "event_id")
+      tbl(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .withColumn("rn", row_number().over(rk))
+        .withColumn("n", count(lit(1)).over(byType))
+        .withColumn("lo", max(when(col("rn") <= ceil(col("n") * 0.05),
+          col("cents"))).over(byType))
+        .withColumn("hi", max(when(col("rn") <= ceil(col("n") * 0.95),
+          col("cents"))).over(byType))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(greatest(col("lo"), least(col("hi"), col("cents")))
+            .cast("decimal(38,0)")).as("sd"))
+        .selectExpr("event_type", "n",
+          "CAST((sd * 1000000) DIV n AS BIGINT) AS wmean_ppm")
+        .orderBy("event_type")
+    },
+      Some("""WITH c AS (SELECT event_type, event_id, CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+rk AS (SELECT event_type, cents, row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM c),
+b AS (SELECT event_type, cents, n,
+max(CASE WHEN rn <= CAST(ceil(0.05 * n) AS BIGINT) THEN cents END) OVER (PARTITION BY event_type) AS lo,
+max(CASE WHEN rn <= CAST(ceil(0.95 * n) AS BIGINT) THEN cents END) OVER (PARTITION BY event_type) AS hi FROM rk)
+SELECT event_type, count(*) AS n,
+CAST(sum(CAST(greatest(lo, least(hi, cents)) AS HUGEINT)) * 1000000 // count(*) AS BIGINT) AS wmean_ppm
+FROM b GROUP BY 1 ORDER BY 1""")),
+
     // one-pass multi-column data profile (row/null/exact-distinct/min/max)
     ("q_profile", (s, dir) =>
       graft.functions.DataProfile.columnProfile(tbl(s, dir, "orders"),

@@ -104,6 +104,43 @@ object Sampling {
       .limit(k)
   }
 
+  /** Deterministic Poisson bootstrap: replicate b resamples each row with
+    * multiplicity drawn from Poisson(1) — but the draw is the row's salted
+    * 32-bit hash cut against fixed integer thresholds (the Poisson(1) CDF
+    * at the 2^32 scale, tail capped at multiplicity 5), so every replicate
+    * is a pure function of (key, b): reproducible across engines, reruns,
+    * and partitionings. This is THE cluster-scale bootstrap — no
+    * resampling shuffle, each partition accumulates mult-weighted partial
+    * sums per replicate and the reduce is `replicates` tiny rows — giving
+    * standard errors / CIs for any mean without moving data. Output per
+    * replicate: n_eff (resampled row count), sum of cent-quantized values,
+    * and the 1e6-scaled mean by integral division.
+    */
+  def poissonBootstrap(df: DataFrame, keyCol: String, valueCol: String,
+                       replicates: Int = 10, salt: String = ""): DataFrame = {
+    require(replicates >= 1, "at least one replicate")
+    // cumulative Poisson(1) cut points at the 2^32 scale: P(X<=k) for
+    // k = 0..4; hashes beyond the last cut resample the row 5 times
+    val cuts = Seq(1580030169L, 3160060338L, 3950075422L, 4213413784L,
+      4279248375L)
+    val h = conv(substring(md5(concat(lit(salt), col(keyCol).cast("string"),
+      lit(":"), col("b").cast("string"))), 1, 8), 16, 10).cast("long")
+    val mult = cuts.zipWithIndex.foldRight(lit(5L)) {
+      case ((cut, k), acc) => when(col("h") < cut, k.toLong).otherwise(acc)
+    }
+    df.select(col(keyCol), floor(col(valueCol).cast("double") * 100)
+        .cast("long").as("cents"),
+        explode(sequence(lit(0), lit(replicates - 1))).as("b"))
+      .withColumn("h", h)
+      .withColumn("mult", mult)
+      .groupBy("b")
+      .agg(sum("mult").as("n_eff"),
+        sum((col("mult") * col("cents")).cast("decimal(38,0)")).as("sum_dec"))
+      .selectExpr("CAST(b AS BIGINT) AS b", "n_eff",
+        "CAST(sum_dec AS BIGINT) AS sum_cents",
+        "CAST((sum_dec * 1000000) DIV n_eff AS BIGINT) AS mean_cents_ppm")
+  }
+
   /** Equal-width feature binning over the global [min, max] range —
     * histogram/discretization in exact integer arithmetic: values
     * cent-quantize to longs, bin = (q - min) * bins DIV (max - min + 1)

@@ -78,6 +78,24 @@ class BatchNSpec extends AnyFunSuite with SparkFixture {
     assert(got == Map(1L -> 2L, 2L -> 3L, 4L -> 5L))
   }
 
+  test("poissonBootstrap is deterministic with mean multiplicity near 1") {
+    import graft.functions.Sampling
+    val df = (1L to 2000L).map(i => (i, 10.0)).toDF("k", "v")
+    val a = Sampling.poissonBootstrap(df, "k", "v", replicates = 5, salt = "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val b = Sampling.poissonBootstrap(df, "k", "v", replicates = 5, salt = "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(a.toSeq == b.toSeq && a.length == 5)
+    a.foreach { case (_, nEff, sumCents, meanPpm) =>
+      // Poisson(1): E[n_eff] = 2000, sd ~ 45 -> 5 sigma band
+      assert(math.abs(nEff - 2000L) < 250, s"n_eff $nEff implausible")
+      assert(sumCents == nEff * 1000L)   // constant value -> exact relation
+      assert(meanPpm == sumCents * 1000000L / nEff)
+    }
+    // replicates differ from each other (hash actually varies with b)
+    assert(a.map(_._2).distinct.length > 1)
+  }
+
   test("columnProfile reports nulls, distincts, and extrema per column") {
     val df = Seq(
       (Some(3L), "x"), (Some(1L), "y"), (None, "x"), (Some(3L), "z"))
