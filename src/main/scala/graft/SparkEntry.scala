@@ -2760,6 +2760,38 @@ cps AS (SELECT unnest([100, 200, 300, 400, 500]) AS cp)
 SELECT CAST(cp AS BIGINT) AS cp, count(*) AS vocab FROM f JOIN cps ON f.first_id <= cps.cp
 GROUP BY 1 ORDER BY 1""")),
 
+    // incremental CC maintenance: a delta edge slice merges components via
+    // the label quotient (O(|delta|) work; the oracle recomputes the union
+    // graph from scratch and must agree bit-for-bit on canonical min-ids)
+    ("q_cc_incremental", (s, dir) => {
+      val g = graph(s, dir)
+      val delta = g.edges.filter(col("edge_id") % 10 === 5)
+        .select("source", "target")
+      GraphAlgorithms.incrementalComponents(sparseLabels(s, dir), delta)
+        .orderBy("id")
+    },
+      Some(s"""$G, delta AS (SELECT source, target FROM edges WHERE edge_id % 10 = 5),
+uni AS (SELECT source, target FROM sedges UNION SELECT source, target FROM delta),
+us AS (SELECT source, target FROM uni UNION SELECT target, source FROM uni),
+reach(id, r) AS (SELECT id, id FROM nodes UNION SELECT reach.id, s.target FROM reach JOIN us s ON s.source = reach.r)
+SELECT id, min(r) AS component FROM reach GROUP BY 1 ORDER BY 1""")),
+
+    // dedup-threshold tuning: histogram of candidate-pair Jaccard scores
+    // (how many pairs each threshold keeps/cuts)
+    ("q_jaccard_hist", (s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", 3, 0.0, maxDf = 20)
+        .select(floor(col("jaccard") * 10).cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("bucket"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 0)), i -> array_to_string(list_slice(l, i, i + 2), ' '))) AS shingle FROM t),
+dfc AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 20),
+shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfc USING (shingle)),
+sz AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY 1),
+it AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1,2),
+j AS (SELECT CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard FROM it JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib)
+SELECT CAST(floor(jaccard * 10) AS BIGINT) AS bucket, count(*) AS n_pairs FROM j GROUP BY 1 ORDER BY 1""")),
+
     // deterministic Poisson bootstrap: 10 hash-replayable resamples of the
     // order-value mean (map-side partial sums; no resampling shuffle)
     ("q_bootstrap", (s, dir) =>

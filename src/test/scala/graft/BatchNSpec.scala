@@ -78,6 +78,22 @@ class BatchNSpec extends AnyFunSuite with SparkFixture {
     assert(got == Map(1L -> 2L, 2L -> 3L, 4L -> 5L))
   }
 
+  test("incrementalComponents equals a full recompute on the union graph") {
+    // base: {1,2} and {3,4} and {5}; delta edge 2-3 merges the first two
+    val nodes = (1L to 5L).map(Tuple1(_)).toDF("id")
+    val base = Seq((1L, 2L), (3L, 4L)).toDF("source", "target")
+    val labels = GraphAlgorithms
+      .componentLabels(NetworkFrame(nodes, base), "weak")
+    val delta = Seq((2L, 3L), (1L, 2L)).toDF("source", "target") // one merge + one no-op
+    val inc = GraphAlgorithms.incrementalComponents(labels, delta)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = GraphAlgorithms
+      .componentLabels(NetworkFrame(nodes, base.union(delta)), "weak")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == full)
+    assert(inc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L))
+  }
+
   test("poissonBootstrap is deterministic with mean multiplicity near 1") {
     import graft.functions.Sampling
     val df = (1L to 2000L).map(i => (i, 10.0)).toDF("k", "v")
