@@ -2079,6 +2079,35 @@ object GraphAlgorithms {
       .select(col("id"), coalesce(col("core_number"), lit(0L)).as("core_number"))
   }
 
+  /** Topological layering (distributed Kahn): layer r = the nodes with no
+    * incoming edge from the not-yet-layered set, peeled per round — the
+    * parallel-scheduling view of a DAG (everything in one layer can run
+    * concurrently; layer count = critical-path length). Fixed `rounds`
+    * keeps it oracle-replayable; nodes still unpeeled after all rounds
+    * (cycle members, or depth > rounds) report layer NULL, so the operator
+    * doubles as a cycle detector. Per round one induction semi-join + one
+    * distinct-targets anti-join; the layered set only shrinks, so per-round
+    * cost decays like `coreNumbers`.
+    */
+  def topologicalLayers(nf: NetworkFrame, rounds: Int = 12): DataFrame =
+      withoutConstraintPropagation(nf.edges) {
+    require(rounds >= 1, "at least one round")
+    val e0 = nf.edges.select(col("source"), col("target"))
+      .filter(col("source") =!= col("target")).distinct().localCheckpoint()
+    var remaining = nf.nodes.select("id").localCheckpoint()
+    var layered: DataFrame = null
+    for (r <- 1 to rounds) {
+      val live = induce(e0, remaining)
+      val blocked = live.select(col("target").as("id")).distinct()
+      val layer = remaining.join(blocked, Seq("id"), "left_anti")
+        .withColumn("layer", lit(r.toLong)).localCheckpoint()
+      layered = if (layered == null) layer else layered.union(layer).localCheckpoint()
+      remaining = remaining.join(layer.select("id"), Seq("id"), "left_anti")
+        .localCheckpoint()
+    }
+    nf.nodes.select("id").join(layered, Seq("id"), "left_outer")
+  }
+
   /** Incremental connected-components maintenance: given a valid labels
     * frame (id, component — min-member-id labels, e.g. `componentLabels`
     * output) and a batch of NEW edges over the same node set, produce the

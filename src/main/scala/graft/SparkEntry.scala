@@ -2760,6 +2760,37 @@ cps AS (SELECT unnest([100, 200, 300, 400, 500]) AS cp)
 SELECT CAST(cp AS BIGINT) AS cp, count(*) AS vocab FROM f JOIN cps ON f.first_id <= cps.cp
 GROUP BY 1 ORDER BY 1""")),
 
+    // topological layers of the DAG-ified sparse graph (edges oriented
+    // low -> high id): the parallel-schedule / critical-path profile
+    ("q_topo_layers", (s, dir) => {
+      val g = sparse(s, dir)
+      val dag = g.copy(edges = g.edges.filter(col("source") < col("target")))
+      GraphAlgorithms.topologicalLayers(dag, rounds = 12).orderBy("id")
+    },
+      Some(topoSql(12))),
+
+    // exact Gini coefficient of order value per priority class (rank
+    // formula, ppm by integral division — the inequality profile)
+    ("q_gini", (s, dir) => {
+      val byP = org.apache.spark.sql.expressions.Window.partitionBy("pri")
+      val rk = byP.orderBy("cents", "okey")
+      tbl(s, dir, "orders")
+        .select(col("o_orderpriority").as("pri"), col("o_orderkey").as("okey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .withColumn("rn", row_number().over(rk))
+        .groupBy("pri")
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents").cast("decimal(38,0)")).as("sx"),
+          sum((col("rn") * col("cents")).cast("decimal(38,0)")).as("six"))
+        .selectExpr("pri", "n",
+          "CAST((2 * six - (n + 1) * sx) * 1000000 DIV (n * sx) AS BIGINT) AS gini_ppm")
+        .orderBy("pri")
+    },
+      Some("""WITH c AS (SELECT o_orderpriority AS pri, o_orderkey AS okey, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+rk AS (SELECT pri, cents, row_number() OVER (PARTITION BY pri ORDER BY cents, okey) AS rn FROM c),
+a AS (SELECT pri, count(*) AS n, sum(CAST(cents AS HUGEINT)) AS sx, sum(CAST(rn AS HUGEINT) * cents) AS six FROM rk GROUP BY 1)
+SELECT pri, n, CAST((2 * six - (n + 1) * sx) * 1000000 // (n * sx) AS BIGINT) AS gini_ppm FROM a ORDER BY 1""")),
+
     // incremental CC maintenance: a delta edge slice merges components via
     // the label quotient (O(|delta|) work; the oracle recomputes the union
     // graph from scratch and must agree bit-for-bit on canonical min-ids)
@@ -3466,6 +3497,29 @@ m2v AS MATERIALIZED (SELECT sum(wq) AS m2 FROM symw),
 lab0 AS MATERIALIZED (SELECT id, id AS community FROM nodes),
 $steps
 SELECT id, community FROM lab$rounds ORDER BY 1"""
+  }
+
+  /** Unrolled Kahn-layering oracle: per round, the nodes with no incoming
+    * edges from the remaining set — mirrors
+    * GraphAlgorithms.topologicalLayers round for round on the DAG-ified
+    * sparse graph (edges oriented low -> high id).
+    */
+  private def topoSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""bl$r AS MATERIALIZED (SELECT DISTINCT target AS id FROM dag WHERE source IN (SELECT id FROM u$p) AND target IN (SELECT id FROM u$p)),
+ly$r AS MATERIALIZED (SELECT id, $r AS layer FROM u$p WHERE id NOT IN (SELECT id FROM bl$r)),
+u$r AS MATERIALIZED (SELECT id FROM u$p WHERE id NOT IN (SELECT id FROM ly$r))"""
+    }.mkString(",\n")
+    val unions = (1 to rounds).map(r => s"SELECT id, layer FROM ly$r")
+      .mkString(" UNION ALL ")
+    s"""WITH nodes AS MATERIALIZED (SELECT c_custkey AS id FROM customer),
+se AS MATERIALIZED (SELECT o_custkey AS source, o_orderkey % (SELECT count(*) FROM customer) AS target FROM orders WHERE o_orderkey % 10 = 0),
+dag AS MATERIALIZED (SELECT DISTINCT source, target FROM se WHERE source < target),
+u0 AS MATERIALIZED (SELECT id FROM nodes),
+$steps,
+allly AS MATERIALIZED ($unions)
+SELECT n.id, CAST(l.layer AS BIGINT) AS layer FROM nodes n LEFT JOIN allly l ON l.id = n.id ORDER BY 1"""
   }
 
   /** Unrolled maximal-matching oracle: per round, min-id proposals over the

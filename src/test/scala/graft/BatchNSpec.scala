@@ -78,6 +78,18 @@ class BatchNSpec extends AnyFunSuite with SparkFixture {
     assert(got == Map(1L -> 2L, 2L -> 3L, 4L -> 5L))
   }
 
+  test("topologicalLayers assigns Kahn levels and nulls cycles") {
+    // DAG chain 1->2->3 plus cycle 10<->11
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L).map(Tuple1(_)).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 10L))
+      .toDF("source", "target")
+    val got = GraphAlgorithms
+      .topologicalLayers(NetworkFrame(nodes, edges), rounds = 5)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 10L -> -1L, 11L -> -1L))
+  }
+
   test("incrementalComponents equals a full recompute on the union graph") {
     // base: {1,2} and {3,4} and {5}; delta edge 2-3 merges the first two
     val nodes = (1L to 5L).map(Tuple1(_)).toDF("id")
