@@ -2760,6 +2760,74 @@ cps AS (SELECT unnest([100, 200, 300, 400, 500]) AS cp)
 SELECT CAST(cp AS BIGINT) AS cp, count(*) AS vocab FROM f JOIN cps ON f.first_id <= cps.cp
 GROUP BY 1 ORDER BY 1""")),
 
+    // two-proportion z-test (A/B by user-id parity, conversion = a
+    // purchase over 150): z from exact integer counts; the only doubles
+    // are the final scalar expression over identical operands in both
+    // engines
+    ("q_abtest", (s, dir) => {
+      val conv = tbl(s, dir, "events")
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase" && col("value") > 150,
+          1L).otherwise(0L)).as("converted"))
+        .withColumn("arm", (col("user_id") % 2).cast("long"))
+      conv.groupBy("arm")
+        .agg(count(lit(1)).as("n"), sum("converted").as("k"))
+        .agg(sum(when(col("arm") === 0, col("n"))).as("na"),
+          sum(when(col("arm") === 0, col("k"))).as("ka"),
+          sum(when(col("arm") === 1, col("n"))).as("nb"),
+          sum(when(col("arm") === 1, col("k"))).as("kb"))
+        .selectExpr("na", "ka", "nb", "kb",
+          """(CAST(ka AS DOUBLE) / na - CAST(kb AS DOUBLE) / nb) /
+             sqrt((CAST(ka + kb AS DOUBLE) / (na + nb)) *
+                  (1.0 - CAST(ka + kb AS DOUBLE) / (na + nb)) *
+                  (1.0 / na + 1.0 / nb)) AS z""")
+    },
+      Some("""WITH conv AS (SELECT user_id, max(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS converted FROM events GROUP BY 1),
+arms AS (SELECT user_id % 2 AS arm, count(*) AS n, sum(converted) AS k FROM conv GROUP BY 1),
+w AS (SELECT CAST(sum(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS na, CAST(sum(CASE WHEN arm = 0 THEN k END) AS BIGINT) AS ka,
+CAST(sum(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS nb, CAST(sum(CASE WHEN arm = 1 THEN k END) AS BIGINT) AS kb FROM arms)
+SELECT na, ka, nb, kb,
+(CAST(ka AS DOUBLE) / na - CAST(kb AS DOUBLE) / nb) /
+sqrt((CAST(ka + kb AS DOUBLE) / (na + nb)) * (1.0 - CAST(ka + kb AS DOUBLE) / (na + nb)) * (1.0 / na + 1.0 / nb)) AS z
+FROM w""")),
+
+    // average-neighbor-degree curve knn(k): the degree-correlation profile
+    // behind the scalar assortativity
+    ("q_knn_degree", (s, dir) => {
+      val und = sparse(s, dir).symmetrizedEdges
+        .filter(col("source") =!= col("target"))
+        .select("source", "target").distinct()
+      val dg = und.groupBy(col("source").as("id")).agg(count(lit(1)).as("d"))
+      und
+        .join(dg.select(col("id").as("source"), col("d").as("ds")), Seq("source"))
+        .join(dg.select(col("id").as("target"), col("d").as("dt")), Seq("target"))
+        .groupBy(col("ds").as("degree"))
+        .agg(count(lit(1)).as("n_ends"),
+          sum(col("dt").cast("decimal(38,0)")).as("sdt"))
+        .selectExpr("degree", "n_ends",
+          "CAST((sdt * 1000000) DIV n_ends AS BIGINT) AS avg_nbr_degree_ppm")
+        .orderBy("degree")
+    },
+      Some(s"""$G, und AS (SELECT DISTINCT source, target FROM (SELECT source, target FROM sedges UNION ALL SELECT target, source FROM sedges) WHERE source <> target),
+dg AS (SELECT source AS id, count(*) AS d FROM und GROUP BY 1),
+p AS (SELECT da.d AS ds, db.d AS dt FROM und u JOIN dg da ON da.id = u.source JOIN dg db ON db.id = u.target)
+SELECT ds AS degree, count(*) AS n_ends, CAST(sum(CAST(dt AS HUGEINT)) * 1000000 // count(*) AS BIGINT) AS avg_nbr_degree_ppm
+FROM p GROUP BY 1 ORDER BY 1""")),
+
+    // hashing-trick features (feature hashing a la CountVectorizer): token
+    // counts bucketed by md5 % 256 — the fixed-width sparse featurizer
+    ("q_hashing_tf", (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .select(col("doc_id"),
+          (conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long") % 256)
+            .as("bucket"))
+        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("tf"))
+        .orderBy("doc_id", "bucket"),
+      Some("""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+b AS (SELECT doc_id, CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) % 256 AS bucket FROM tk)
+SELECT doc_id, bucket, count(*) AS tf FROM b GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // topological layers of the DAG-ified sparse graph (edges oriented
     // low -> high id): the parallel-schedule / critical-path profile
     ("q_topo_layers", (s, dir) => {
