@@ -2814,6 +2814,49 @@ p AS (SELECT da.d AS ds, db.d AS dt FROM und u JOIN dg da ON da.id = u.source JO
 SELECT ds AS degree, count(*) AS n_ends, CAST(sum(CAST(dt AS HUGEINT)) * 1000000 // count(*) AS BIGINT) AS avg_nbr_degree_ppm
 FROM p GROUP BY 1 ORDER BY 1""")),
 
+    // Zipf rank-frequency profile: token frequencies bucketed into rank
+    // deciles (the log-free head/tail shape check on a corpus)
+    ("q_zipf_curve", (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val freq = docs(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+      freq
+        .withColumn("rk", row_number().over(W.orderBy(desc("freq"), asc("token"))))
+        .withColumn("n", count(lit(1)).over(W.partitionBy()))
+        .groupBy(expr("(rk - 1) * 10 div n").as("decile"))
+        .agg(count(lit(1)).as("n_tokens"), sum("freq").as("total_freq"),
+          max("freq").as("max_freq"), min("freq").as("min_freq"))
+        .orderBy("decile")
+    },
+      Some("""WITH tk AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+f AS (SELECT token, count(*) AS freq FROM tk GROUP BY 1),
+r AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS rk, count(*) OVER () AS n FROM f)
+SELECT (rk - 1) * 10 // n AS decile, count(*) AS n_tokens,
+CAST(sum(freq) AS BIGINT) AS total_freq, CAST(max(freq) AS BIGINT) AS max_freq, CAST(min(freq) AS BIGINT) AS min_freq
+FROM r GROUP BY 1 ORDER BY 1""")),
+
+    // compaction planning: contiguous bin-packing of monthly partitions
+    // into ~4000-row output files by running-sum arithmetic (the
+    // small-files maintenance job's planning step)
+    ("q_compaction_plan", (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val parts = tbl(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("rows"))
+      parts
+        .withColumn("cum", sum("rows").over(W.orderBy("month")
+          .rowsBetween(W.unboundedPreceding, 0)))
+        .selectExpr("CAST(month AS TIMESTAMP) AS month", "rows",
+          "CAST((cum - 1) DIV 4000 AS BIGINT) AS target_file",
+          "cum")
+        .orderBy("month")
+    },
+      Some("""WITH p AS (SELECT date_trunc('month', o_orderdate) AS month, count(*) AS rows FROM orders GROUP BY 1),
+c AS (SELECT month, rows, sum(rows) OVER (ORDER BY month ROWS UNBOUNDED PRECEDING) AS cum FROM p)
+SELECT CAST(month AS TIMESTAMP) AS month, rows, CAST((cum - 1) // 4000 AS BIGINT) AS target_file, CAST(cum AS BIGINT) AS cum
+FROM c ORDER BY 1""")),
+
     // hashing-trick features (feature hashing a la CountVectorizer): token
     // counts bucketed by md5 % 256 — the fixed-width sparse featurizer
     ("q_hashing_tf", (s, dir) =>
