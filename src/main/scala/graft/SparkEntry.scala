@@ -2814,6 +2814,31 @@ p AS (SELECT da.d AS ds, db.d AS dt FROM und u JOIN dg da ON da.id = u.source JO
 SELECT ds AS degree, count(*) AS n_ends, CAST(sum(CAST(dt AS HUGEINT)) * 1000000 // count(*) AS BIGINT) AS avg_nbr_degree_ppm
 FROM p GROUP BY 1 ORDER BY 1""")),
 
+    // dataset card: the one-row corpus summary a data release ships with
+    // (sizes, vocabulary, language spread, exact-duplicate rate)
+    ("q_dataset_card", (s, dir) => {
+      val d = docs(s, dir)
+      val tok = d.select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+        .agg(count(lit(1)).as("n_tokens"), countDistinct("t").as("vocab"))
+      val dup = d.groupBy(md5(col("text")).as("h")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") - 1).as("n_dups"))
+      val base = d.agg(count(lit(1)).as("n_docs"),
+        countDistinct("lang").as("n_langs"),
+        countDistinct("source").as("n_sources"),
+        sum(length(col("text")).cast("decimal(38,0)")).as("chars"))
+      base.crossJoin(broadcast(tok)).crossJoin(broadcast(dup))
+        .selectExpr("n_docs", "n_langs", "n_sources", "n_tokens", "vocab",
+          "CAST(chars DIV n_docs AS BIGINT) AS mean_chars",
+          "CAST(n_dups * 1000000 DIV n_docs AS BIGINT) AS exact_dup_ppm")
+    },
+      Some("""WITH tok AS (SELECT count(*) AS n_tokens, count(DISTINCT t) AS vocab FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
+dup AS (SELECT CAST(sum(c - 1) AS BIGINT) AS n_dups FROM (SELECT md5(text) AS h, count(*) AS c FROM documents GROUP BY 1)),
+base AS (SELECT count(*) AS n_docs, count(DISTINCT lang) AS n_langs, count(DISTINCT source) AS n_sources, sum(CAST(length(text) AS HUGEINT)) AS chars FROM documents)
+SELECT n_docs, n_langs, n_sources, n_tokens, vocab,
+CAST(chars // n_docs AS BIGINT) AS mean_chars,
+CAST(n_dups * 1000000 // n_docs AS BIGINT) AS exact_dup_ppm
+FROM base, tok, dup""")),
+
     // Zipf rank-frequency profile: token frequencies bucketed into rank
     // deciles (the log-free head/tail shape check on a corpus)
     ("q_zipf_curve", (s, dir) => {

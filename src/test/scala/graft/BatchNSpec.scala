@@ -124,6 +124,14 @@ class BatchNSpec extends AnyFunSuite with SparkFixture {
     assert(a.map(_._2).distinct.length > 1)
   }
 
+  test("groupTokenKeyness plans its top-k as a map-side WindowGroupLimit") {
+    val df = (1 to 60).map(i => (s"g${i % 3}", s"tok$i tok$i common"))
+      .toDF("grp", "text")
+    val plan = TextAnalysis.groupTokenKeyness(df, "grp", "text", 5, 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(600))
+  }
+
   test("columnProfile reports nulls, distincts, and extrema per column") {
     val df = Seq(
       (Some(3L), "x"), (Some(1L), "y"), (None, "x"), (Some(3L), "z"))
