@@ -2814,6 +2814,30 @@ p AS (SELECT da.d AS ds, db.d AS dt FROM und u JOIN dg da ON da.id = u.source JO
 SELECT ds AS degree, count(*) AS n_ends, CAST(sum(CAST(dt AS HUGEINT)) * 1000000 // count(*) AS BIGINT) AS avg_nbr_degree_ppm
 FROM p GROUP BY 1 ORDER BY 1""")),
 
+    // join-key skew diagnostics: the pre-join profile that decides whether
+    // a key needs salting (max/avg frequency ratio + the hottest key)
+    ("q_skew_stats", (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+        .orderBy(desc("c"), asc("key"))
+      val counts = tbl(s, dir, "orders")
+        .groupBy(col("o_custkey").as("key")).agg(count(lit(1)).as("c"))
+      val top = counts.withColumn("rk", row_number().over(W))
+        .filter(col("rk") === 1).select(col("key").as("top_key"),
+          col("c").as("top_count"))
+      counts.agg(count(lit(1)).as("n_keys"), sum("c").as("n_rows"),
+          max("c").as("max_count"))
+        .crossJoin(broadcast(top))
+        .selectExpr("n_keys", "CAST(n_rows AS BIGINT) AS n_rows",
+          "max_count", "top_key",
+          "CAST(max_count * 1000000 * n_keys DIV n_rows AS BIGINT) AS skew_ratio_ppm")
+    },
+      Some("""WITH c AS (SELECT o_custkey AS key, count(*) AS c FROM orders GROUP BY 1),
+t AS (SELECT key AS top_key, c AS top_count FROM (SELECT key, c, row_number() OVER (ORDER BY c DESC, key) AS rk FROM c) WHERE rk = 1),
+a AS (SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows, CAST(max(c) AS BIGINT) AS max_count FROM c)
+SELECT n_keys, n_rows, max_count, top_key,
+CAST(max_count * 1000000 * n_keys // n_rows AS BIGINT) AS skew_ratio_ppm
+FROM a, t""")),
+
     // dataset card: the one-row corpus summary a data release ships with
     // (sizes, vocabulary, language spread, exact-duplicate rate)
     ("q_dataset_card", (s, dir) => {

@@ -124,6 +124,18 @@ class BatchNSpec extends AnyFunSuite with SparkFixture {
     assert(a.map(_._2).distinct.length > 1)
   }
 
+  test("GraftExtensions injects both native expressions") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)   // builders + ExpressionInfos construct
+    // and the per-session registration path resolves both in SQL
+    graft.functions.LongDot.register(spark)
+    graft.functions.NfcNormalize.register(spark)
+    val r = spark.sql(
+      "SELECT graft_long_dot(array(2L, 3L), array(5L, 7L)) AS d, " +
+        "graft_nfc('abc') AS n").collect().head
+    assert(r.getLong(0) == 31L && r.getString(1) == "abc")
+  }
+
   test("groupTokenKeyness plans its top-k as a map-side WindowGroupLimit") {
     val df = (1 to 60).map(i => (s"g${i % 3}", s"tok$i tok$i common"))
       .toDF("grp", "text")
