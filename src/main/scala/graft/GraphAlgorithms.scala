@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftext.CappedCheckpoint._
 
 /** Iterative graph algorithms over a NetworkFrame — the ops that delegate to
   * scipy.csgraph in the reference (networkframe.py:721-1330, :1540-1549) and
@@ -26,9 +27,9 @@ object GraphAlgorithms {
     if (connection == "strong" && nf.directed) return strongComponentLabels(nf)
     withoutConstraintPropagation(nf.edges) {
     val sym = nf.symmetrizedEdges
-    val e = sym.distinct().localCheckpoint()
+    val e = sym.distinct().localCheckpointCapped()
 
-    var labels = nf.nodes.select(col("id"), col("id").as("component")).localCheckpoint()
+    var labels = nf.nodes.select(col("id"), col("id").as("component")).localCheckpointCapped()
     var converged = false
     var rounds = 0
     while (!converged && rounds < 200) {
@@ -41,7 +42,7 @@ object GraphAlgorithms {
       val prop = labels.join(minMsgs, Seq("id"), "left_outer")
         .select(col("id"),
           least(col("component"), coalesce(col("mc"), col("component"))).as("component"))
-        .localCheckpoint()
+        .localCheckpointCapped()
       // pointer doubling: follow the label chain one extra step
       // (label(v) <- label(label(v))). Labels are themselves node ids and
       // only ever decrease, so the lookup's label is always <= the current
@@ -53,7 +54,7 @@ object GraphAlgorithms {
           col("a.component") === col("cid"), "left_outer")
         .select(col("a.id").as("id"),
           coalesce(col("c2"), col("a.component")).as("component"))
-        .localCheckpoint()
+        .localCheckpointCapped()
       val changed = next.join(
           labels.withColumnRenamed("component", "prev"), Seq("id"))
         .filter(col("component") =!= col("prev"))
@@ -122,7 +123,7 @@ object GraphAlgorithms {
     */
   private def maxColorFixpoint(edges: DataFrame, nodes: DataFrame,
                                doublingAfter: Int, tag: String): DataFrame = {
-    var colors = nodes.select(col("id"), col("id").as("color")).localCheckpoint()
+    var colors = nodes.select(col("id"), col("id").as("color")).localCheckpointCapped()
     var stable = false
     var rounds = 0
     while (!stable) {
@@ -130,7 +131,7 @@ object GraphAlgorithms {
         val msgs = edges.join(colors.withColumnRenamed("id", "source"), Seq("source"))
           .select(col("target").as("id"), col("color"))
         colors.union(msgs).groupBy("id")
-          .agg(max("color").as("color")).localCheckpoint()
+          .agg(max("color").as("color")).localCheckpointCapped()
       } else {
         // join-based propagation here (not union+groupBy): the doubling
         // self-join of a union+groupBy plan trips Catalyst's Union
@@ -140,13 +141,13 @@ object GraphAlgorithms {
         val prop = colors.join(maxMsgs, Seq("id"), "left_outer")
           .select(col("id"),
             greatest(col("color"), coalesce(col("mc"), col("color"))).as("color"))
-          .localCheckpoint()
+          .localCheckpointCapped()
         prop.as("a")
           .join(prop.select(col("id").as("cid"), col("color").as("c2")).as("b"),
             col("a.color") === col("cid"), "left_outer")
           .select(col("a.id").as("id"),
             greatest(col("a.color"), coalesce(col("c2"), col("a.color"))).as("color"))
-          .localCheckpoint()
+          .localCheckpointCapped()
       }
       stable = next.join(colors.withColumnRenamed("color", "prev"), Seq("id"))
         .filter(col("color") =!= col("prev")).limit(1).count() == 0
@@ -160,8 +161,8 @@ object GraphAlgorithms {
   def strongComponentLabels(nf: NetworkFrame,
                             doublingAfter: Int = sccDoublingAfter): DataFrame =
       withoutConstraintPropagation(nf.edges) {
-    val e = nf.edges.select(col("source"), col("target")).distinct().localCheckpoint()
-    var remaining = nf.nodes.select(col("id")).localCheckpoint()
+    val e = nf.edges.select(col("source"), col("target")).distinct().localCheckpointCapped()
+    var remaining = nf.nodes.select(col("id")).localCheckpointCapped()
     var result: DataFrame = null
     var guard = 0
     // the remaining-node count is threaded through the loop instead of
@@ -175,7 +176,7 @@ object GraphAlgorithms {
       var eR = e
         .join(remaining.withColumnRenamed("id", "source"), Seq("source"), "left_semi")
         .join(remaining.withColumnRenamed("id", "target"), Seq("target"), "left_semi")
-        .localCheckpoint()
+        .localCheckpointCapped()
       // 0. TRIM (the classic FW-BW accelerator): a node with no in-edge or
       // no out-edge (self-loops aside) cannot be on a cycle — it is its own
       // SCC. Peel those to fixpoint first; on mostly-acyclic graphs this
@@ -196,7 +197,7 @@ object GraphAlgorithms {
         val keep = remaining.join(
             deg.filter(col("hin") === 1 && col("hout") === 1).select("id"),
             Seq("id"), "left_semi")
-          .localCheckpoint()
+          .localCheckpointCapped()
         val after = keep.count()
         remaining = keep
         trimming = after < before && after > 0
@@ -208,15 +209,15 @@ object GraphAlgorithms {
       // than the isEmpty action it would take to find out
       val trimmedSingles = trimStart.join(remaining, Seq("id"), "left_anti")
         .select(col("id"), col("id").as("root"))
-      result = if (result == null) trimmedSingles.localCheckpoint()
-               else result.union(trimmedSingles).localCheckpoint()
+      result = if (result == null) trimmedSingles.localCheckpointCapped()
+               else result.union(trimmedSingles).localCheckpointCapped()
       // eR was induced on the pre-trim node set at the top of the loop;
       // re-induce only when the trim fixpoint actually removed nodes
       if (remainingCount != preTrimCount && remainingCount > 0) {
         eR = eR
           .join(remaining.withColumnRenamed("id", "source"), Seq("source"), "left_semi")
           .join(remaining.withColumnRenamed("id", "target"), Seq("target"), "left_semi")
-          .localCheckpoint()
+          .localCheckpointCapped()
       }
       if (remainingCount == 0) {
         System.err.println(s"[graft] scc trim cleared round $guard")
@@ -240,7 +241,7 @@ object GraphAlgorithms {
         .join(colors.select(col("id").as("target"), col("color").as("ct")), Seq("target"))
         .filter(col("cs") === col("ct"))
         .select(col("target").as("source"), col("source").as("target"))
-        .localCheckpoint()
+        .localCheckpointCapped()
       // 2a. cheap path first: anti-join frontier BFS from the roots along
       // the reversed intra-class edges — per-round work is proportional to
       // the NEWLY reached frontier, not the whole node set, which is the
@@ -254,9 +255,9 @@ object GraphAlgorithms {
       // propagation scoped off, localCheckpoint no longer compounds
       // constraint sets through the LogicalRDD.)
       val ecc = ec.join(colors.select(col("id").as("source"), col("color")), Seq("source"))
-        .localCheckpoint()
+        .localCheckpointCapped()
       var scc = colors.filter(col("color") === col("id"))
-        .select(col("id"), col("id").as("root")).localCheckpoint()
+        .select(col("id"), col("id").as("root")).localCheckpointCapped()
       var frontier = scc
       var revRounds = 0
       var capped = false
@@ -268,9 +269,9 @@ object GraphAlgorithms {
             .filter(col("color") === col("root"))
             .select(col("target").as("id"), col("root")).distinct()
             .join(scc, Seq("id"), "left_anti")
-            .localCheckpoint()
+            .localCheckpointCapped()
           frontier = next
-          if (!next.isEmpty) scc = scc.union(next).localCheckpoint()
+          if (!next.isEmpty) scc = scc.union(next).localCheckpointCapped()
           revRounds += 1
         }
       }
@@ -281,10 +282,10 @@ object GraphAlgorithms {
         scc = colors.join(rev.withColumnRenamed("color", "rc"), Seq("id"))
           .filter(col("color") === col("rc"))
           .select(col("id"), col("color").as("root"))
-          .localCheckpoint()
+          .localCheckpointCapped()
       }
-      result = if (result == null) scc else result.union(scc).localCheckpoint()
-      remaining = remaining.join(scc.select("id"), Seq("id"), "left_anti").localCheckpoint()
+      result = if (result == null) scc else result.union(scc).localCheckpointCapped()
+      remaining = remaining.join(scc.select("id"), Seq("id"), "left_anti").localCheckpointCapped()
       remainingCount = remaining.count()
       }
     }
@@ -373,9 +374,9 @@ object GraphAlgorithms {
                            maxHops: Int): DataFrame = withoutConstraintPropagation(nf.edges) {
     val e0 = if (directed) nf.edges.select(col("source"), col("target"))
              else nf.symmetrizedEdges
-    val e = e0.distinct().localCheckpoint()
+    val e = e0.distinct().localCheckpointCapped()
     var visited = nf.nodes.select(col("id")).filter(col("id") === lit(nodeId))
-      .localCheckpoint()
+      .localCheckpointCapped()
     var frontier = visited
     var hops = 0
     var done = frontier.isEmpty
@@ -383,10 +384,10 @@ object GraphAlgorithms {
       val next = e.join(frontier.withColumnRenamed("id", "source"), Seq("source"), "left_semi")
         .select(col("target").as("id")).distinct()
         .join(visited, Seq("id"), "left_anti")
-        .localCheckpoint()
+        .localCheckpointCapped()
       if (next.isEmpty) done = true
       else {
-        visited = visited.union(next).localCheckpoint()
+        visited = visited.union(next).localCheckpointCapped()
         frontier = next
       }
       hops += 1
@@ -407,9 +408,9 @@ object GraphAlgorithms {
     require(maxDepth >= 0, "maxDepth must be non-negative")
     val e0 = if (directed) nf.edges.select(col("source"), col("target"))
              else nf.symmetrizedEdges
-    val e = e0.distinct().localCheckpoint()
+    val e = e0.distinct().localCheckpointCapped()
     var dist = nf.nodes.select(col("id")).filter(col("id") === lit(nodeId))
-      .withColumn("dist", lit(0L)).localCheckpoint()
+      .withColumn("dist", lit(0L)).localCheckpointCapped()
     var frontier = dist.select("id")
     var hops = 0
     var done = frontier.isEmpty
@@ -417,10 +418,10 @@ object GraphAlgorithms {
       val next = e.join(frontier.withColumnRenamed("id", "source"), Seq("source"), "left_semi")
         .select(col("target").as("id")).distinct()
         .join(dist.select("id"), Seq("id"), "left_anti")
-        .localCheckpoint()
+        .localCheckpointCapped()
       if (next.isEmpty) done = true
       else {
-        dist = dist.union(next.withColumn("dist", lit(hops + 1L))).localCheckpoint()
+        dist = dist.union(next.withColumn("dist", lit(hops + 1L))).localCheckpointCapped()
         frontier = next
       }
       hops += 1
@@ -442,8 +443,8 @@ object GraphAlgorithms {
   def labelPropagation(nf: NetworkFrame, rounds: Int): DataFrame = withoutConstraintPropagation(nf.edges) {
     require(rounds >= 1, "at least one round")
     val sym = nf.symmetrizedEdges.filter(col("source") =!= col("target"))
-      .distinct().localCheckpoint()
-    var labels = nf.nodes.select(col("id"), col("id").as("label")).localCheckpoint()
+      .distinct().localCheckpointCapped()
+    var labels = nf.nodes.select(col("id"), col("id").as("label")).localCheckpointCapped()
     for (_ <- 1 to rounds) {
       val msgs = sym.join(labels.select(col("id").as("source"), col("label")),
           Seq("source"))
@@ -455,7 +456,7 @@ object GraphAlgorithms {
         .filter(col("rn") === 1).select(col("id"), col("label").as("next"))
       labels = labels.join(picked, Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("next"), col("label")).as("label"))
-        .localCheckpoint()
+        .localCheckpointCapped()
     }
     labels
   }
@@ -478,8 +479,8 @@ object GraphAlgorithms {
         col("source").as("target"), wq.as("wq")))
       .filter(col("source") =!= col("target"))
       .groupBy("source", "target").agg(sum("wq").as("wq"))
-      .filter(col("wq") > 0).localCheckpoint()
-    var labels = nf.nodes.select(col("id"), col("id").as("label")).localCheckpoint()
+      .filter(col("wq") > 0).localCheckpointCapped()
+    var labels = nf.nodes.select(col("id"), col("id").as("label")).localCheckpointCapped()
     for (_ <- 1 to rounds) {
       val msgs = sym.join(labels.select(col("id").as("source"), col("label")),
           Seq("source"))
@@ -492,7 +493,7 @@ object GraphAlgorithms {
         .filter(col("rn") === 1).select(col("id"), col("label").as("next"))
       labels = labels.join(picked, Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("next"), col("label")).as("label"))
-        .localCheckpoint()
+        .localCheckpointCapped()
     }
     labels
   }
@@ -518,15 +519,15 @@ object GraphAlgorithms {
       else base.union(base.select(col("target").as("source"),
         col("source").as("target"), col("wq")))
     val e = dirEdges
-      .groupBy("source", "target").agg(min("wq").as("wq")).localCheckpoint()
+      .groupBy("source", "target").agg(min("wq").as("wq")).localCheckpointCapped()
     var dist = nf.nodes.select(col("id")).filter(col("id") === lit(sourceId))
-      .withColumn("dq", lit(0L)).localCheckpoint()
+      .withColumn("dq", lit(0L)).localCheckpointCapped()
     for (_ <- 1 to rounds) {
       val relax = e.join(dist.select(col("id").as("source"), col("dq").as("sd")),
           Seq("source"))
         .select(col("target").as("id"), (col("sd") + col("wq")).as("dq"))
       dist = dist.union(relax).groupBy("id").agg(min("dq").as("dq"))
-        .localCheckpoint()
+        .localCheckpointCapped()
     }
     dist
   }
@@ -564,7 +565,7 @@ object GraphAlgorithms {
     require(k >= 1, "k must be >= 1")
     val e0 = if (directed) nf.edges.select(col("source"), col("target"))
              else nf.symmetrizedEdges
-    val one = e0.distinct().localCheckpoint()
+    val one = e0.distinct().localCheckpointCapped()
     var pairs = one.select(col("source").as("id"), col("target").as("neighbor"))
     var level = one
     for (_ <- 2 to k) {
@@ -572,9 +573,9 @@ object GraphAlgorithms {
           one.select(col("source").as("target"), col("target").as("next")),
           Seq("target"))
         .select(col("source"), col("next").as("target")).distinct()
-        .localCheckpoint()
+        .localCheckpointCapped()
       pairs = pairs.union(level.select(col("source").as("id"), col("target").as("neighbor")))
-        .distinct().localCheckpoint()
+        .distinct().localCheckpointCapped()
     }
     if (dropSelf) pairs.filter(col("id") =!= col("neighbor")) else pairs
   }
@@ -642,8 +643,8 @@ object GraphAlgorithms {
         col(weightCol).cast("decimal(18,2)").as("w")))
       .groupBy("source", "target")
       .agg((sum("w") * 100).cast("long").as("wq"))
-      .localCheckpoint()
-    var v = nf.nodes.select(col("id"), lit(1000000L).as("qs")).localCheckpoint()
+      .localCheckpointCapped()
+    var v = nf.nodes.select(col("id"), lit(1000000L).as("qs")).localCheckpointCapped()
     for (_ <- 1 to iterations) {
       // wq <= ~1e8 cents, qs <= 1e6 -> per-term product fits long; the sum
       // accumulates in decimal(38,0) so hub nodes can't overflow at scale
@@ -653,7 +654,7 @@ object GraphAlgorithms {
       val full = nf.nodes.select(col("id"))
         .join(prod, Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("ms"), lit(0).cast(D38)).as("ms"))
-        .localCheckpoint()
+        .localCheckpointCapped()
       // the max rides as a broadcast 1-row aggregate (no driver scalar
       // read — halves the per-iteration jobs); integral division of
       // non-negatives: truncation == floor, both engines agree exactly
@@ -682,11 +683,11 @@ object GraphAlgorithms {
   def pageRank(nf: NetworkFrame, iterations: Int = 10,
                damping: Int = 85): DataFrame = withoutConstraintPropagation(nf.edges) {
     val S = 1000000000000L
-    val e = nf.edges.select(col("source"), col("target")).distinct().localCheckpoint()
-    val outdeg = e.groupBy(col("source")).agg(count(lit(1)).as("od")).localCheckpoint()
+    val e = nf.edges.select(col("source"), col("target")).distinct().localCheckpointCapped()
+    val outdeg = e.groupBy(col("source")).agg(count(lit(1)).as("od")).localCheckpointCapped()
     val n = nf.nodes.count()
     val base = S / n
-    var v = nf.nodes.select(col("id"), lit(base).as("qs")).localCheckpoint()
+    var v = nf.nodes.select(col("id"), lit(base).as("qs")).localCheckpointCapped()
     for (_ <- 1 to iterations) {
       val contrib = e
         .join(v.withColumnRenamed("id", "source"), Seq("source"))
@@ -697,7 +698,7 @@ object GraphAlgorithms {
         .join(contrib, Seq("id"), "left_outer")
         .selectExpr("id",
           s"CAST((${(100L - damping) * base} + $damping * coalesce(m, CAST(0 AS DECIMAL(38,0)))) DIV 100 AS BIGINT) AS qs")
-        .localCheckpoint()
+        .localCheckpointCapped()
     }
     nf.nodes.join(v, Seq("id"), "left_outer").orderBy(desc("qs"), asc("id"))
   }
@@ -716,11 +717,11 @@ object GraphAlgorithms {
                          damping: Int = 85): DataFrame =
       withoutConstraintPropagation(nf.edges) {
     val S = 1000000000000L
-    val e = nf.edges.select(col("source"), col("target")).distinct().localCheckpoint()
-    val outdeg = e.groupBy(col("source")).agg(count(lit(1)).as("od")).localCheckpoint()
+    val e = nf.edges.select(col("source"), col("target")).distinct().localCheckpointCapped()
+    val outdeg = e.groupBy(col("source")).agg(count(lit(1)).as("od")).localCheckpointCapped()
     val n = nf.nodes.count()
     val base = S / n
-    var v = nf.nodes.select(col("id"), lit(base).as("qs")).localCheckpoint()
+    var v = nf.nodes.select(col("id"), lit(base).as("qs")).localCheckpointCapped()
     for (_ <- 1 to iterations) {
       val withOd = v.join(outdeg.withColumnRenamed("source", "id"), Seq("id"), "left_outer")
       val dangling = withOd.filter(col("od").isNull)
@@ -736,7 +737,7 @@ object GraphAlgorithms {
         .crossJoin(broadcast(dangling))
         .selectExpr("id",
           s"CAST((${(100L - damping) * base} + $damping * (coalesce(m, CAST(0 AS DECIMAL(38,0))) + dang DIV $n)) DIV 100 AS BIGINT) AS qs")
-        .localCheckpoint()
+        .localCheckpointCapped()
     }
     nf.nodes.join(v, Seq("id"), "left_outer").orderBy(desc("qs"), asc("id"))
   }
@@ -756,11 +757,11 @@ object GraphAlgorithms {
     val wq = floor(col(weightCol).cast("double") * 100).cast("long")
     val e = nf.edges.select(col("source"), col("target"), wq.as("wq"))
       .groupBy("source", "target").agg(sum(col("wq")).as("wq"))
-      .filter(col("wq") > 0).localCheckpoint()
-    val wout = e.groupBy(col("source")).agg(sum(col("wq")).as("wt")).localCheckpoint()
+      .filter(col("wq") > 0).localCheckpointCapped()
+    val wout = e.groupBy(col("source")).agg(sum(col("wq")).as("wt")).localCheckpointCapped()
     val n = nf.nodes.count()
     val base = S / n
-    var v = nf.nodes.select(col("id"), lit(base).as("qs")).localCheckpoint()
+    var v = nf.nodes.select(col("id"), lit(base).as("qs")).localCheckpointCapped()
     for (_ <- 1 to iterations) {
       val contrib = e
         .join(v.withColumnRenamed("id", "source"), Seq("source"))
@@ -772,7 +773,7 @@ object GraphAlgorithms {
         .join(contrib, Seq("id"), "left_outer")
         .selectExpr("id",
           s"CAST((${(100L - damping) * base} + $damping * coalesce(m, CAST(0 AS DECIMAL(38,0)))) DIV 100 AS BIGINT) AS qs")
-        .localCheckpoint()
+        .localCheckpointCapped()
     }
     nf.nodes.join(v, Seq("id"), "left_outer").orderBy(desc("qs"), asc("id"))
   }
@@ -787,10 +788,10 @@ object GraphAlgorithms {
   def personalizedPageRank(nf: NetworkFrame, seedId: Any,
                            iterations: Int = 10, damping: Int = 85): DataFrame = withoutConstraintPropagation(nf.edges) {
     val S = 1000000000000L
-    val e = nf.edges.select(col("source"), col("target")).distinct().localCheckpoint()
-    val outdeg = e.groupBy(col("source")).agg(count(lit(1)).as("od")).localCheckpoint()
+    val e = nf.edges.select(col("source"), col("target")).distinct().localCheckpointCapped()
+    val outdeg = e.groupBy(col("source")).agg(count(lit(1)).as("od")).localCheckpointCapped()
     val seedMass = when(col("id") === lit(seedId), lit(S)).otherwise(lit(0L))
-    var v = nf.nodes.select(col("id"), seedMass.as("qs")).localCheckpoint()
+    var v = nf.nodes.select(col("id"), seedMass.as("qs")).localCheckpointCapped()
     for (_ <- 1 to iterations) {
       val contrib = e
         .join(v.withColumnRenamed("id", "source"), Seq("source"))
@@ -803,7 +804,7 @@ object GraphAlgorithms {
           lit((100L - damping) * S)).otherwise(lit(0L)))
         .selectExpr("id",
           s"CAST((hold + $damping * coalesce(m, CAST(0 AS DECIMAL(38,0)))) DIV 100 AS BIGINT) AS qs")
-        .localCheckpoint()
+        .localCheckpointCapped()
     }
     nf.nodes.join(v, Seq("id"), "left_outer").orderBy(desc("qs"), asc("id"))
   }
@@ -829,12 +830,12 @@ object GraphAlgorithms {
     require(k >= 1 && maxDepth >= 1, "need at least one seed and one hop")
     val Q = 1000000L
     val D38 = "decimal(38,0)"
-    val e = nf.symmetrizedEdges.distinct().localCheckpoint()
+    val e = nf.symmetrizedEdges.distinct().localCheckpointCapped()
     val seeds = nf.nodes.select(col("id")).orderBy("id").limit(k)
       .select(col("id").as("seed"), col("id"), lit(1).cast(D38).as("sigma"))
-      .localCheckpoint()
+      .localCheckpointCapped()
     var levels = List(seeds) // deepest level first once built
-    var visited = seeds.select("seed", "id").localCheckpoint()
+    var visited = seeds.select("seed", "id").localCheckpointCapped()
     var d = 0
     var done = false
     while (d < maxDepth && !done) {
@@ -842,11 +843,11 @@ object GraphAlgorithms {
         .select(col("seed"), col("target").as("id"), col("sigma"))
         .join(visited, Seq("seed", "id"), "left_anti")
         .groupBy("seed", "id").agg(sum("sigma").cast(D38).as("sigma"))
-        .localCheckpoint()
+        .localCheckpointCapped()
       if (nxt.isEmpty) done = true
       else {
         levels = nxt :: levels
-        visited = visited.union(nxt.select("seed", "id")).localCheckpoint()
+        visited = visited.union(nxt.select("seed", "id")).localCheckpointCapped()
         d += 1
       }
     }
@@ -870,9 +871,9 @@ object GraphAlgorithms {
             .select(col("seed"), col("id"), col("sigma"),
               coalesce(col("delta"), lit(0).cast(D38)).as("delta"))
         }
-      val wd = withDelta.localCheckpoint()
+      val wd = withDelta.localCheckpointCapped()
       acc = if (acc == null) wd.select("seed", "id", "delta")
-            else acc.union(wd.select("seed", "id", "delta")).localCheckpoint()
+            else acc.union(wd.select("seed", "id", "delta")).localCheckpointCapped()
       above = wd
     }
     nf.nodes.select(col("id"))
@@ -894,10 +895,10 @@ object GraphAlgorithms {
                           maxDepth: Int = 12): DataFrame =
       withoutConstraintPropagation(nf.edges) {
     require(k >= 1 && maxDepth >= 1, "need at least one seed and one hop")
-    val e = nf.symmetrizedEdges.distinct().localCheckpoint()
+    val e = nf.symmetrizedEdges.distinct().localCheckpointCapped()
     var dist = nf.nodes.select(col("id")).orderBy("id").limit(k)
       .select(col("id").as("seed"), col("id"), lit(0L).as("d"))
-      .localCheckpoint()
+      .localCheckpointCapped()
     var frontier = dist
     var hops = 0
     var done = frontier.isEmpty
@@ -906,10 +907,10 @@ object GraphAlgorithms {
         .select(col("seed"), col("target").as("id"), (col("d") + 1).as("d"))
         .distinct()
         .join(dist.select("seed", "id"), Seq("seed", "id"), "left_anti")
-        .localCheckpoint()
+        .localCheckpointCapped()
       if (next.isEmpty) done = true
       else {
-        dist = dist.union(next).localCheckpoint()
+        dist = dist.union(next).localCheckpointCapped()
         frontier = next
       }
       hops += 1
@@ -936,10 +937,10 @@ object GraphAlgorithms {
   def graphVoronoi(nf: NetworkFrame, k: Int = 8, maxDepth: Int = 12): DataFrame =
       withoutConstraintPropagation(nf.edges) {
     require(k >= 1 && maxDepth >= 1, "need at least one seed and one hop")
-    val e = nf.symmetrizedEdges.distinct().localCheckpoint()
+    val e = nf.symmetrizedEdges.distinct().localCheckpointCapped()
     var dist = nf.nodes.select(col("id")).orderBy("id").limit(k)
       .select(col("id").as("seed"), col("id"), lit(0L).as("d"))
-      .localCheckpoint()
+      .localCheckpointCapped()
     var frontier = dist
     var hops = 0
     var done = frontier.isEmpty
@@ -948,10 +949,10 @@ object GraphAlgorithms {
         .select(col("seed"), col("target").as("id"), (col("d") + 1).as("d"))
         .distinct()
         .join(dist.select("seed", "id"), Seq("seed", "id"), "left_anti")
-        .localCheckpoint()
+        .localCheckpointCapped()
       if (next.isEmpty) done = true
       else {
-        dist = dist.union(next).localCheckpoint()
+        dist = dist.union(next).localCheckpointCapped()
         frontier = next
       }
       hops += 1
@@ -976,11 +977,11 @@ object GraphAlgorithms {
     require(seeds.nonEmpty, "at least one seed")
     val S = 1000000000000L
     val s0 = S / seeds.length
-    val e = nf.edges.select(col("source"), col("target")).distinct().localCheckpoint()
-    val outdeg = e.groupBy(col("source")).agg(count(lit(1)).as("od")).localCheckpoint()
+    val e = nf.edges.select(col("source"), col("target")).distinct().localCheckpointCapped()
+    val outdeg = e.groupBy(col("source")).agg(count(lit(1)).as("od")).localCheckpointCapped()
     val isSeed = col("id").isin(seeds.map(Long.box): _*)
     var v = nf.nodes.select(col("id"),
-      when(isSeed, lit(s0)).otherwise(lit(0L)).as("qs")).localCheckpoint()
+      when(isSeed, lit(s0)).otherwise(lit(0L)).as("qs")).localCheckpointCapped()
     for (_ <- 1 to iterations) {
       val contrib = e
         .join(v.withColumnRenamed("id", "source"), Seq("source"))
@@ -993,7 +994,7 @@ object GraphAlgorithms {
           lit((100L - damping) * s0)).otherwise(lit(0L)))
         .selectExpr("id",
           s"CAST((hold + $damping * coalesce(m, CAST(0 AS DECIMAL(38,0)))) DIV 100 AS BIGINT) AS qs")
-        .localCheckpoint()
+        .localCheckpointCapped()
     }
     nf.nodes.join(v, Seq("id"), "left_outer").orderBy(desc("qs"), asc("id"))
   }
@@ -1011,7 +1012,7 @@ object GraphAlgorithms {
     val ce = nf.edges.select(
         least(col("source"), col("target")).as("s"),
         greatest(col("source"), col("target")).as("t"))
-      .filter(col("s") =!= col("t")).distinct().localCheckpoint()
+      .filter(col("s") =!= col("t")).distinct().localCheckpointCapped()
     val tris = ce.as("ab")
       .join(ce.as("bc"), col("ab.t") === col("bc.s"))
       .join(ce.as("ac"),
@@ -1046,10 +1047,10 @@ object GraphAlgorithms {
     require(steps >= 1, "at least one step")
     val sym = nf.symmetrizedEdges.filter(col("source") =!= col("target"))
       .distinct()
-    val adj = adjacencyIndex(sym).localCheckpoint()
-    val deg = sym.groupBy("source").agg(count(lit(1)).as("deg")).localCheckpoint()
+    val adj = adjacencyIndex(sym).localCheckpointCapped()
+    val deg = sym.groupBy("source").agg(count(lit(1)).as("deg")).localCheckpointCapped()
     var cur = nf.nodes.select(col("id").as("walk_id"), col("id").as("cur"))
-      .localCheckpoint()
+      .localCheckpointCapped()
     var out = cur.withColumn("step", lit(0))
     for (i <- 1 to steps) {
       val pick = conv(substring(md5(concat(col("walk_id").cast("string"),
@@ -1060,7 +1061,7 @@ object GraphAlgorithms {
         .join(adj.select(col("source").as("cur"), col("nidx"), col("target")),
           Seq("cur", "nidx"), "left_outer")
         .select(col("walk_id"), coalesce(col("target"), col("cur")).as("cur"))
-        .localCheckpoint()
+        .localCheckpointCapped()
       cur = stepped
       out = out.union(cur.withColumn("step", lit(i)))
     }
@@ -1099,9 +1100,9 @@ object GraphAlgorithms {
                    x + if(size(acc) = 0, cast(0 as bigint),
                           element_at(acc, size(acc)))))""").as("cums"))
       .withColumn("tot", element_at(col("cums"), size(col("cums"))))
-      .localCheckpoint()
+      .localCheckpointCapped()
     var cur = nf.nodes.select(col("id").as("walk_id"), col("id").as("cur"))
-      .localCheckpoint()
+      .localCheckpointCapped()
     var out = cur.withColumn("step", lit(0))
     for (i <- 1 to steps) {
       val pick = conv(substring(md5(concat(col("walk_id").cast("string"),
@@ -1114,7 +1115,7 @@ object GraphAlgorithms {
         .withColumn("nxt",
           expr("element_at(tgts, cast(size(filter(cums, c -> c <= r)) + 1 as int))"))
         .select(col("walk_id"), coalesce(col("nxt"), col("cur")).as("cur"))
-        .localCheckpoint()
+        .localCheckpointCapped()
       cur = stepped
       out = out.union(cur.withColumn("step", lit(i)))
     }
@@ -1186,7 +1187,7 @@ object GraphAlgorithms {
     val ce = nf.edges.select(
         least(col("source"), col("target")).as("s"),
         greatest(col("source"), col("target")).as("t"))
-      .filter(col("s") =!= col("t")).distinct().localCheckpoint()
+      .filter(col("s") =!= col("t")).distinct().localCheckpointCapped()
     ce.as("ab")
       .join(ce.as("bc"), col("ab.t") === col("bc.s"))
       .join(ce.as("ac"),
@@ -1217,7 +1218,7 @@ object GraphAlgorithms {
       .withColumn("d", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("z")))
       .filter(col("d") <= hubCap)
-      .localCheckpoint()
+      .localCheckpointCapped()
     kept.as("a")
       .join(kept.as("b"), col("a.z") === col("b.z") && col("a.n") < col("b.n"))
       .groupBy(col("a.n").as("id_a"), col("b.n").as("id_b"))
@@ -1258,34 +1259,34 @@ object GraphAlgorithms {
       withoutConstraintPropagation(nf.edges) {
     require(rounds >= 1, "at least one round")
     val sym = nf.symmetrizedEdges.filter(col("source") =!= col("target"))
-      .distinct().localCheckpoint()
-    var undecided = nf.nodes.select(col("id")).localCheckpoint()
+      .distinct().localCheckpointCapped()
+    var undecided = nf.nodes.select(col("id")).localCheckpointCapped()
     var result: DataFrame = null
     for (i <- 1 to rounds) {
       val key = concat(md5(concat(col("id").cast("string"), lit(s":$i"))),
         lit("-"), lpad(col("id").cast("string"), 20, "0"))
-      val keyed = undecided.select(col("id"), key.as("k")).localCheckpoint()
+      val keyed = undecided.select(col("id"), key.as("k")).localCheckpointCapped()
       val nbrMin = sym
         .join(keyed.select(col("id").as("source"), col("k").as("nk")), Seq("source"))
         .join(undecided.withColumnRenamed("id", "target"), Seq("target"), "left_semi")
         .groupBy(col("target").as("id")).agg(min("nk").as("mnk"))
       val inMis = keyed.join(nbrMin, Seq("id"), "left_outer")
         .filter(col("mnk").isNull || col("k") < col("mnk"))
-        .select("id").localCheckpoint()
+        .select("id").localCheckpointCapped()
       val outNbrs = sym
         .join(inMis.withColumnRenamed("id", "source"), Seq("source"), "left_semi")
         .select(col("target").as("id")).distinct()
         .join(inMis, Seq("id"), "left_anti")
         .join(undecided, Seq("id"), "left_semi")
-        .localCheckpoint()
+        .localCheckpointCapped()
       val decided = inMis
         .select(col("id"), lit("in").as("status"), lit(i).as("decided_round"))
         .union(outNbrs
           .select(col("id"), lit("out").as("status"), lit(i).as("decided_round")))
-      result = if (result == null) decided.localCheckpoint()
-               else result.union(decided).localCheckpoint()
+      result = if (result == null) decided.localCheckpointCapped()
+               else result.union(decided).localCheckpointCapped()
       undecided = undecided.join(inMis, Seq("id"), "left_anti")
-        .join(outNbrs, Seq("id"), "left_anti").localCheckpoint()
+        .join(outNbrs, Seq("id"), "left_anti").localCheckpointCapped()
     }
     val leftover = undecided.select(col("id"),
       lit("undecided").as("status"), lit(null).cast("int").as("decided_round"))
@@ -1319,11 +1320,11 @@ object GraphAlgorithms {
     var ce = nf.symmetrizedEdges.filter(col("source") =!= col("target"))
       .select(least(col("source"), col("target")).as("s"),
         greatest(col("source"), col("target")).as("t"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpointCapped()
     for (_ <- 1 to rounds) {
       ce = ce.join(support(ce), Seq("s", "t"), "left_outer")
         .filter(coalesce(col("sup"), lit(0L)) >= k - 2)
-        .select("s", "t").localCheckpoint()
+        .select("s", "t").localCheckpointCapped()
     }
     ce.join(support(ce), Seq("s", "t"), "left_outer")
       .select(col("s"), col("t"), coalesce(col("sup"), lit(0L)).as("support"))
@@ -1349,7 +1350,7 @@ object GraphAlgorithms {
         org.apache.spark.sql.expressions.Window.partitionBy("z")))
       .filter(col("d") <= hubCap)
       .select("z", "n")
-      .localCheckpoint()
+      .localCheckpointCapped()
     val deg = kept.groupBy(col("n").as("id")).agg(count(lit(1)).as("dg"))
     kept.as("a")
       .join(kept.as("b"), col("a.z") === col("b.z") && col("a.n") < col("b.n"))
@@ -1375,13 +1376,13 @@ object GraphAlgorithms {
     val sym = nf.symmetrizedEdges
       .select(col("source"), col("target"))
       .filter(col("source") =!= col("target")).distinct()
-      .localCheckpoint()
-    var surviving = nf.nodes.select("id").localCheckpoint()
+      .localCheckpointCapped()
+    var surviving = nf.nodes.select("id").localCheckpointCapped()
     for (_ <- 1 to rounds) {
       surviving = induce(sym, surviving)
         .groupBy(col("source").as("id"))
         .agg(count(lit(1)).as("core_deg"))
-        .filter(col("core_deg") >= k).select("id").localCheckpoint()
+        .filter(col("core_deg") >= k).select("id").localCheckpointCapped()
     }
     induce(sym, surviving)
       .groupBy(col("source").as("id"))
@@ -1403,8 +1404,8 @@ object GraphAlgorithms {
       withoutConstraintPropagation(nf.edges) {
     require(iterations >= 1, "at least one iteration")
     val D38 = "decimal(38,0)"
-    val e = nf.edges.select(col("source"), col("target")).distinct().localCheckpoint()
-    val nodes = nf.nodes.select(col("id")).localCheckpoint()
+    val e = nf.edges.select(col("source"), col("target")).distinct().localCheckpointCapped()
+    val nodes = nf.nodes.select(col("id")).localCheckpointCapped()
     // the max rides along as a broadcast 1-row aggregate instead of a
     // driver-read scalar: one job per renorm (the checkpoint) instead of
     // two, halving the per-iteration driver round trips; values identical
@@ -1415,8 +1416,8 @@ object GraphAlgorithms {
         .selectExpr("id",
           """CAST(CASE WHEN mx IS NULL OR mx = 0 THEN 0
              ELSE (COALESCE(s, 0) * 1000000) DIV mx END AS BIGINT) AS q""")
-        .localCheckpoint()
-    var h = nodes.select(col("id"), lit(1000000L).as("q")).localCheckpoint()
+        .localCheckpointCapped()
+    var h = nodes.select(col("id"), lit(1000000L).as("q")).localCheckpointCapped()
     var a: DataFrame = h
     for (_ <- 1 to iterations) {
       a = renorm(e.join(h.withColumnRenamed("id", "source"), Seq("source"))
@@ -1484,7 +1485,7 @@ object GraphAlgorithms {
     */
   def richClub(nf: NetworkFrame, k: Int): DataFrame = {
     val sym = nf.symmetrizedEdges.filter(col("source") =!= col("target"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpointCapped()
     val rich = sym.groupBy(col("source").as("id")).agg(count(lit(1)).as("deg"))
       .filter(col("deg") > k).select("id")
     val nRich = rich.agg(count(lit(1)).as("n_rich"))
@@ -1512,10 +1513,10 @@ object GraphAlgorithms {
   def harmonicCentrality(nf: NetworkFrame, k: Int = 8, maxDepth: Int = 12):
       DataFrame = withoutConstraintPropagation(nf.edges) {
     require(k >= 1 && maxDepth >= 1, "need at least one seed and one hop")
-    val e = nf.symmetrizedEdges.distinct().localCheckpoint()
+    val e = nf.symmetrizedEdges.distinct().localCheckpointCapped()
     var dist = nf.nodes.select(col("id")).orderBy("id").limit(k)
       .select(col("id").as("seed"), col("id"), lit(0L).as("d"))
-      .localCheckpoint()
+      .localCheckpointCapped()
     var frontier = dist
     var hops = 0
     var done = frontier.isEmpty
@@ -1524,10 +1525,10 @@ object GraphAlgorithms {
         .select(col("seed"), col("target").as("id"), (col("d") + 1).as("d"))
         .distinct()
         .join(dist.select("seed", "id"), Seq("seed", "id"), "left_anti")
-        .localCheckpoint()
+        .localCheckpointCapped()
       if (next.isEmpty) done = true
       else {
-        dist = dist.union(next).localCheckpoint()
+        dist = dist.union(next).localCheckpointCapped()
         frontier = next
       }
       hops += 1
@@ -1584,7 +1585,7 @@ object GraphAlgorithms {
   def associationLift(memb: DataFrame, grpCol: String, itemCol: String,
                       maxPerGroup: Int = 20, minCount: Long = 2): DataFrame = {
     val capped = cappedMembership(memb, grpCol, itemCol, maxPerGroup)
-      .localCheckpoint()
+      .localCheckpointCapped()
     val pairs = pairCounts(capped, minCount)
     val cnt = capped.groupBy("item").agg(count(lit(1)).as("cnt"))
     val ng = capped.select("grp").distinct().agg(count(lit(1)).as("ng"))
@@ -1612,7 +1613,7 @@ object GraphAlgorithms {
       .distinct()
       .select(least(col("source"), col("target")).as("s"),
         greatest(col("source"), col("target")).as("t"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpointCapped()
     val labeled = und
       .join(lab.select(col("id").as("s"), col("community").as("cs")), Seq("s"))
       .join(lab.select(col("id").as("t"), col("community").as("ct")), Seq("t"))
@@ -1654,8 +1655,8 @@ object GraphAlgorithms {
       withoutConstraintPropagation(nf.edges) {
     require(rounds >= 1, "at least one refinement round")
     val e = nf.symmetrizedEdges.filter(col("source") =!= col("target"))
-      .distinct().localCheckpoint()
-    var lab = nf.nodes.select(col("id"), lit("0").as("wl")).localCheckpoint()
+      .distinct().localCheckpointCapped()
+    var lab = nf.nodes.select(col("id"), lit("0").as("wl")).localCheckpointCapped()
     for (_ <- 1 to rounds) {
       val msgs = e.join(lab.select(col("id").as("source"), col("wl")), Seq("source"))
         .select(col("target").as("id"), col("wl"))
@@ -1664,7 +1665,7 @@ object GraphAlgorithms {
       lab = lab.join(nb, Seq("id"), "left_outer")
         .select(col("id"),
           md5(concat(col("wl"), lit(":"), coalesce(col("nbl"), lit("")))).as("wl"))
-        .localCheckpoint()
+        .localCheckpointCapped()
     }
     lab
   }
@@ -1684,7 +1685,7 @@ object GraphAlgorithms {
                      fanout: Seq[Int]): DataFrame = withoutConstraintPropagation(nf.edges) {
     require(fanout.nonEmpty && fanout.forall(_ >= 1), "per-hop fanout >= 1")
     val e = nf.symmetrizedEdges.filter(col("source") =!= col("target"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpointCapped()
     var frontier = seeds.select(col("id").as("seed"), col("id").as("node")).distinct()
     var out: DataFrame = null
     for ((f, h) <- fanout.zipWithIndex) {
@@ -1698,7 +1699,7 @@ object GraphAlgorithms {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= f)
         .select(col("seed"), lit(h + 1).as("hop"), col("parent"), col("child"))
-        .localCheckpoint()
+        .localCheckpointCapped()
       out = if (out == null) sampled else out.union(sampled)
       frontier = sampled.select(col("seed"), col("child").as("node")).distinct()
     }
@@ -1720,9 +1721,9 @@ object GraphAlgorithms {
   def negativeSamples(nf: NetworkFrame, candidates: Int = 8,
                       keep: Int = 3): DataFrame = withoutConstraintPropagation(nf.edges) {
     require(keep >= 1 && candidates >= keep, "candidates >= keep >= 1")
-    val pos = NetworkFrame.positionsById(nf.nodes).localCheckpoint()
+    val pos = NetworkFrame.positionsById(nf.nodes).localCheckpointCapped()
     val n = pos.count()
-    val e = nf.edges.select(col("source"), col("target")).distinct().localCheckpoint()
+    val e = nf.edges.select(col("source"), col("target")).distinct().localCheckpointCapped()
     val srcs = e.select("source").distinct()
     val cand = srcs
       .withColumn("j", explode(sequence(lit(1), lit(candidates))))
@@ -1758,16 +1759,16 @@ object GraphAlgorithms {
         col("source").as("target"), wq.as("wq")))
       .filter(col("source") =!= col("target"))
       .groupBy("source", "target").agg(sum("wq").as("wq"))
-      .localCheckpoint()
+      .localCheckpointCapped()
     def coreStrength(alive: DataFrame): DataFrame = sym
       .join(alive.withColumnRenamed("id", "source"), Seq("source"), "left_semi")
       .join(alive.withColumnRenamed("id", "target"), Seq("target"), "left_semi")
       .groupBy(col("source").as("id"))
       .agg(sum(col("wq").cast("decimal(38,0)")).cast("long").as("strength_q"))
-    var alive = nf.nodes.select(col("id")).localCheckpoint()
+    var alive = nf.nodes.select(col("id")).localCheckpointCapped()
     for (_ <- 1 to rounds) {
       alive = coreStrength(alive).filter(col("strength_q") >= thresholdQ)
-        .select("id").localCheckpoint()
+        .select("id").localCheckpointCapped()
     }
     // strengths RE-derived within the final core (mirrors kCore's contract)
     coreStrength(alive)
@@ -1799,7 +1800,7 @@ object GraphAlgorithms {
     */
   def transitivity(nf: NetworkFrame): DataFrame = {
     val sym = nf.symmetrizedEdges.filter(col("source") =!= col("target"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpointCapped()
     val tri = triangleCount(nf)
     val wedges = sym.groupBy(col("source").as("id")).agg(count(lit(1)).as("d"))
       .agg(coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)).as("n_wedges"))
@@ -1820,10 +1821,10 @@ object GraphAlgorithms {
   def eccentricities(nf: NetworkFrame, k: Int = 8, maxDepth: Int = 12):
       DataFrame = withoutConstraintPropagation(nf.edges) {
     require(k >= 1 && maxDepth >= 1, "need at least one seed and one hop")
-    val e = nf.symmetrizedEdges.distinct().localCheckpoint()
+    val e = nf.symmetrizedEdges.distinct().localCheckpointCapped()
     var dist = nf.nodes.select(col("id")).orderBy("id").limit(k)
       .select(col("id").as("seed"), col("id"), lit(0L).as("d"))
-      .localCheckpoint()
+      .localCheckpointCapped()
     var frontier = dist
     var hops = 0
     var done = frontier.isEmpty
@@ -1832,10 +1833,10 @@ object GraphAlgorithms {
         .select(col("seed"), col("target").as("id"), (col("d") + 1).as("d"))
         .distinct()
         .join(dist.select("seed", "id"), Seq("seed", "id"), "left_anti")
-        .localCheckpoint()
+        .localCheckpointCapped()
       if (next.isEmpty) done = true
       else {
-        dist = dist.union(next).localCheckpoint()
+        dist = dist.union(next).localCheckpointCapped()
         frontier = next
       }
       hops += 1
@@ -1873,7 +1874,7 @@ object GraphAlgorithms {
     * these estimates.
     */
   private def flatCheckpoint(df: DataFrame): DataFrame = {
-    val c = df.localCheckpoint()
+    val c = df.localCheckpointCapped()
     c.sparkSession.createDataFrame(c.rdd, c.schema)
   }
 
@@ -2028,8 +2029,8 @@ object GraphAlgorithms {
     require(alphaNum > 0 && alphaDen > alphaNum, "need 0 < alpha < 1")
     val base = 1000000L
     val e = nf.edges.select(col("source"), col("target")).distinct()
-      .localCheckpoint()
-    var v = nf.nodes.select(col("id"), lit(base).as("qs")).localCheckpoint()
+      .localCheckpointCapped()
+    var v = nf.nodes.select(col("id"), lit(base).as("qs")).localCheckpointCapped()
     for (_ <- 1 to iterations) {
       val recv = e
         .join(v.withColumnRenamed("id", "source"), Seq("source"))
@@ -2039,7 +2040,7 @@ object GraphAlgorithms {
         .join(recv, Seq("id"), "left_outer")
         .selectExpr("id",
           s"CAST($base + ($alphaNum * coalesce(m, CAST(0 AS DECIMAL(38,0)))) DIV $alphaDen AS BIGINT) AS qs")
-        .localCheckpoint()
+        .localCheckpointCapped()
     }
     nf.nodes.join(v, Seq("id"), "left_outer").orderBy(desc("qs"), asc("id"))
   }
@@ -2061,15 +2062,15 @@ object GraphAlgorithms {
     val sym = nf.symmetrizedEdges
       .select(col("source"), col("target"))
       .filter(col("source") =!= col("target")).distinct()
-      .localCheckpoint()
-    var surviving = nf.nodes.select("id").localCheckpoint()
+      .localCheckpointCapped()
+    var surviving = nf.nodes.select("id").localCheckpointCapped()
     val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (k <- 1 to maxK) {
       for (_ <- 1 to rounds) {
         surviving = induce(sym, surviving)
           .groupBy(col("source").as("id"))
           .agg(count(lit(1)).as("d"))
-          .filter(col("d") >= k).select("id").localCheckpoint()
+          .filter(col("d") >= k).select("id").localCheckpointCapped()
       }
       levels += surviving.withColumn("k", lit(k.toLong))
     }
@@ -2093,17 +2094,17 @@ object GraphAlgorithms {
       withoutConstraintPropagation(nf.edges) {
     require(rounds >= 1, "at least one round")
     val e0 = nf.edges.select(col("source"), col("target"))
-      .filter(col("source") =!= col("target")).distinct().localCheckpoint()
-    var remaining = nf.nodes.select("id").localCheckpoint()
+      .filter(col("source") =!= col("target")).distinct().localCheckpointCapped()
+    var remaining = nf.nodes.select("id").localCheckpointCapped()
     var layered: DataFrame = null
     for (r <- 1 to rounds) {
       val live = induce(e0, remaining)
       val blocked = live.select(col("target").as("id")).distinct()
       val layer = remaining.join(blocked, Seq("id"), "left_anti")
-        .withColumn("layer", lit(r.toLong)).localCheckpoint()
-      layered = if (layered == null) layer else layered.union(layer).localCheckpoint()
+        .withColumn("layer", lit(r.toLong)).localCheckpointCapped()
+      layered = if (layered == null) layer else layered.union(layer).localCheckpointCapped()
       remaining = remaining.join(layer.select("id"), Seq("id"), "left_anti")
-        .localCheckpoint()
+        .localCheckpointCapped()
     }
     nf.nodes.select("id").join(layered, Seq("id"), "left_outer")
   }
@@ -2122,18 +2123,23 @@ object GraphAlgorithms {
     */
   def incrementalComponents(labels: DataFrame, deltaEdges: DataFrame):
       DataFrame = {
+    // cut lineage up front: the quotient fixpoint below re-evaluates its
+    // input every round, and chained incremental calls (percolation sweeps)
+    // would otherwise recompute the whole upstream label history per round
+    val lab0 = labels.localCheckpointCapped()
     val le = deltaEdges
-      .join(labels.select(col("id").as("source"), col("component").as("ls")),
+      .join(lab0.select(col("id").as("source"), col("component").as("ls")),
         Seq("source"))
-      .join(labels.select(col("id").as("target"), col("component").as("lt")),
+      .join(lab0.select(col("id").as("target"), col("component").as("lt")),
         Seq("target"))
       .select(col("ls").as("source"), col("lt").as("target"))
       .filter(col("source") =!= col("target")).distinct()
+      .localCheckpointCapped()
     val qnodes = le.select(col("source").as("id"))
       .union(le.select(col("target").as("id"))).distinct()
     val qlabels = componentLabels(NetworkFrame(qnodes, le), "weak")
       .select(col("id").as("component"), col("component").as("merged"))
-    labels.join(broadcast(qlabels), Seq("component"), "left_outer")
+    lab0.join(broadcast(qlabels), Seq("component"), "left_outer")
       .select(col("id"),
         coalesce(col("merged"), col("component")).as("component"))
   }
@@ -2158,8 +2164,8 @@ object GraphAlgorithms {
       .filter(col("source") =!= col("target"))
       .groupBy("source", "target").agg(sum("wq").as("wq"))
       .filter(col("wq") > 0)
-      .localCheckpoint()
-    val lab = labels.select(col("id"), col("community")).localCheckpoint()
+      .localCheckpointCapped()
+    val lab = labels.select(col("id"), col("community")).localCheckpointCapped()
     val deg = sym.groupBy(col("source").as("id"))
       .agg(sum(col("wq").cast(D38)).as("k"))
     val m2 = sym.agg(sum(col("wq").cast(D38)).as("m2"))
@@ -2218,28 +2224,28 @@ object GraphAlgorithms {
     val sym = nf.symmetrizedEdges
       .select(col("source"), col("target"))
       .filter(col("source") =!= col("target")).distinct()
-      .localCheckpoint()
-    var unmatched = nf.nodes.select("id").localCheckpoint()
+      .localCheckpointCapped()
+    var unmatched = nf.nodes.select("id").localCheckpointCapped()
     var matched: DataFrame = null
     for (r <- 1 to rounds) {
       val e = induce(sym, unmatched)
       val prop = e.groupBy(col("source").as("id")).agg(min("target").as("prop"))
-        .localCheckpoint()
+        .localCheckpointCapped()
       val mutual = prop.as("a")
         .join(prop.as("b"),
           col("a.prop") === col("b.id") && col("b.prop") === col("a.id") &&
             col("a.id") < col("b.id"))
         .select(col("a.id").as("u"), col("b.id").as("v"),
           lit(r.toLong).as("matched_round"))
-        .localCheckpoint()
+        .localCheckpointCapped()
       val pairRows = mutual
         .select(col("u").as("id"), col("v").as("partner"), col("matched_round"))
         .union(mutual.select(col("v").as("id"), col("u").as("partner"),
           col("matched_round")))
-      matched = if (matched == null) pairRows.localCheckpoint()
-                else matched.union(pairRows).localCheckpoint()
+      matched = if (matched == null) pairRows.localCheckpointCapped()
+                else matched.union(pairRows).localCheckpointCapped()
       unmatched = unmatched.join(pairRows.select("id"), Seq("id"), "left_anti")
-        .localCheckpoint()
+        .localCheckpointCapped()
     }
     nf.nodes.select("id").join(matched, Seq("id"), "left_outer")
   }
@@ -2263,15 +2269,15 @@ object GraphAlgorithms {
       else base.union(base.select(col("target").as("source"),
         col("source").as("target"), col("wq")))
     val e = dirEdges
-      .groupBy("source", "target").agg(max("wq").as("wq")).localCheckpoint()
+      .groupBy("source", "target").agg(max("wq").as("wq")).localCheckpointCapped()
     var cap = nf.nodes.select(col("id")).filter(col("id") === lit(sourceId))
-      .withColumn("cq", lit(Long.MaxValue)).localCheckpoint()
+      .withColumn("cq", lit(Long.MaxValue)).localCheckpointCapped()
     for (_ <- 1 to rounds) {
       val relax = e.join(cap.select(col("id").as("source"), col("cq").as("sc")),
           Seq("source"))
         .select(col("target").as("id"), least(col("sc"), col("wq")).as("cq"))
       cap = cap.union(relax).groupBy("id").agg(max("cq").as("cq"))
-        .localCheckpoint()
+        .localCheckpointCapped()
     }
     cap
   }
@@ -2290,11 +2296,11 @@ object GraphAlgorithms {
   def greedyColoring(nf: NetworkFrame, layers: Int = 5, rounds: Int = 4):
       DataFrame = withoutConstraintPropagation(nf.edges) {
     require(layers >= 1, "at least one layer")
-    val allNodes = nf.nodes.select("id").localCheckpoint()
+    val allNodes = nf.nodes.select("id").localCheckpointCapped()
     val sym = nf.symmetrizedEdges
       .select(col("source"), col("target"))
       .filter(col("source") =!= col("target")).distinct()
-      .localCheckpoint()
+      .localCheckpointCapped()
     var uncolored = allNodes
     var colored: DataFrame = null
     for (c <- 1 to layers) {
@@ -2302,10 +2308,10 @@ object GraphAlgorithms {
       val in = maximalIndependentSet(sub, rounds)
         .filter(col("status") === "in")
         .select(col("id"), lit(c.toLong).as("color"))
-      colored = if (colored == null) in.localCheckpoint()
-                else colored.union(in).localCheckpoint()
+      colored = if (colored == null) in.localCheckpointCapped()
+                else colored.union(in).localCheckpointCapped()
       uncolored = uncolored.join(in.select("id"), Seq("id"), "left_anti")
-        .localCheckpoint()
+        .localCheckpointCapped()
     }
     allNodes.join(colored, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("color"), lit(0L)).as("color"))
@@ -2339,8 +2345,8 @@ object GraphAlgorithms {
     val sym = nf.symmetrizedEdges
       .select(col("source"), col("target"))
       .filter(col("source") =!= col("target")).distinct()
-      .localCheckpoint()
-    val lab = labels.select(col("id"), col("community")).localCheckpoint()
+      .localCheckpointCapped()
+    val lab = labels.select(col("id"), col("community")).localCheckpointCapped()
     val deg = sym.groupBy(col("source").as("id")).agg(count(lit(1)).as("k"))
     val m2 = sym.agg(count(lit(1)).as("m2"))
     val st = lab.join(deg, Seq("id"), "left_outer")

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftext.CappedCheckpoint._
 
 /** Driver-side exports and iterator conveniences — the reference APIs that
   * inherently materialize on one machine (`to_sparse_adjacency` CSR,
@@ -177,7 +178,7 @@ object LocalExports {
     */
   def connectedComponentFrames(nf: NetworkFrame, connection: String = "weak")
       : Iterator[(Any, NetworkFrame)] = {
-    val labels = GraphAlgorithms.componentLabels(nf, connection).localCheckpoint()
+    val labels = GraphAlgorithms.componentLabels(nf, connection).localCheckpointCapped()
     val keys = labels.select("component").distinct().orderBy("component")
       .collect().map(_.get(0))
     keys.iterator.map { k =>

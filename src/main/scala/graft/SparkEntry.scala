@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{Dedup, Similarity, TextAnalysis}
 import graft.multimodal.Multimodal
 import graft.streaming.EventStream
+import org.apache.spark.sql.graftext.CappedCheckpoint._
 
 /** Driver contract: one `queries` entry (+ matching DuckDB `oracleSql`) per
   * implemented operator from SURVEY.md §2 and per LLM-pipeline extension op.
@@ -1403,7 +1404,7 @@ FROM sc ORDER BY 1""")),
       val undup = Dedup.exactDedup(q, "doc_id", "text")
       val sig = docSignatures(s, dir)
         .join(undup.select(col("doc_id").as("id")), Seq("id"), "left_semi")
-        .localCheckpoint()
+        .localCheckpointCapped()
       val reps = Dedup.nearDupClustersFromSignatures(undup.select("doc_id"),
           "doc_id", sig, 0.5, 16, 4)
         .filter(col("cluster_rep") === col("doc_id")).select("doc_id")
@@ -2998,17 +2999,29 @@ CAST(sum(CAST(mult AS HUGEINT) * cents) * 1000000 // sum(mult) AS BIGINT) AS mea
 FROM m GROUP BY 1 ORDER BY 1""")),
 
     // percolation profile: component structure of the sparse graph as weak
-    // edges drop out at ascending weight thresholds (dendrogram texture)
+    // edges drop out at ascending weight thresholds. The thresholds nest
+    // (edges at t=3e7 are a subset of t=2e7 of t=1e7), so only the
+    // SMALLEST graph pays a full fixpoint — each lower threshold merges
+    // its delta edge slab through `incrementalComponents`' label quotient
+    // (the dendrogram sweep as incremental maintenance, not 3 recomputes)
     ("q_percolation", (s, dir) => {
       val g = sparse(s, dir)
       val wq = floor(col("weight").cast("double") * 100).cast("long")
-      val frames = Seq(10000000L, 20000000L, 30000000L).map { t =>
-        val gt = g.copy(edges = g.edges.filter(wq >= t))
-        GraphAlgorithms.componentLabels(gt, "weak")
-          .groupBy("component").agg(count(lit(1)).as("sz"))
-          .agg(count(lit(1)).as("n_components"), max("sz").as("largest"))
-          .select(lit(t).as("threshold_q"), col("n_components"), col("largest"))
-      }
+      val top = GraphAlgorithms.componentLabels(
+        g.copy(edges = g.edges.filter(wq >= 30000000L)), "weak")
+      val mid = GraphAlgorithms.incrementalComponents(top,
+        g.edges.filter(wq >= 20000000L && wq < 30000000L)
+          .select("source", "target"))
+      val low = GraphAlgorithms.incrementalComponents(mid,
+        g.edges.filter(wq >= 10000000L && wq < 20000000L)
+          .select("source", "target"))
+      val frames = Seq((10000000L, low), (20000000L, mid), (30000000L, top))
+        .map { case (t, lab) =>
+          lab.groupBy("component").agg(count(lit(1)).as("sz"))
+            .agg(count(lit(1)).as("n_components"), max("sz").as("largest"))
+            .select(lit(t).as("threshold_q"), col("n_components"),
+              col("largest"))
+        }
       frames.reduce(_ union _).orderBy("threshold_q")
     },
       Some {

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftext.CappedCheckpoint._
 
 /** Deduplication operators for training-data pipelines, each designed around
   * one shuffle-on-a-compact-key so they scale to 100 TB corpora:
@@ -86,7 +87,7 @@ object Dedup {
     // signatures feed three subtrees (bucketing + both candidate sides);
     // materialize once — numHashes rows per doc, always small
     minhashLshPairsFromSignatures(
-      minhashSignatures(df, idCol, textCol, numHashes, shingleLen).localCheckpoint(),
+      minhashSignatures(df, idCol, textCol, numHashes, shingleLen).localCheckpointCapped(),
       numHashes, bands)
 
   /** Candidate pairs over precomputed signatures (already materialized by
@@ -141,7 +142,7 @@ object Dedup {
                           maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4 blocks guarantee exact recall only to distance 3")
     // fingerprints feed both candidate sides and the final distance check
-    val sh = simhash(df, idCol, textCol).localCheckpoint()
+    val sh = simhash(df, idCol, textCol).localCheckpointCapped()
     val blocks = sh.select(col("id"),
         explode(sequence(lit(0), lit(3))).as("b"), col("simhash"))
       // floor/pow block extraction mirrors the oracle exactly (simhash < 2^32)
@@ -173,7 +174,7 @@ object Dedup {
                       minJaccard: Double, numHashes: Int = 16, bands: Int = 4,
                       shingleLen: Int = 3): DataFrame =
     nearDupClustersFromSignatures(df, idCol,
-      minhashSignatures(df, idCol, textCol, numHashes, shingleLen).localCheckpoint(),
+      minhashSignatures(df, idCol, textCol, numHashes, shingleLen).localCheckpointCapped(),
       minJaccard, numHashes, bands)
 
   /** Clustering over precomputed signatures; `ids` supplies the id universe
@@ -243,7 +244,7 @@ object Dedup {
         Seq("shingle"), "left_semi")
     // the postings list feeds three subtrees (both self-join sides + sizes);
     // materialize once instead of re-running the explode/df-filter per branch
-    val sh = filtered.localCheckpoint()
+    val sh = filtered.localCheckpointCapped()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -340,7 +341,7 @@ object Dedup {
         shAll.groupBy("shingle").agg(count(lit(1)).as("df"))
           .filter(col("df") <= maxDf).select("shingle"),
         Seq("shingle"), "left_semi")
-    val sh = filtered.localCheckpoint()
+    val sh = filtered.localCheckpointCapped()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))

@@ -2,6 +2,7 @@ package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftext.CappedCheckpoint._
 
 /** Multimodal column plumbing: image/audio/video travel as opaque `BINARY`
   * columns with typed metadata, processed per-partition in fixed-size
@@ -218,7 +219,7 @@ object Multimodal {
   def imageNearDupPairs(ds: Dataset[MediaRecord], maxHamming: Int = 7): DataFrame = {
     require(maxHamming <= 7, "8 blocks guarantee exact recall only to distance 7")
     val ph = perceptualHash(ds).toDF()
-      .filter(col("decoded")).select("id", "phash").localCheckpoint()
+      .filter(col("decoded")).select("id", "phash").localCheckpointCapped()
     val blocks = ph.select(col("id"),
         explode(sequence(lit(0), lit(7))).as("b"), col("phash"))
       .withColumn("blk", expr("shiftrightunsigned(phash, b * 8) & 255"))

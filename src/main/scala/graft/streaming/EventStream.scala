@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftext.CappedCheckpoint._
 
 /** Structured-Streaming ingestion for the engine: the same DataFrame
   * transforms run over `readStream` sources (incremental, watermarked) or
@@ -427,14 +428,14 @@ object EventStream {
     val ev = normalizeTs(events)
     var prev = ev.filter(col("event_type") === stages.head)
       .groupBy("user_id").agg(min("ts").as("t"))
-      .localCheckpoint()
+      .localCheckpointCapped()
     var result = prev.agg(count(lit(1)).as(s"n_${stages.head}"))
     for (st <- stages.tail) {
       val next = ev.filter(col("event_type") === st)
         .join(prev.select(col("user_id"), col("t").as("pt")), Seq("user_id"))
         .filter(col("ts") > col("pt"))
         .groupBy("user_id").agg(min("ts").as("t"))
-        .localCheckpoint()
+        .localCheckpointCapped()
       result = result.crossJoin(next.agg(count(lit(1)).as(s"n_$st")))
       prev = next
     }

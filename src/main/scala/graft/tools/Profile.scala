@@ -3,6 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{Dedup, TextAnalysis}
+import org.apache.spark.sql.graftext.CappedCheckpoint._
 
 /** Scratch profiling main: stage-by-stage timings for the hot operators. */
 object Profile {
@@ -39,7 +40,7 @@ object Profile {
       graft.functions.Similarity.quantize(col("embedding")).as("qv"))
     t("quantize only")(q.count())
     val qc = q.withColumn("n2", graft.functions.Similarity.dotLong(col("qv"), col("qv")))
-      .localCheckpoint()
+      .localCheckpointCapped()
     t("quantize+n2 checkpointed")(qc.count())
     val pairs = qc.select(col("id").as("id_a"), col("qv").as("va"), col("n2").as("na"))
       .join(qc.select(col("id").as("id_b"), col("qv").as("vb"), col("n2").as("nb")),
