@@ -2886,6 +2886,81 @@ SELECT (rk - 1) * 10 // n AS decile, count(*) AS n_tokens,
 CAST(sum(freq) AS BIGINT) AS total_freq, CAST(max(freq) AS BIGINT) AS max_freq, CAST(min(freq) AS BIGINT) AS min_freq
 FROM r GROUP BY 1 ORDER BY 1""")),
 
+    // BPE merge induction (Sennrich et al. 2016) over the corpus word-
+    // frequency table: tokenizer training as a first-class pipeline op.
+    // The oracle replays the same 4 greedy merges with unrolled CTEs —
+    // the double-space symbol encoding makes one non-overlapping replace
+    // pass exactly the left-to-right BPE merge in both engines.
+    ("q_bpe_merges", (s, dir) =>
+      TextAnalysis.bpeMerges(docs(s, dir), "doc_id", "text", rounds = 4)
+        .orderBy("round"),
+      Some {
+        val words = """WITH words AS (
+  SELECT w AS word, count(*) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY 1),
+s0 AS (SELECT freq, ' ' || array_to_string(regexp_split_to_array(word, ''), '  ') || ' ' AS sym FROM words)"""
+        def round(i: Int): String = {
+          val (p, b, sPrev, sNext) = (s"p$i", s"b$i", s"s${i - 1}", s"s$i")
+          s""",
+$p AS (
+  SELECT arr[i] AS l, arr[i+1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT freq, string_split(trim(sym), '  ') AS arr FROM $sPrev) t,
+       UNNEST(generate_series(1, len(t.arr) - 1)) AS u(i)
+  GROUP BY 1, 2),
+$b AS (SELECT l, r, cnt FROM $p ORDER BY cnt DESC, l, r LIMIT 1),
+$sNext AS (SELECT freq, replace(sym,
+  ' ' || (SELECT l FROM $b) || '  ' || (SELECT r FROM $b) || ' ',
+  ' ' || (SELECT l FROM $b) || (SELECT r FROM $b) || ' ') AS sym FROM $sPrev)"""
+        }
+        val unions = (1 to 4).map(i =>
+          s"""SELECT $i AS round, l AS "left", r AS "right", l||r AS merged, cnt AS pair_count FROM b$i""")
+          .mkString("\nUNION ALL ")
+        words + (1 to 4).map(round).mkString +
+          s"\nSELECT * FROM (\n$unions) ORDER BY round"
+      }),
+
+    // the published Gopher rule filter (Rae et al. 2021, A1.1): integer
+    // cross-multiplied ratio tests, so the booleans are engine-exact
+    ("q_gopher_rules", (s, dir) =>
+      TextAnalysis.gopherRules(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH base AS (
+  SELECT doc_id,
+    list_filter(string_split(text, ' '), w -> w <> '') AS toks,
+    string_split(text, chr(10)) AS lns,
+    length(text) - length(replace(text, '#', '')) AS hashes,
+    (length(text) - length(replace(text, '...', ''))) // 3 AS ellipses
+  FROM documents),
+m AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_words,
+    CAST(COALESCE(list_sum(list_transform(toks, w -> length(w))), 0) AS BIGINT) AS char_sum,
+    CAST(hashes + ellipses AS BIGINT) AS n_symbols,
+    CAST(len(lns) AS BIGINT) AS n_lines,
+    CAST(len(list_filter(lns, l -> starts_with(l, '- ') OR starts_with(l, '* ') OR starts_with(l, '•'))) AS BIGINT) AS n_bullet_lines,
+    CAST(len(list_filter(lns, l -> ends_with(l, '...'))) AS BIGINT) AS n_ellipsis_lines,
+    CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+    CAST(len(list_intersect(toks, ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop_words
+  FROM base)
+SELECT doc_id, n_words, char_sum, n_symbols, n_lines, n_bullet_lines,
+  n_ellipsis_lines, n_alpha_words, n_stop_words,
+  (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+  (char_sum >= 3 * n_words AND char_sum <= 10 * n_words) AS ok_mean_word_len,
+  (10 * n_symbols < n_words) AS ok_symbol_ratio,
+  (10 * n_bullet_lines < 9 * n_lines) AS ok_bullets,
+  (10 * n_ellipsis_lines < 3 * n_lines) AS ok_ellipses,
+  (5 * n_alpha_words > 4 * n_words) AS ok_alpha,
+  (n_stop_words >= 2) AS ok_stop_words,
+  ((n_words >= 50 AND n_words <= 100000)
+   AND (char_sum >= 3 * n_words AND char_sum <= 10 * n_words)
+   AND (10 * n_symbols < n_words)
+   AND (10 * n_bullet_lines < 9 * n_lines)
+   AND (10 * n_ellipsis_lines < 3 * n_lines)
+   AND (5 * n_alpha_words > 4 * n_words)
+   AND (n_stop_words >= 2)) AS gopher_pass
+FROM m ORDER BY doc_id""")),
+
     // compaction planning: contiguous bin-packing of monthly partitions
     // into ~4000-row output files by running-sum arithmetic (the
     // small-files maintenance job's planning step)

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftext.CappedCheckpoint._
 
 /** Text-analysis operators for large-scale training-data pipelines:
   * language ID, quality scoring, token counting, document fingerprinting.
@@ -213,7 +214,7 @@ object TextAnalysis {
     val tk = df.select(col(groupCol).as("grp"),
         explode(tokens(col(textCol))).as("token"))
       .groupBy("grp", "token").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .localCheckpointCapped()
     val grpTot = tk.groupBy("grp").agg(sum("c").as("gt"))
     val tokTot = tk.groupBy("token").agg(sum("c").as("tt"))
       .filter(col("tt") >= minTokenTotal)
@@ -382,7 +383,7 @@ object TextAnalysis {
       .filter(col("df") <= dfCap)
     val post = tf.join(dfreq, Seq("token"))
       .withColumn("wq", expr("(tf * 1000000L) div df"))
-      .select("token", "doc_id", "wq").localCheckpoint()
+      .select("token", "doc_id", "wq").localCheckpointCapped()
     val norms = post.groupBy("doc_id")
       .agg(sum(expr("CAST(wq AS DECIMAL(38,0)) * wq")).as("n2"))
     val a = post.select(col("token"), col("doc_id").as("doc_a"), col("wq").as("wa"))
@@ -499,7 +500,7 @@ object TextAnalysis {
     val counts = df
       .select(col(groupCol).as("grp"), explode(tokens(col(textCol))).as("token"))
       .groupBy("grp", "token").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .localCheckpointCapped()
     val norms = counts.groupBy("grp")
       .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("n2"))
     val a = counts.select(col("token"), col("grp").as("grp_a"), col("c").as("ca"))
@@ -617,5 +618,128 @@ object TextAnalysis {
       .select(col(idCol), col("n_bigrams"),
         col("fs").cast("long").as("freq_sum"),
         expr("CAST((fs * 1000000) DIV n_bigrams AS BIGINT)").as("lm_score_q"))
+  }
+
+  /** Byte-pair-encoding merge induction (Sennrich et al. 2016) — the
+    * tokenizer-training step of an LLM data pipeline, run over the corpus
+    * WORD-FREQUENCY table rather than the corpus itself: the vocabulary is
+    * orders of magnitude smaller than the text (Heaps' law), so at 100 TB
+    * the token counts are one map-side-combinable shuffle over the corpus
+    * and every merge round after that is a shuffle over the (small) vocab
+    * only, with a single one-row driver action per round to pick the
+    * winning pair (count DESC, then lexicographic — fully deterministic).
+    *
+    * Words are held as symbol strings with a single-space flank and a
+    * DOUBLE space between symbols (" a  b  c "), so applying a merge is one
+    * codegen'd `replace(" l  r ", " lr ")`: because each match consumes
+    * only its own flanking spaces, consecutive occurrences in a run never
+    * share a delimiter and one left-to-right non-overlapping replace pass
+    * IS the greedy BPE merge ("aaaa" + (a,a) -> "aa aa", "aaa" -> "aa a").
+    * The same replace exists verbatim in ANSI SQL, which keeps the DuckDB
+    * oracle bit-exact.
+    *
+    * Returns one row per merge: (round, left, right, merged, pair_count).
+    */
+  def bpeMerges(df: DataFrame, idCol: String, textCol: String,
+                rounds: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(rounds >= 1 && rounds <= 64, "1..64 merge rounds")
+    val words = df.select(explode(tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    var sym = words.select(col("freq"),
+        concat(lit(" "), array_join(split(col("word"), ""), "  "), lit(" "))
+          .as("sym"))
+      .localCheckpointCapped()
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val pairs = sym.select(col("freq"), split(trim(col("sym")), "  ").as("a"))
+        .filter(size(col("a")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(a) - 2), i -> struct(a[i] AS l, a[i+1] AS r))"))
+          .as("p"))
+        .select(col("freq"), col("p.l").as("l"), col("p.r").as("r"))
+        .groupBy("l", "r").agg(sum("freq").as("cnt"))
+      val best = pairs.orderBy(desc("cnt"), asc("l"), asc("r")).limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, rr, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        val merged = l + rr
+        merges += ((r, l, rr, merged, cnt))
+        sym = sym.withColumn("sym", replace(col("sym"),
+            lit(s" $l  $rr "), lit(s" $merged ")))
+          .localCheckpointCapped()
+      }
+      r += 1
+    }
+    merges.toSeq.toDF("round", "left", "right", "merged", "pair_count")
+      .select(col("round").cast("int").as("round"), col("left"), col("right"),
+        col("merged"), col("pair_count"))
+  }
+
+  /** Gopher stop words (Rae et al. 2021, Appendix A1.1): a document must
+    * contain at least two of these to pass the rule filter. */
+  val gopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The published Gopher rule filter (Rae et al. 2021, Appendix A1.1) as
+    * one map-only pass — the canonical pre-training quality gate. Per
+    * document: word count in [minWords, maxWords], mean word length in
+    * [3, 10], symbol-to-word ratio ('#' or '...') < 0.1, < 90% of lines
+    * bullet-started, < 30% of lines ellipsis-ended, > 80% of words contain
+    * an alphabetic character, and >= 2 distinct Gopher stop words present.
+    * Every ratio test is integer cross-multiplied (10*symbols < n_words,
+    * 5*alpha > 4*n_words, ...) so the flags are bit-exact in any engine —
+    * no float thresholds. Pure codegen'd expressions: scans linearly,
+    * never shuffles, prunes to the text column at the reader.
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Long = 50, maxWords: Long = 100000): DataFrame = {
+    val t = col(textCol)
+    val toks = expr(s"filter(split($textCol, ' '), w -> length(w) > 0)")
+    val lines = expr(s"split($textCol, '\n')")
+    val hashes = length(t) - length(replace(t, lit("#"), lit("")))
+    val ellipses = (length(t) - length(replace(t, lit("..."), lit("")))) / 3
+    df.select(col(idCol),
+        size(toks).cast("long").as("n_words"),
+        expr("CAST(aggregate(" + s"filter(split($textCol, ' '), w -> length(w) > 0)" +
+          ", 0L, (acc, w) -> acc + length(w)) AS BIGINT)").as("char_sum"),
+        (hashes + ellipses).cast("long").as("n_symbols"),
+        size(lines).cast("long").as("n_lines"),
+        expr(s"CAST(size(filter(split($textCol, '\n'), " +
+          "l -> startswith(l, '- ') OR startswith(l, '* ') OR startswith(l, '•'))) AS BIGINT)")
+          .as("n_bullet_lines"),
+        expr(s"CAST(size(filter(split($textCol, '\n'), " +
+          "l -> endswith(l, '...'))) AS BIGINT)").as("n_ellipsis_lines"),
+        expr(s"CAST(size(filter(filter(split($textCol, ' '), w -> length(w) > 0), " +
+          "w -> w rlike '[A-Za-z]')) AS BIGINT)").as("n_alpha_words"),
+        expr("CAST(size(array_intersect(" +
+          s"filter(split($textCol, ' '), w -> length(w) > 0), " +
+          gopherStopWords.map(w => s"'$w'").mkString("array(", ",", ")") +
+          ")) AS BIGINT)").as("n_stop_words"))
+      .withColumn("ok_word_count",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      // mean word length in [3, 10] <=> 3n <= char_sum <= 10n, integer-exact
+      .withColumn("ok_mean_word_len",
+        col("char_sum") >= lit(3) * col("n_words") &&
+        col("char_sum") <= lit(10) * col("n_words"))
+      .withColumn("ok_symbol_ratio",
+        lit(10) * col("n_symbols") < col("n_words"))
+      .withColumn("ok_bullets",
+        lit(10) * col("n_bullet_lines") < lit(9) * col("n_lines"))
+      .withColumn("ok_ellipses",
+        lit(10) * col("n_ellipsis_lines") < lit(3) * col("n_lines"))
+      .withColumn("ok_alpha",
+        lit(5) * col("n_alpha_words") > lit(4) * col("n_words"))
+      .withColumn("ok_stop_words", col("n_stop_words") >= 2)
+      .withColumn("gopher_pass",
+        col("ok_word_count") && col("ok_mean_word_len") &&
+        col("ok_symbol_ratio") && col("ok_bullets") && col("ok_ellipses") &&
+        col("ok_alpha") && col("ok_stop_words"))
   }
 }
