@@ -108,6 +108,40 @@ object Dedup {
         count(lit(1)).cast("double")).as("est_jaccard"))
   }
 
+  /** Incremental dedup: screen a NEW document batch against an EXISTING
+    * corpus signature table — the production shape of continuous-ingest
+    * dedup at 100 TB, where the corpus signatures live in the warehouse
+    * (numHashes rows per document, orders of magnitude smaller than the
+    * text) and each nightly batch pays only its own signature pass plus a
+    * band-bucket join: candidates are (new, corpus) pairs sharing any LSH
+    * band bucket, never an all-pairs comparison, and the batch side of
+    * every join is broadcast-sized relative to the corpus. Emits pairs
+    * with the estimated Jaccard (fraction of agreeing signature rows)
+    * at or above `minAgree` — everything a keep/drop policy needs.
+    */
+  def dedupAgainstCorpus(newDocs: DataFrame, idCol: String, textCol: String,
+                         corpusSig: DataFrame, numHashes: Int = 16,
+                         bands: Int = 4, shingleLen: Int = 3,
+                         minAgree: Double = 0.5): DataFrame = {
+    val newSig = minhashSignatures(newDocs, idCol, textCol, numHashes,
+      shingleLen).localCheckpointCapped()
+    val nb = lshBucketsFromSignatures(newSig, numHashes, bands)
+    val cb = lshBucketsFromSignatures(corpusSig, numHashes, bands)
+    val cand = nb.as("x").join(cb.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("new_id"), col("y.id").as("corpus_id")).distinct()
+    cand
+      .join(newSig.select(col("id").as("new_id"), col("h"),
+        col("minhash").as("va")), Seq("new_id"))
+      .join(corpusSig.select(col("id").as("corpus_id"), col("h"),
+        col("minhash").as("vb")), Seq("corpus_id", "h"))
+      .groupBy("new_id", "corpus_id")
+      .agg((sum(when(col("va") === col("vb"), 1).otherwise(0)).cast("double") /
+        count(lit(1)).cast("double")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minAgree)
+  }
+
   /** 32-bit SimHash over the token multiset. Bit b of md5(token) is
     * extracted arithmetically from the hex digest (strpos-based nibble
     * decode — mirrored verbatim in the oracle); each token votes +-1 per
