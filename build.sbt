@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout must pass through VERBATIM: the bench driver tails
+// stdout and json-parses the final lines; sbt's default LoggedOutput
+// prefixes every line with "[info] ", which breaks that parse (BENCH_r04
+// recorded parsed:null for exactly this reason).
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and drop the trailing "[success] Total time: ..." line so the bench
+// summary JSON is the LAST line of stdout.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -14,14 +14,40 @@ import graft.functions.{LongDot, NfcNormalize}
   * config uses.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions.requireArity
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_long_dot"),
       new ExpressionInfo(classOf[LongDot].getName, "graft_long_dot"),
-      (exprs: Seq[Expression]) => LongDot(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => {
+        requireArity("graft_long_dot", 2, exprs)
+        LongDot(exprs(0), exprs(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
-      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
+      (exprs: Seq[Expression]) => {
+        requireArity("graft_nfc", 1, exprs)
+        NfcNormalize(exprs.head)
+      }))
   }
+}
+
+object GraftExtensions {
+  /** Arity gate for the injected builders: a miscalled `graft_long_dot(x)`
+    * must surface as the standard WRONG_NUM_ARGS AnalysisException naming
+    * the function, not an IndexOutOfBoundsException from destructuring.
+    */
+  private[graft] def requireArity(name: String, expected: Int,
+                                  exprs: Seq[Expression]): Unit =
+    if (exprs.length != expected) {
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> s"`$name`",
+          "expectedNum" -> expected.toString,
+          "actualNum" -> exprs.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    }
 }

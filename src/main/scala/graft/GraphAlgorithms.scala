@@ -98,13 +98,21 @@ object GraphAlgorithms {
     * Constraints buy nothing inside these loops — every input is already a
     * checkpointed LogicalRDD with no scan left to push filters into — so
     * they are switched off for the loop's duration.
+    *
+    * Scoped per-THREAD, not per-session: the override lives in a cloned
+    * `SQLConf` installed via `SQLConf.withExistingConf`, which Catalyst's
+    * `SQLConf.get` consults ahead of the session conf. Queries planned
+    * concurrently on other threads of the same session (streaming
+    * microbatches, parallel library callers) keep constraint propagation,
+    * and nested/overlapping scopes restore cleanly — the session-global
+    * set/restore this replaces could leave the flag off for everyone.
     */
-  private def withoutConstraintPropagation[T](df: DataFrame)(body: => T): T = {
-    val conf = df.sparkSession.conf
-    val key = "spark.sql.constraintPropagation.enabled"
-    val prev = conf.get(key, "true")
-    conf.set(key, "false")
-    try body finally conf.set(key, prev)
+  private[graft] def withoutConstraintPropagation[T](df: DataFrame)(body: => T): T = {
+    df.sparkSession.withActive {
+      val cloned = org.apache.spark.sql.internal.SQLConf.get.clone()
+      cloned.setConfString("spark.sql.constraintPropagation.enabled", "false")
+      org.apache.spark.sql.internal.SQLConf.withExistingConf(cloned)(body)
+    }
   }
 
   /** Max-id propagation to fixpoint: each node's `color` converges to the
@@ -1629,13 +1637,17 @@ object GraphAlgorithms {
       .agg(coalesce(sum(expr("dc * dc")), lit(0L)).as("sum_deg_sq"))
     mAndIn.crossJoin(sumDegSq).select(col("m_edges"), col("e_within"),
       col("sum_deg_sq"),
-      // exact BIGINT numerator/denominator, ONE IEEE double divide + floor:
-      // identical operand values in any engine → identical quantized result
-      // (numerator can be negative, so integer DIV — floor vs truncate
-      // divergence across engines — is deliberately avoided)
+      // exact DECIMAL(38,0) numerator/denominator, ONE IEEE double divide +
+      // floor: identical operand values in any engine → identical quantized
+      // result (numerator can be negative, so integer DIV — floor vs
+      // truncate divergence across engines — is deliberately avoided).
+      // DECIMAL, not BIGINT: 4*m*e_within*1e6 wraps int64 silently around
+      // m ≈ 1.5M edges under non-ANSI Spark — far below target scale — while
+      // decimal stays exact to 1e38 (the oracle reaches the same integers
+      // via HUGEINT; both cast the exact value to DOUBLE identically)
       expr("""if(m_edges = 0, CAST(NULL AS BIGINT),
-        CAST(floor(CAST((4 * m_edges * e_within - sum_deg_sq) * 1000000 AS DOUBLE)
-          / CAST(4 * m_edges * m_edges AS DOUBLE)) AS BIGINT))""").as("modularity_q"))
+        CAST(floor(CAST((4 * CAST(m_edges AS DECIMAL(38,0)) * e_within - sum_deg_sq) * 1000000 AS DOUBLE)
+          / CAST(4 * CAST(m_edges AS DECIMAL(38,0)) * m_edges AS DOUBLE)) AS BIGINT))""").as("modularity_q"))
   }
 
   /** Weisfeiler-Leman label refinement: every node's label is iteratively

@@ -65,6 +65,40 @@ object SparkEntry {
   // scratch dirs for the CSV/JSON sink half of q_io_roundtrip, one per dir
   private val ioDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Allocate a scratch directory for the per-(JVM, sf dir) materialized
+    * caches. Location is deployment-configurable: `spark.graft.scratch` if
+    * set, else a `graft_scratch/` area under `spark.sql.warehouse.dir` —
+    * the cluster-visible warehouse — NEVER driver-local java.io.tmpdir,
+    * which executors on a real cluster cannot read. Every allocation is
+    * registered for recursive delete at JVM exit through the Hadoop
+    * FileSystem of its scheme, so repeated local runs do not leak
+    * directories.
+    */
+  private def scratchDir(s: SparkSession, prefix: String): String = {
+    val base = s.conf.getOption("spark.graft.scratch")
+      .getOrElse(s.conf.get("spark.sql.warehouse.dir") + "/graft_scratch")
+    val out = s"$base/$prefix${java.util.UUID.randomUUID().toString.take(8)}"
+    ScratchCleanup.register(out, s.sparkContext.hadoopConfiguration)
+    out
+  }
+
+  private object ScratchCleanup {
+    private val registered =
+      scala.collection.concurrent.TrieMap.empty[String, org.apache.hadoop.conf.Configuration]
+    private lazy val hookInstalled: Unit =
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        registered.foreach { case (p, conf) =>
+          try {
+            val path = new org.apache.hadoop.fs.Path(p)
+            path.getFileSystem(conf).delete(path, true)
+          } catch { case _: Throwable => () }
+        }))
+    def register(path: String, conf: org.apache.hadoop.conf.Configuration): Unit = {
+      hookInstalled
+      registered.put(path, conf)
+    }
+  }
+
   /** Strong-component labels, cached per (JVM, sf dir) exactly like the
     * weak labels above — q_strong_components and q_condensation both
     * consume the same SCC fixpoint, and `condensationFromLabels` exists
@@ -74,8 +108,7 @@ object SparkEntry {
 
   private def sccLabels(s: SparkSession, dir: String): DataFrame = {
     val p = sccLabelsPath.getOrElseUpdate(dir, {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_scc_labels_").toString
+      val out = scratchDir(s, "scc_labels_")
       GraphAlgorithms.strongComponentLabels(sparse(s, dir))
         .write.mode("overwrite").parquet(out)
       out
@@ -85,8 +118,7 @@ object SparkEntry {
 
   private def sparseLabels(s: SparkSession, dir: String): DataFrame = {
     val p = weakLabelsPath.getOrElseUpdate(dir, {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_weak_labels_").toString
+      val out = scratchDir(s, "weak_labels_")
       GraphAlgorithms.componentLabels(sparse(s, dir), "weak")
         .write.mode("overwrite").parquet(out)
       out
@@ -110,8 +142,7 @@ object SparkEntry {
 
   private def docSignatures(s: SparkSession, dir: String): DataFrame = {
     val p = sigPath.getOrElseUpdate(dir, {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_minhash_sig_").toString
+      val out = scratchDir(s, "minhash_sig_")
       Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", 16, 3)
         .write.mode("overwrite").parquet(out)
       out
@@ -551,21 +582,25 @@ FROM a""")),
         .join(nat.select(col("id").as("target"), col("c_nationkey").as("nt")), Seq("target"))
         .agg(count(lit(1)).as("n_edges"),
           coalesce(sum(when(col("ns") === col("nt"), 1L).otherwise(0L)), lit(0L)).as("n_same"))
+      // DECIMAL(38,0) factors: ss*1e6 / n_same*1e6 wrap int64 silently at
+      // ~3M nodes / ~9.2e12 edges under non-ANSI Spark; decimal keeps the
+      // quantized ratios exact at any realistic scale (div on decimals
+      // still yields BIGINT)
       val exp = nat.groupBy("c_nationkey").agg(count(lit(1)).as("c"))
         .agg(sum(expr("c * c")).as("ss"), sum("c").as("tot"))
-        .select(expr("ss * 1000000 div (tot * tot)").as("expected_q"))
+        .select(expr("CAST(ss AS DECIMAL(38,0)) * 1000000 div (CAST(tot AS DECIMAL(38,0)) * tot)").as("expected_q"))
       lab.crossJoin(exp)
         .select(col("n_edges"), col("n_same"),
-          expr("n_same * 1000000 div n_edges").as("same_q"), col("expected_q"))
+          expr("CAST(n_same AS DECIMAL(38,0)) * 1000000 div n_edges").as("same_q"), col("expected_q"))
     },
       Some(s"""$G, e AS (SELECT DISTINCT source, target FROM edges),
 lab AS (SELECT count(*) AS n_edges,
 CAST(COALESCE(sum(CASE WHEN ns.c_nationkey = nt.c_nationkey THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_same
 FROM e JOIN nodes ns ON ns.id = e.source JOIN nodes nt ON nt.id = e.target),
-ex AS (SELECT CAST(sum(c * c) * 1000000 // (sum(c) * sum(c)) AS BIGINT) AS expected_q
+ex AS (SELECT CAST(CAST(sum(c * c) AS HUGEINT) * 1000000 // (CAST(sum(c) AS HUGEINT) * sum(c)) AS BIGINT) AS expected_q
 FROM (SELECT count(*) AS c FROM nodes GROUP BY c_nationkey))
 SELECT CAST(n_edges AS BIGINT) AS n_edges, n_same,
-CAST(n_same * 1000000 // n_edges AS BIGINT) AS same_q, expected_q FROM lab, ex""")),
+CAST(CAST(n_same AS HUGEINT) * 1000000 // n_edges AS BIGINT) AS same_q, expected_q FROM lab, ex""")),
 
     // LPA community size distribution: how many communities of each size
     // the 4-round label propagation produces (composition diagnostic)
@@ -1531,7 +1566,7 @@ ORDER BY 1,2""")),
     // paths preserve values end to end
     ("q_io_roundtrip", (s, dir) => {
       val tmp = ioDirs.getOrElseUpdate(dir, {
-        val d = java.nio.file.Files.createTempDirectory("graft_io_").toString
+        val d = scratchDir(s, "io_")
         tbl(s, dir, "nation").write.mode("overwrite")
           .option("header", "true").csv(s"$d/nation_csv")
         tbl(s, dir, "region").write.mode("overwrite").json(s"$d/region_json")
@@ -1733,7 +1768,7 @@ deg AS (SELECT id, count(*) AS deg FROM (SELECT s AS id FROM und UNION ALL SELEC
 sd AS (SELECT COALESCE(sum(dc * dc), 0) AS sum_deg_sq FROM (SELECT community, sum(deg) AS dc FROM deg JOIN lab USING (id) GROUP BY 1))
 SELECT CAST(m_edges AS BIGINT) AS m_edges, CAST(e_within AS BIGINT) AS e_within, CAST(sum_deg_sq AS BIGINT) AS sum_deg_sq,
 CASE WHEN m_edges = 0 THEN CAST(NULL AS BIGINT)
-ELSE CAST(floor(CAST((4 * m_edges * e_within - sum_deg_sq) * 1000000 AS DOUBLE) / CAST(4 * m_edges * m_edges AS DOUBLE)) AS BIGINT) END AS modularity_q
+ELSE CAST(floor(CAST((4 * CAST(m_edges AS HUGEINT) * e_within - sum_deg_sq) * 1000000 AS DOUBLE) / CAST(4 * CAST(m_edges AS HUGEINT) * m_edges AS DOUBLE)) AS BIGINT) END AS modularity_q
 FROM mi, sd""")),
 
     // sparse TF-IDF cosine pairs over 3-gram shingles through a df-capped
