@@ -930,6 +930,52 @@ sym2 AS (SELECT ia AS s, ib AS tt FROM e UNION SELECT ib, ia FROM e),
 reach(id, r) AS (SELECT doc_id, doc_id FROM documents UNION SELECT reach.id, s2.tt FROM reach JOIN sym2 s2 ON s2.s = reach.r)
 SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY 1 ORDER BY 1""")),
 
+    // exact Jaccard-threshold pairs via PPJoin-style prefix filtering:
+    // the inverted index covers only each doc's rarest-first prefix, so
+    // Zipf-head shingles never enter the candidate join — exact at any
+    // threshold, unlike the lossy df-cap of q_ngram_jaccard
+    ("q_jaccard_prefix", (s, dir) =>
+      Dedup.jaccardPrefixPairs(docs(s, dir), "doc_id", "text", 3, 0.5)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 0)), i -> array_to_string(list_slice(l, i, i + 2), ' '))) AS shingle FROM t),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+it AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1,2)
+SELECT ia AS id_a, ib AS id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+FROM it JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5 ORDER BY 1,2""")),
+
+    // incremental signature maintenance: a stale snapshot (every 10th doc's
+    // text mutated) plus the upsert batch of true texts must reproduce the
+    // full-recompute signature table — changed ids anti-join out, fresh
+    // signatures union in, unchanged docs never touched
+    ("q_sig_incremental", (s, dir) => {
+      val d = docs(s, dir)
+      val stale = d.withColumn("text",
+        when(col("doc_id") % 10 === 0, reverse(col("text")))
+          .otherwise(col("text")))
+      Dedup.incrementalSignatures(
+          Dedup.minhashSignatures(stale, "doc_id", "text", 16, 3),
+          d.filter(col("doc_id") % 10 === 0), "doc_id", "text", 16, 3)
+        .orderBy("id", "h")
+    },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 0)), i -> array_to_string(list_slice(l, i, i + 2), ' '))) AS shingle FROM t),
+hs AS (SELECT doc_id, unnest(generate_series(0, 15)) AS h, shingle FROM sh)
+SELECT doc_id AS id, CAST(h AS INT) AS h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash FROM hs GROUP BY 1,2 ORDER BY 1,2""")),
+
+    // hashed linear classifier inference (fastText-style bag-of-words
+    // scoring): per-token slot weights derived from the hashing-trick
+    // feature map, mean weight per doc as the keep/drop quality gate
+    ("q_quality_model", (s, dir) =>
+      TextAnalysis.hashedLinearScore(docs(s, dir), "doc_id", "text", 1024)
+        .orderBy("id"),
+      Some("""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+w AS (SELECT doc_id, CAST(concat('0x', substr(md5(concat('w:', CAST(CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 1024 AS VARCHAR))), 1, 8)) AS BIGINT) % 2001 - 1000 AS w FROM tk),
+agg AS (SELECT doc_id, count(*) AS n_toks, sum(w) AS sw FROM w GROUP BY 1),
+sc AS (SELECT doc_id, n_toks, CAST(floor(CAST(CAST(sw AS HUGEINT) * 1000000 AS DOUBLE) / n_toks) AS BIGINT) AS score_q FROM agg)
+SELECT doc_id AS id, n_toks, score_q, score_q >= 0 AS keep FROM sc ORDER BY 1""")),
+
     // ====================== similarity search extensions ======================
 
     // banded sign-LSH candidate generation (16 bands x 4 bits), exact cosine
@@ -956,6 +1002,31 @@ norms AS (SELECT vec_id, sum(x * x) AS nn FROM u GROUP BY 1)
 SELECT ia AS id_a, ib AS id_b, round(CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))), 6) AS sim
 FROM dots JOIN norms na ON na.vec_id = ia JOIN norms nb ON nb.vec_id = ib
 WHERE CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= 0.4 ORDER BY 1,2""")),
+
+    // Matryoshka truncation recall: overlap of the exact cosine top-10
+    // under full 64-dim vectors vs their first-16-dim prefixes — the
+    // measurement that decides whether the 4x-cheaper truncated index can
+    // drive retrieval with full vectors kept only for re-ranking
+    ("q_matryoshka", (s, dir) => {
+      val e = emb(s, dir)
+      Similarity.matryoshkaRecall(e.filter(col("vec_id") < 20), e,
+          "vec_id", "embedding", 16, 10)
+        .orderBy("query_id")
+    },
+      Some(s"""$EMB_U,
+norms AS (SELECT vec_id, sum(x * x) AS nn FROM u GROUP BY 1),
+dq AS (SELECT q.vec_id AS qa, c.vec_id AS cb, sum(q.x * c.x) AS d FROM u q JOIN u c ON q.i = c.i AND q.vec_id < 20 AND q.vec_id <> c.vec_id GROUP BY 1,2),
+rkf AS (SELECT qa, cb, row_number() OVER (PARTITION BY qa ORDER BY CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) DESC, cb) AS rn
+FROM dq JOIN norms na ON na.vec_id = qa JOIN norms nb ON nb.vec_id = cb),
+n16 AS (SELECT vec_id, sum(x * x) AS nn FROM u WHERE i <= 16 GROUP BY 1),
+d16 AS (SELECT q.vec_id AS qa, c.vec_id AS cb, sum(q.x * c.x) AS d FROM u q JOIN u c ON q.i = c.i AND q.i <= 16 AND q.vec_id < 20 AND q.vec_id <> c.vec_id GROUP BY 1,2),
+rkt AS (SELECT qa, cb, row_number() OVER (PARTITION BY qa ORDER BY CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) DESC, cb) AS rn
+FROM d16 JOIN n16 na ON na.vec_id = qa JOIN n16 nb ON nb.vec_id = cb),
+ov AS (SELECT f.qa, count(*) AS n_overlap FROM rkf f JOIN rkt t ON t.qa = f.qa AND t.cb = f.cb AND t.rn <= 10 WHERE f.rn <= 10 GROUP BY 1),
+qs AS (SELECT DISTINCT qa FROM rkf)
+SELECT qa AS query_id, CAST(COALESCE(n_overlap, 0) AS BIGINT) AS n_overlap,
+CAST(COALESCE(n_overlap, 0) * 1000000 // 10 AS BIGINT) AS recall_ppm
+FROM qs LEFT JOIN ov USING (qa) ORDER BY 1""")),
 
     ("q_ann_topk", (s, dir) => {
       val e = emb(s, dir)

@@ -294,6 +294,74 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact Jaccard-threshold self-join via prefix filtering (the PPJoin /
+    * AllPairs family, Bayardo et al. WWW'07): order every document's
+    * shingles by a GLOBAL rarest-first total order (document frequency,
+    * then shingle text), and observe that two docs with
+    * Jaccard >= tau must overlap within each other's first
+    * |S| - ceil(tau * |S|) + 1 shingles — if a pair shares NO prefix
+    * shingle, the (rarer) unshared prefixes already exceed the allowed
+    * difference. The inverted index is therefore built over PREFIXES
+    * only: Zipf-head shingles sort LAST and almost never enter a prefix,
+    * so the candidate pair space collapses without the lossy df-cap
+    * `ngramJaccardPairs` uses — this variant is exact at any threshold.
+    * Candidates are then verified against the FULL shingle sets. Shuffle
+    * keys: shingle (df count + prefix join), id (per-doc rank window,
+    * bounded by doc length). Output: (id_a < id_b, jaccard >= tau).
+    */
+  def jaccardPrefixPairs(df: DataFrame, idCol: String, textCol: String,
+                         shingleLen: Int = 3, tau: Double = 0.5): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, "tau must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    // postings feed four subtrees (df agg, prefix, both verify sides) —
+    // materialize once
+    val sh = df.select(col(idCol).as("id"),
+        explode(TextAnalysis.shingles(col(textCol), shingleLen)).as("shingle"))
+      .localCheckpointCapped()
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val ranked = sh.join(dfreq, Seq("shingle"))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("id").orderBy("df", "shingle")))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val prefix = ranked.join(sizes, Seq("id"))
+      .filter(col("rk") <= col("sz") - ceil(lit(tau) * col("sz")) + 1)
+      .select(col("id"), col("shingle"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val inter = cand
+      .join(sh.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sza")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("szb")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Incremental MinHash signature maintenance: given the signature table
+    * of the previous corpus snapshot and the batch of upserted documents,
+    * produce the signature table of the updated corpus WITHOUT touching
+    * unchanged docs — stale rows for changed ids leave via one anti-join
+    * on the compact id key, fresh signatures for the batch union in. The
+    * signature pass (shingle explode x numHashes digests) is the dominant
+    * cost of every MinHash consumer at 100 TB; a daily upsert touching
+    * 0.1% of docs should cost 0.1% of a full pass, not re-derive the
+    * warehouse signature table from scratch. Output is exactly
+    * `minhashSignatures` over the merged corpus.
+    */
+  def incrementalSignatures(baseSig: DataFrame, changed: DataFrame,
+                            idCol: String, textCol: String,
+                            numHashes: Int = 16, shingleLen: Int = 3): DataFrame = {
+    val changedIds = changed.select(col(idCol).as("id")).distinct()
+    baseSig.join(changedIds, Seq("id"), "left_anti")
+      .unionByName(minhashSignatures(changed, idCol, textCol, numHashes, shingleLen))
+  }
+
   /** Per-document n-gram novelty: the fraction (ppm, integral division —
     * exact in every engine) of a document's distinct shingles that occur in
     * NO other document. The inverse of the memorization/boilerplate signal:

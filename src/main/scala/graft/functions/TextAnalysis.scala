@@ -742,4 +742,37 @@ object TextAnalysis {
         col("ok_symbol_ratio") && col("ok_bullets") && col("ok_ellipses") &&
         col("ok_alpha") && col("ok_stop_words"))
   }
+
+  /** Hashed linear model scoring — the inference half of a fastText-style
+    * bag-of-words quality classifier, at corpus scale. Every whitespace
+    * token hashes into one of `buckets` feature slots (md5 head, the
+    * hashing-trick feature map `hashingTf` builds); each slot carries a
+    * fixed integer weight in [-1000, 1000] derived deterministically from
+    * the slot id (a stand-in for trained weights — swap in a broadcast
+    * weight table for a real model; the plan is identical). A document's
+    * score is the mean slot weight over its tokens, millionths-quantized
+    * in exact DECIMAL with one IEEE divide. Model inference here is one
+    * explode + one per-doc aggregation — token-parallel, no weight-table
+    * join (weights are computed, not looked up), whole-stage codegen'd
+    * md5/conv arithmetic per token. Output: (id, n_toks, score_q,
+    * keep = score_q >= 0) — the standard keep/drop gate shape.
+    */
+  def hashedLinearScore(df: DataFrame, idCol: String, textCol: String,
+                        buckets: Int = 1024): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val slot = conv(substring(md5(col("tok")), 1, 8), 16, 10)
+      .cast("long") % buckets
+    val wt = conv(substring(md5(concat(lit("w:"), slot.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 2001 - 1000
+    toks.select(col("id"), wt.as("w"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_toks"), sum("w").as("sw"))
+      .select(col("id"), col("n_toks"),
+        // exact integer numerator (decimal: token counts at 100 TB push
+        // sw*1e6 past int64), one IEEE divide, floor — engine-identical
+        expr("""CAST(floor(CAST(CAST(sw AS DECIMAL(38,0)) * 1000000 AS DOUBLE)
+          / n_toks) AS BIGINT)""").as("score_q"))
+      .withColumn("keep", col("score_q") >= 0)
+  }
 }

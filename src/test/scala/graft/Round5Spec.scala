@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.{reverse, when}
 import org.apache.spark.sql.internal.SQLConf
 
 /** Round-5 specs: thread-scoped optimizer-flag override (the round-4
@@ -60,5 +61,84 @@ class Round5Spec extends AnyFunSuite with SparkFixture {
     assert(ex.getCondition == "WRONG_NUM_ARGS.WITHOUT_SUGGESTION")
     // correct arity passes through
     GraftExtensions.requireArity("graft_nfc", 1, one)
+  }
+
+  // ---- round-5 operators ----
+
+  private def docsDf = Seq(
+    (1L, "a b c d e f"),
+    (2L, "a b c d e g"),    // jaccard vs 1: shingles {abc,bcd,cde,def} vs {abc,bcd,cde,deg} = 3/5
+    (3L, "x y z w v u"),
+    (4L, "x y z w v u"),    // exact dup of 3
+    (5L, "q r"),            // too short for 3-shingles
+    (6L, "a b c q r s t u v w")
+  ).toDF("doc_id", "text")
+
+  test("jaccardPrefixPairs equals the unfiltered threshold join (exactness)") {
+    import graft.functions.Dedup
+    for (tau <- Seq(0.3, 0.5, 0.8)) {
+      val pref = Dedup.jaccardPrefixPairs(docsDf, "doc_id", "text", 3, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val brute = Dedup.ngramJaccardPairs(docsDf, "doc_id", "text", 3, tau, maxDf = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pref == brute, s"tau=$tau: prefix=$pref brute=$brute")
+    }
+    // sanity on the fixture: the exact-dup pair is found at every tau
+    val found = Dedup.jaccardPrefixPairs(docsDf, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(found.contains((3L, 4L)))
+  }
+
+  test("incrementalSignatures equals a full recompute over the merged corpus") {
+    import graft.functions.Dedup
+    val stale = docsDf.withColumn("text",
+      when($"doc_id" % 2 === 0, reverse($"text")).otherwise($"text"))
+    val changed = docsDf.filter($"doc_id" % 2 === 0)
+    val inc = Dedup.incrementalSignatures(
+        Dedup.minhashSignatures(stale, "doc_id", "text", 8, 3),
+        changed, "doc_id", "text", 8, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val full = Dedup.minhashSignatures(docsDf, "doc_id", "text", 8, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(inc == full)
+  }
+
+  test("hashedLinearScore is deterministic, mean-bounded, and total") {
+    import graft.functions.TextAnalysis
+    val out = TextAnalysis.hashedLinearScore(docsDf, "doc_id", "text", 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.length == 6) // every doc scores, even the 2-token one
+    out.foreach { case (_, n, sq, keep) =>
+      assert(n > 0)
+      // mean of weights in [-1000, 1000], millionths-quantized
+      assert(sq >= -1000L * 1000000 && sq <= 1000L * 1000000)
+      assert(keep == (sq >= 0))
+    }
+    val again = TextAnalysis.hashedLinearScore(docsDf, "doc_id", "text", 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
+  test("matryoshkaRecall: full-width truncation recalls everything") {
+    import graft.functions.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 5)
+    // dims = full width => the two rankings are identical => recall 1.0
+    val full = Similarity.matryoshkaRecall(q, emb, "vec_id", "embedding", 64, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(full.length == 5)
+    full.foreach { case (_, ov, ppm) => assert(ov == 5L && ppm == 1000000L) }
+    // truncated recall is bounded by k and nonnegative
+    val tr = Similarity.matryoshkaRecall(q, emb, "vec_id", "embedding", 8, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    tr.foreach { case (_, ov) => assert(ov >= 0L && ov <= 5L) }
+  }
+
+  test("jaccardPrefixPairs plan has no cartesian or nested-loop join") {
+    import graft.functions.Dedup
+    val plan = Dedup.jaccardPrefixPairs(docsDf, "doc_id", "text", 3, 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
   }
 }
