@@ -53,7 +53,13 @@ object Bench {
     results.foreach { case (k, v) =>
       println(s"""{"query":"$k","sec":$v}""")
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir","file":"$out"}""")
+    // the summary line carries a BOUNDED queries dict (slowest 25) so a
+    // driver that expects the {"metric",...,"queries":{...}} shape can parse
+    // it from a small stdout tail window; the complete per-query dict is in
+    // `out` and each query also printed its own line above
+    val top = results.toSeq.sortBy(-_._2).take(25)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":$top,"sf":"$sfDir","file":"$out"}""")
     Console.out.flush()
     spark.stop()
   }

@@ -3322,8 +3322,100 @@ r AS (SELECT u.cell, CAST(u.x - c.cq AS HUGEINT) * (u.x - c.cq) AS r2 FROM u JOI
 e AS (SELECT cell, sum(r2) AS e FROM r GROUP BY 1),
 nv AS (SELECT label AS cell, count(*) AS n_vectors FROM embeddings GROUP BY 1)
 SELECT e.cell, nv.n_vectors, CAST(e.e // nv.n_vectors AS BIGINT) AS mean_resid_q
-FROM e JOIN nv USING (cell) ORDER BY 1"""))
+FROM e JOIN nv USING (cell) ORDER BY 1""")),
+
+    // Okapi BM25 retrieval top-k (k1=6/5, b=3/4 kept rational; idf is the
+    // repo's N*1e6 div df weight — never transcendental): scan + isin
+    // pushdown + one doc-keyed shuffle + TakeOrderedAndProject, no
+    // materialized inverted index
+    ("q_bm25", (s, dir) =>
+      TextAnalysis.bm25TopK(docs(s, dir), "doc_id", "text",
+          Seq("spark", "merge", "stream"), 20)
+        .orderBy("rank"),
+      Some(s"""$BM25_BODY
+SELECT doc_id, n_hits, CAST(score_q AS BIGINT) AS score_q,
+CAST(row_number() OVER (ORDER BY score_q DESC, doc_id) AS INT) AS rank
+FROM bm_agg ORDER BY score_q DESC, doc_id LIMIT 20""")),
+
+    // reciprocal-rank fusion of the BM25 lexical top-50 with the hashed
+    // linear quality-model top-50 — the standard hybrid-retrieval combiner,
+    // entirely integral (1e6 div (60+rank))
+    ("q_rrf", (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(desc("score_q"), asc("id"))
+      val lex = TextAnalysis.bm25TopK(docs(s, dir), "doc_id", "text",
+          Seq("spark", "merge", "stream"), 50)
+        .select(col("doc_id").as("id"), col("rank"))
+      val qual = TextAnalysis.hashedLinearScore(docs(s, dir), "doc_id", "text", 1024)
+        .orderBy(desc("score_q"), asc("id")).limit(50)
+        .withColumn("rank", row_number().over(w))
+        .select("id", "rank")
+      TextAnalysis.rrfFuse(lex, qual, "id")
+        .orderBy(desc("rrf_q"), asc("id"))
+    },
+      Some(s"""$BM25_BODY,
+lex AS (SELECT doc_id AS id, CAST(row_number() OVER (ORDER BY score_q DESC, doc_id) AS INT) AS rank_a
+FROM bm_agg ORDER BY score_q DESC, doc_id LIMIT 50),
+qtk AS (SELECT doc_id, CAST(concat('0x', substr(md5(concat('w:', CAST(CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 1024 AS VARCHAR))), 1, 8)) AS BIGINT) % 2001 - 1000 AS w
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+qagg AS (SELECT doc_id, count(*) AS n_toks, sum(w) AS sw FROM qtk GROUP BY 1),
+qsc AS (SELECT doc_id, CAST(floor(CAST(CAST(sw AS HUGEINT) * 1000000 AS DOUBLE) / n_toks) AS BIGINT) AS score_q FROM qagg),
+qual AS (SELECT doc_id AS id, CAST(row_number() OVER (ORDER BY score_q DESC, doc_id) AS INT) AS rank_b
+FROM qsc ORDER BY score_q DESC, doc_id LIMIT 50)
+SELECT id, rank_a, rank_b,
+coalesce(1000000 // (60 + rank_a), 0) + coalesce(1000000 // (60 + rank_b), 0) AS rrf_q
+FROM lex FULL JOIN qual USING (id) ORDER BY rrf_q DESC, id""")),
+
+    // SemDeDup-style semantic dedup: banded sign-LSH pairs at cosine>=0.4,
+    // weak components over the similarity graph, keep-one-per-cluster by
+    // squared norm (tie: min id) — the curation gate over embeddings
+    ("q_semdedup", (s, dir) =>
+      Similarity.semanticDedup(emb(s, dir), "vec_id", "embedding", 0.4, 16, 4)
+        .orderBy("id"),
+      Some(s"""${EMB_U.replace("WITH u", "WITH RECURSIVE u")},
+bk AS (SELECT vec_id, b.band, CAST(list_sum(list_transform(generate_series(1, 4), j -> CASE WHEN embedding[b.band * 4 + j] > 0 THEN CAST(power(2, j - 1) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket FROM embeddings, (SELECT unnest(generate_series(0, 15)) AS band) b),
+cand AS (SELECT DISTINCT x.vec_id AS ia, y.vec_id AS ib FROM bk x JOIN bk y ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+dots AS (SELECT c.ia, c.ib, sum(a.x * b.x) AS d FROM cand c JOIN u a ON a.vec_id = c.ia JOIN u b ON b.vec_id = c.ib AND b.i = a.i GROUP BY 1,2),
+norms AS (SELECT vec_id, sum(x * x) AS nn FROM u GROUP BY 1),
+e AS (SELECT ia, ib FROM dots JOIN norms na ON na.vec_id = ia JOIN norms nb ON nb.vec_id = ib
+WHERE CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= 0.4),
+sym2 AS (SELECT ia AS s, ib AS tt FROM e UNION SELECT ib, ia FROM e),
+reach(id, r) AS (SELECT vec_id, vec_id FROM embeddings UNION SELECT reach.id, s2.tt FROM reach JOIN sym2 s2 ON s2.s = reach.r),
+lab AS (SELECT id, min(r) AS cluster_rep FROM reach GROUP BY 1)
+SELECT lab.id, cluster_rep, CAST(nn AS BIGINT) AS n2,
+row_number() OVER (PARTITION BY cluster_rep ORDER BY nn DESC, lab.id) = 1 AS keep
+FROM lab JOIN norms n ON n.vec_id = lab.id ORDER BY 1""")),
+
+    // sorted-neighborhood dedup: one global (text, id) sort, each doc
+    // compared to its 10 rank-successors only (candidates EXACTLY n*w),
+    // exact distinct-shingle Jaccard verification — rank assigned via
+    // range-partitioned sortBy+zipWithIndex, never a single-partition
+    // row_number window
+    ("q_snm_pairs", (s, dir) =>
+      Dedup.sortedNeighborhoodPairs(docs(s, dir), "doc_id", "text", 10, 3, 0.3)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
+rk AS (SELECT doc_id, row_number() OVER (ORDER BY text, doc_id) AS rn FROM t),
+cand AS (SELECT least(a.doc_id, b.doc_id) AS id_a, greatest(a.doc_id, b.doc_id) AS id_b
+FROM rk a JOIN rk b ON b.rn - a.rn BETWEEN 1 AND 10),
+sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 0)), i -> array_to_string(list_slice(l, i, i + 2), ' '))) AS shingle FROM t),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+it AS (SELECT c.id_a, c.id_b, count(*) AS i FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle GROUP BY 1,2)
+SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+FROM it JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.3 ORDER BY 1, 2"""))
   )
+
+  /** Shared BM25 oracle body: rational-k1/b scoring over the fixed query
+    * term set, HUGEINT-exact — mirrors TextAnalysis.bm25TopK term for term. */
+  private val BM25_BODY =
+    """WITH bm_base AS (SELECT doc_id, len(string_split(text, ' ')) AS dl, string_split(text, ' ') AS l FROM documents),
+bm_stats AS (SELECT count(*) AS n_docs, sum(dl) AS sumdl FROM bm_base),
+bm_tf AS (SELECT doc_id, dl, tok AS token, count(*) AS tf FROM (SELECT doc_id, dl, unnest(l) AS tok FROM bm_base) WHERE tok IN ('spark', 'merge', 'stream') GROUP BY 1, 2, 3),
+bm_df AS (SELECT token, count(*) AS df FROM bm_tf GROUP BY 1),
+bm_c AS (SELECT doc_id, (CAST(n_docs * 1000000 // df AS HUGEINT) * tf * 44 * sumdl) // (CAST(20 AS HUGEINT) * sumdl * tf + 6 * sumdl + 18 * dl * n_docs) AS contrib
+FROM bm_tf JOIN bm_df USING (token) CROSS JOIN bm_stats),
+bm_agg AS (SELECT doc_id, count(*) AS n_hits, sum(contrib) AS score_q FROM bm_c GROUP BY 1)"""
 
   /** Unrolled weighted-k-core oracle: per round, in-core strengths over the
     * surviving set, then the threshold filter — mirrors

@@ -775,4 +775,75 @@ object TextAnalysis {
           / n_toks) AS BIGINT)""").as("score_q"))
       .withColumn("keep", col("score_q") >= 0)
   }
+
+  /** Okapi BM25 retrieval scoring of the whole corpus against a fixed bag
+    * of query terms, with k1 = 6/5 and b = 3/4 kept RATIONAL so every term
+    * contribution is one exact integer ratio floored once:
+    *
+    *   contrib(t,d) = floor( idf_q(t) * tf * 44 * sumdl
+    *                         / (20*sumdl*tf + 6*sumdl + 18*dl*N) )
+    *
+    * which is idf_q * tf*(k1+1) / (tf + k1*(1-b) + k1*b*dl/avgdl) with both
+    * sides multiplied by 20*sumdl (avgdl = sumdl/N), so no floating avgdl
+    * ever appears. idf is the same rational tf-idf weight the rest of this
+    * file uses (N*1e6 div df) rather than the log form — monotone in 1/df,
+    * engine-portable, and never transcendental (ln is not correctly-rounded
+    * across libms, so a log-idf could not hash-match an oracle).
+    * Numerator/denominator accumulate in DECIMAL(38,0): at corpus scale
+    * idf_q*tf*44*sumdl overflows int64 long before 100 TB.
+    *
+    * Plan shape: the query terms arrive as a broadcast-able literal filter
+    * ON THE SCAN (isin pushes to parquet), so only matching (doc, term)
+    * rows survive the explode; corpus stats (N, sumdl) are one tiny agg
+    * cross-joined in; one groupBy(doc) sums the per-term contributions and
+    * a TakeOrderedAndProject caps the result at k. No inverted index is
+    * materialized — BM25 over 100 TB is a scan + one shuffle on doc_id.
+    * Output: (doc_id, n_hits, score_q, rank) for the top k docs, ranked by
+    * score desc then doc_id.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int = 20): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      sum("dl").as("sumdl"))
+    val tf = base.select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
+      .filter(col("token").isin(queryTerms: _*))
+      .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val contrib = tf.join(dfreq, Seq("token")).crossJoin(broadcast(stats))
+      .withColumn("idf_q", expr("(n_docs * 1000000L) div df"))
+      .withColumn("contrib_q", expr(
+        """(CAST(idf_q AS DECIMAL(38,0)) * tf * 44 * sumdl)
+           div (CAST(20 AS DECIMAL(38,0)) * sumdl * tf + 6 * sumdl + 18 * dl * n_docs)"""))
+    contrib.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), sum("contrib_q").as("score_q"))
+      .orderBy(desc("score_q"), asc("doc_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("score_q"), asc("doc_id"))))
+  }
+
+  /** Reciprocal-rank fusion of two ranked item lists — the standard hybrid-
+    * retrieval combiner (lexical + semantic, or any two signals): each list
+    * contributes 1e6 div (kRrf + rank) for items it ranks, absent items
+    * contribute nothing, fused items order by total desc then id. Entirely
+    * integral (the classic 1/(60+r) scaled by 1e6 and floored), so any
+    * engine replays it bit-for-bit. Both inputs are (id, rank) tables —
+    * produce them with whatever scorer fits (bm25TopK, cosine top-k, a
+    * quality model); the fusion itself is one full-outer join on id + one
+    * sort, broadcastable when the lists are top-k sized (they are, by
+    * construction — k rows per retriever regardless of corpus size).
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
+              rankCol: String = "rank", kRrf: Int = 60): DataFrame = {
+    val fa = a.select(col(idCol).as("id"), col(rankCol).as("rank_a"))
+    val fb = b.select(col(idCol).as("id"), col(rankCol).as("rank_b"))
+    fa.join(fb, Seq("id"), "full_outer")
+      .withColumn("rrf_q", expr(
+        s"""coalesce(1000000 div ($kRrf + rank_a), 0L)
+            + coalesce(1000000 div ($kRrf + rank_b), 0L)"""))
+      .select(col("id"), col("rank_a"), col("rank_b"), col("rrf_q"))
+  }
 }
