@@ -1631,6 +1631,27 @@ AND r.ts >= l.ts - INTERVAL 4 HOUR AND r.ts <= l.ts
 WHERE l.event_type = 'click' AND r.event_type = 'view'
 ORDER BY 1,2""")),
 
+    // LEFT-OUTER stream-stream interval join: matched rows emit on arrival;
+    // unmatched clicks emit a null view only after the watermark clears
+    // l_ts (state eviction proves no future match); clicks still open at
+    // drain are withheld — the oracle replays exactly that contract
+    ("q_stream_left", (s, dir) =>
+      EventStream.runIntervalJoinLeftStream(s, s"$dir/events.parquet",
+          "click", "view", "4 hours", "10 minutes",
+          s"interval_join_left_${Counter.next()}")
+        .select(col("l_id"), col("r_id"), col("user_id"))
+        .orderBy("l_id", "r_id"),
+      Some("""WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+l AS (SELECT event_id AS l_id, user_id, ts FROM events WHERE event_type = 'click'),
+r AS (SELECT event_id AS r_id, user_id, ts FROM events WHERE event_type = 'view'),
+m AS (SELECT l.l_id, r.r_id, l.user_id FROM l JOIN r ON l.user_id = r.user_id
+AND r.ts >= l.ts - INTERVAL 4 HOUR AND r.ts <= l.ts),
+um AS (SELECT l.l_id, CAST(NULL AS BIGINT) AS r_id, l.user_id FROM l, wm
+WHERE l.ts < wm.w AND NOT EXISTS (SELECT 1 FROM r WHERE r.user_id = l.user_id
+AND r.ts >= l.ts - INTERVAL 4 HOUR AND r.ts <= l.ts))
+SELECT l_id, r_id, user_id FROM m UNION ALL SELECT l_id, r_id, user_id FROM um
+ORDER BY 1, 2""")),
+
     // native CSV + JSON source/sink round-trip: nation written as headered
     // CSV and read back with schema inference, region as JSON lines; the
     // oracle aggregates the parquet originals, proving the non-parquet IO

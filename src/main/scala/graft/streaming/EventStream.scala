@@ -322,6 +322,54 @@ object EventStream {
         col("l_ts"), col("r_ts"))
   }
 
+  /** Left-outer stream-stream interval self-join: like `intervalJoin`, but
+    * every `leftType` event emits — matched rows as soon as both sides
+    * arrive, UNMATCHED rows with a null right side only once the watermark
+    * passes the point where a match is provably impossible (r_ts <= l_ts,
+    * so once the watermark clears l_ts the right side can never again
+    * produce a partner, the left row's state is evicted, and the null row
+    * emits). Left rows still open when the input drains are NOT emitted —
+    * the same watermark-finalization contract as `runStreamingAppend`.
+    * This is the attribution shape "every click, with its preceding view
+    * if any": the outer semantics are what state eviction makes possible
+    * at unbounded-stream scale.
+    */
+  def intervalJoinLeftOuter(events: DataFrame, leftType: String,
+                            rightType: String, within: String): DataFrame = {
+    val ev = normalizeTs(events)
+    val l = ev.filter(col("event_type") === leftType)
+      .select(col("event_id").as("l_id"), col("user_id"), col("ts").as("l_ts"))
+    val r = ev.filter(col("event_type") === rightType)
+      .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+        col("ts").as("r_ts"))
+    l.join(r, col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $within") &&
+        col("r_ts") <= col("l_ts"), "left_outer")
+      .select(col("l_id"), col("r_id"), col("user_id"),
+        col("l_ts"), col("r_ts"))
+  }
+
+  /** Drive `intervalJoinLeftOuter` through the real outer stream-stream
+    * join machinery (watermarked branches, state eviction emitting the
+    * null rows, memory sink).
+    */
+  def runIntervalJoinLeftStream(spark: SparkSession, parquetPath: String,
+                                leftType: String = "click",
+                                rightType: String = "view",
+                                within: String = "4 hours",
+                                delay: String = "10 minutes",
+                                queryName: String = "interval_join_left"): DataFrame = {
+    val schema = spark.read.parquet(parquetPath).schema
+    val src = spark.readStream.schema(schema).parquet(stageDir(parquetPath))
+    val joined = intervalJoinLeftOuter(withEventWatermark(src, delay),
+      leftType, rightType, within)
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName(queryName).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Drive `intervalJoin` through the real stream-stream join machinery
     * (two watermarked branches of one file source, memory sink).
     */

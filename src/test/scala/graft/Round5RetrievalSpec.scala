@@ -80,6 +80,22 @@ class Round5RetrievalSpec extends AnyFunSuite with SparkFixture {
       "SNM must not plan a single-partition global window")
   }
 
+  test("intervalJoinLeftOuter keeps unmatched left rows with a null right side") {
+    import graft.streaming.EventStream
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val ev = Seq(
+      (1L, t(600), 1L, "click", 0.0, "{}"),   // matched by view 2
+      (2L, t(300), 1L, "view", 0.0, "{}"),
+      (3L, t(900), 2L, "click", 0.0, "{}"),   // user 2 has no view: null match
+      (4L, t(1200), 3L, "view", 0.0, "{}"))   // view with no click: never emitted
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventStream.intervalJoinLeftOuter(ev, "click", "view", "10 minutes")
+      .select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(out == Set((1L, Some(2L)), (3L, None)))
+  }
+
   test("sortedNeighborhoodPairs finds identical texts regardless of id gap (sort ties adjacent)") {
     val docs = Seq(
       (10L, "mmm nnn ooo ppp"),
