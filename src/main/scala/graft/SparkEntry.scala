@@ -3424,8 +3424,42 @@ sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
 it AS (SELECT c.id_a, c.id_b, count(*) AS i FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle GROUP BY 1,2)
 SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
 FROM it JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.3 ORDER BY 1, 2"""))
+WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.3 ORDER BY 1, 2""")),
+
+    // maximal-marginal-relevance diversified top-5 from the relevance
+    // top-50 against query vector 0 (lambda=1/2): the greedy trajectory is
+    // deterministic on quantized cosines, so the oracle unrolls all 5
+    // selection steps as CTEs
+    ("q_mmr", (s, dir) =>
+      Similarity.mmrSelect(emb(s, dir), "vec_id", "embedding", 0L, 50, 5)
+        .orderBy("pick"),
+      Some(mmrSql(0L, 50, 5)))
   )
+
+  /** Unrolled MMR oracle: relevance pool, pool-pairwise quantized cosines,
+    * then one CTE per greedy step (max-sim against the selected set,
+    * rel - maxsim argmax with id tie-break) — mirrors Similarity.mmrSelect
+    * step for step. */
+  private def mmrSql(queryId: Long, pool: Int, k: Int): String = {
+    val steps = (2 to k).map { i =>
+      val p = i - 1
+      s"""ms$i AS (SELECT ia AS id, max(sim_q) AS ms FROM pp WHERE ib IN (SELECT id FROM all$p) GROUP BY 1),
+sel$i AS MATERIALIZED (SELECT p.id, p.rel_q, $i AS pick FROM pool p JOIN ms$i m ON m.id = p.id
+WHERE p.id NOT IN (SELECT id FROM all$p) ORDER BY p.rel_q - m.ms DESC, p.id LIMIT 1),
+all$i AS MATERIALIZED (SELECT id, rel_q, pick FROM all$p UNION ALL SELECT id, rel_q, pick FROM sel$i)"""
+    }.mkString(",\n")
+    s"""$EMB_U,
+norms AS MATERIALIZED (SELECT vec_id, sum(x * x) AS nn FROM u GROUP BY 1),
+relx AS (SELECT c.vec_id AS id, sum(c.x * q.x) AS d FROM u c JOIN (SELECT i, x FROM u WHERE vec_id = $queryId) q USING (i) WHERE c.vec_id <> $queryId GROUP BY 1),
+rel AS (SELECT relx.id, CAST(floor(CAST(d AS DOUBLE) / (sqrt(CAST(nn AS DOUBLE)) * sqrt(CAST((SELECT nn FROM norms WHERE vec_id = $queryId) AS DOUBLE))) * 1000000) AS BIGINT) AS rel_q FROM relx JOIN norms ON norms.vec_id = relx.id),
+pool AS MATERIALIZED (SELECT id, rel_q FROM rel ORDER BY rel_q DESC, id LIMIT $pool),
+ppd AS (SELECT a.vec_id AS ia, b.vec_id AS ib, sum(a.x * b.x) AS d FROM u a JOIN u b USING (i) WHERE a.vec_id IN (SELECT id FROM pool) AND b.vec_id IN (SELECT id FROM pool) AND a.vec_id <> b.vec_id GROUP BY 1, 2),
+pp AS MATERIALIZED (SELECT ia, ib, CAST(floor(CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) * 1000000) AS BIGINT) AS sim_q FROM ppd JOIN norms na ON na.vec_id = ia JOIN norms nb ON nb.vec_id = ib),
+sel1 AS (SELECT id, rel_q, 1 AS pick FROM pool ORDER BY rel_q DESC, id LIMIT 1),
+all1 AS (SELECT id, rel_q, pick FROM sel1),
+$steps
+SELECT id, rel_q, CAST(pick AS INT) AS pick FROM all$k ORDER BY pick"""
+  }
 
   /** Shared BM25 oracle body: rational-k1/b scoring over the fixed query
     * term set, HUGEINT-exact — mirrors TextAnalysis.bm25TopK term for term. */

@@ -80,6 +80,20 @@ class Round5RetrievalSpec extends AnyFunSuite with SparkFixture {
       "SNM must not plan a single-partition global window")
   }
 
+  test("mmrSelect skips the near-duplicate of the first pick in favor of a diverse item") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),       // query
+      (1L, Array(0.9f, 0.1f, 0f, 0f)),   // most relevant
+      (2L, Array(0.9f, 0.11f, 0f, 0f)),  // near-dup of 1, second-most relevant
+      (3L, Array(0.5f, 0f, 0.8f, 0f)))   // diverse, lower relevance
+      .toDF("vec_id", "embedding")
+    val r = Similarity.mmrSelect(vecs, "vec_id", "embedding", 0L, 3, 2)
+      .collect().sortBy(_.getAs[Int]("pick"))
+    assert(r(0).getAs[Long]("id") == 1L, "pick 1 is pure relevance")
+    assert(r(1).getAs[Long]("id") == 3L,
+      "pick 2 must be the diverse item, not the near-duplicate of pick 1")
+  }
+
   test("intervalJoinLeftOuter keeps unmatched left rows with a null right side") {
     import graft.streaming.EventStream
     import java.sql.Timestamp
