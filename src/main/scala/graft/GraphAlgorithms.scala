@@ -2262,6 +2262,17 @@ object GraphAlgorithms {
     nf.nodes.select("id").join(matched, Seq("id"), "left_outer")
   }
 
+  /** 2-approximation minimum vertex cover: the endpoints of a maximal
+    * matching (Gavril's classic bound — every edge touches a matched
+    * vertex, and any cover needs one endpoint per matching edge, so the
+    * cover is at most twice optimal). Pure composition over
+    * `maximalMatching`: zero additional shuffles beyond the matching
+    * fixpoint. Output: (id, in_cover).
+    */
+  def vertexCover2Approx(nf: NetworkFrame, rounds: Int = 6): DataFrame =
+    maximalMatching(nf, rounds)
+      .select(col("id"), col("partner").isNotNull.as("in_cover"))
+
   /** Widest-path (maximin / bottleneck) distances from one source: the
     * width of a node is the maximum over paths of the minimum cent-quantized
     * edge weight along the path — max-min relaxation instead of min-plus

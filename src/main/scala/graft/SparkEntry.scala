@@ -2816,6 +2816,13 @@ GROUP BY 1 ORDER BY 1""")),
         .orderBy("id"),
       Some(matchSql(6))),
 
+    // Gavril 2-approx minimum vertex cover: matched endpoints of the
+    // maximal matching — zero extra shuffles beyond the matching fixpoint
+    ("q_vertex_cover", (s, dir) =>
+      GraphAlgorithms.vertexCover2Approx(sparse(s, dir), rounds = 6)
+        .orderBy("id"),
+      Some(coverSql(6))),
+
     // per-source keyword extraction: exact integer rate-ratio keyness,
     // top-5 per source (map-side WindowGroupLimit)
     ("q_keyness", (s, dir) =>
@@ -4027,7 +4034,7 @@ SELECT n.id, CAST(l.layer AS BIGINT) AS layer FROM nodes n LEFT JOIN allly l ON 
     * still-unmatched induced graph, mutual pairs matched — mirrors
     * GraphAlgorithms.maximalMatching round for round.
     */
-  private def matchSql(rounds: Int): String = {
+  private def matchBody(rounds: Int): String = {
     val steps = (1 to rounds).map { r =>
       val p = r - 1
       s"""er$r AS MATERIALIZED (SELECT source, target FROM sy WHERE source IN (SELECT id FROM u$p) AND target IN (SELECT id FROM u$p)),
@@ -4043,10 +4050,19 @@ se AS MATERIALIZED (SELECT o_custkey AS source, o_orderkey % (SELECT count(*) FR
 sy AS MATERIALIZED (SELECT DISTINCT source, target FROM (SELECT source, target FROM se UNION ALL SELECT target, source FROM se) WHERE source <> target),
 u0 AS MATERIALIZED (SELECT id FROM nodes),
 $steps,
-allp AS MATERIALIZED ($unions)
+allp AS MATERIALIZED ($unions)"""
+  }
+
+  private def matchSql(rounds: Int): String =
+    s"""${matchBody(rounds)}
 SELECT n.id, p.partner, CAST(p.matched_round AS BIGINT) AS matched_round
 FROM nodes n LEFT JOIN allp p ON p.id = n.id ORDER BY 1"""
-  }
+
+  /** Vertex-cover oracle: the matching body, endpoints flagged. */
+  private def coverSql(rounds: Int): String =
+    s"""${matchBody(rounds)}
+SELECT n.id, p.id IS NOT NULL AS in_cover
+FROM nodes n LEFT JOIN allp p ON p.id = n.id ORDER BY 1"""
 
   /** Unrolled widest-path oracle: max-min relaxation rounds mirroring
     * GraphAlgorithms.widestPaths (parallel edges keep max weight; the seed

@@ -80,6 +80,18 @@ class Round5RetrievalSpec extends AnyFunSuite with SparkFixture {
       "SNM must not plan a single-partition global window")
   }
 
+  test("vertexCover2Approx covers every edge") {
+    val cover = GraphAlgorithms.vertexCover2Approx(twoCompNf)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val edges = twoCompNf.edges.select("source", "target").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    edges.foreach { case (u, v) =>
+      assert(cover(u) || cover(v), s"edge ($u,$v) must have a covered endpoint")
+    }
+    // isolated node 5 is never in the cover
+    assert(!cover(5L))
+  }
+
   test("mmrSelect skips the near-duplicate of the first pick in favor of a diverse item") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f, 0f)),       // query
