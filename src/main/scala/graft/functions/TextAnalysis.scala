@@ -792,22 +792,30 @@ object TextAnalysis {
     * Numerator/denominator accumulate in DECIMAL(38,0): at corpus scale
     * idf_q*tf*44*sumdl overflows int64 long before 100 TB.
     *
-    * Plan shape: the query terms arrive as a broadcast-able literal filter
-    * ON THE SCAN (isin pushes to parquet), so only matching (doc, term)
-    * rows survive the explode; corpus stats (N, sumdl) are one tiny agg
-    * cross-joined in; one groupBy(doc) sums the per-term contributions and
-    * a TakeOrderedAndProject caps the result at k. No inverted index is
+    * Plan shape: corpus stats (N, sumdl) are one tiny agg cross-joined in.
+    * The scoring branch pre-filters docs with a contains-any predicate on
+    * the RAW text column (a doc whose text lacks the substring cannot have
+    * the token — evaluated against the scan, before tokenize/explode, so
+    * at real-corpus selectivity almost no document is ever tokenized), then
+    * keeps only query-term rows of the explode with `isin`. One
+    * groupBy(doc) sums the per-term contributions and a
+    * TakeOrderedAndProject caps the result at k. No inverted index is
     * materialized — BM25 over 100 TB is a scan + one shuffle on doc_id.
     * Output: (doc_id, n_hits, score_q, rank) for the top k docs, ranked by
     * score desc then doc_id.
     */
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
                queryTerms: Seq[String], k: Int = 20): DataFrame = {
-    val base = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
-      .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val base = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"),
+        col(textCol).as("txt"))
+      .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"), col("txt"))
     val stats = base.agg(count(lit(1)).as("n_docs"),
       sum("dl").as("sumdl"))
-    val tf = base.select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
+    val containsAny = queryTerms.map(t => col("txt").contains(t))
+      .reduce(_ || _)
+    val tf = base.filter(containsAny)
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
       .filter(col("token").isin(queryTerms: _*))
       .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
