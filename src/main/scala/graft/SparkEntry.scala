@@ -874,6 +874,28 @@ cand AS (SELECT DISTINCT x.id AS ia, y.id AS ib FROM b x JOIN b y ON x.band = y.
 SELECT c.ia AS id_a, c.ib AS id_b, CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS est_jaccard
 FROM cand c JOIN sig sa ON sa.doc_id = c.ia JOIN sig sb ON sb.doc_id = c.ib AND sb.h = sa.h GROUP BY 1,2 ORDER BY 1,2""")),
 
+    // contrastive training triples: LSH positives (est_jaccard >= 0.5) with
+    // 3 md5-position-drawn negatives each — deterministic under any
+    // partitioning (the dense index is sortBy+zipWithIndex, no window)
+    ("q_contrastive", (s, dir) =>
+      Dedup.contrastiveTriples(docs(s, dir), "doc_id", "text", 0.5, 3, 16, 4)
+        .orderBy("id_a", "id_b", "neg_rank"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 0)), i -> array_to_string(list_slice(l, i, i + 2), ' '))) AS shingle FROM t),
+hs AS (SELECT doc_id, unnest(generate_series(0, 15)) AS h, shingle FROM sh),
+sig AS (SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash FROM hs GROUP BY 1,2),
+b AS (SELECT doc_id AS id, h // 4 AS band, md5(string_agg(minhash, '|' ORDER BY h)) AS bucket FROM sig GROUP BY 1,2),
+cand AS (SELECT DISTINCT x.id AS ia, y.id AS ib FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id),
+e AS (SELECT c.ia, c.ib FROM cand c JOIN sig sa ON sa.doc_id = c.ia JOIN sig sb ON sb.doc_id = c.ib AND sb.h = sa.h GROUP BY 1,2
+HAVING CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS DOUBLE) / count(*) >= 0.5),
+n AS (SELECT count(*) AS n FROM documents),
+idx AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS pos FROM documents),
+d AS (SELECT ia AS id_a, ib AS id_b, r AS neg_rank, CAST(concat('0x', substr(md5(ia || ':' || ib || ':' || r), 1, 8)) AS BIGINT) % (SELECT n FROM n) AS neg_pos
+FROM e, (SELECT unnest(generate_series(1, 3)) AS r) s)
+SELECT id_a, id_b, CAST(neg_rank AS INT) AS neg_rank, idx.doc_id AS neg_id
+FROM d JOIN idx ON idx.pos = d.neg_pos
+WHERE idx.doc_id <> id_a AND idx.doc_id <> id_b ORDER BY 1, 2, 3""")),
+
     ("q_simhash", (s, dir) =>
       Dedup.simhash(docs(s, dir), "doc_id", "text").orderBy("id"),
       Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

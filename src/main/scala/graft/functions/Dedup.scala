@@ -565,6 +565,48 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
   }
 
+  /** Contrastive training triples: every MinHash-LSH positive pair
+    * (estimated Jaccard >= minJaccard) paired with `negPerPair`
+    * deterministic negatives drawn uniformly from the corpus — the
+    * (anchor, positive, negative) rows embedding/reranker training
+    * consumes. Negatives are md5-picked by POSITION (the scalable
+    * sortBy+zipWithIndex dense index, never a single-partition window), so
+    * the draw is reproducible under any partitioning and replayable by an
+    * oracle; the standard in-batch-negative caveat applies (a hash can
+    * land on a true near-dup — rare, and accepted by the training recipe,
+    * though anchors are excluded by construction below). Shuffle story:
+    * positives come from the banded LSH join (never all-pairs), the
+    * negative join is an equi-join on the dense position — one shuffle of
+    * |positives| * negPerPair compact rows.
+    * Output: (id_a, id_b, neg_rank, neg_id).
+    */
+  def contrastiveTriples(df: DataFrame, idCol: String, textCol: String,
+                         minJaccard: Double, negPerPair: Int = 3,
+                         numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    require(negPerPair >= 1, "negPerPair must be >= 1")
+    val pos = minhashLshPairs(df, idCol, textCol, numHashes, bands)
+      .filter(col("est_jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"))
+    val posIdx = graft.NetworkFrame.positionsById(
+        df.select(col(idCol).as("id")))
+      .localCheckpointCapped()
+    val nRow = posIdx.agg((max("pos") + 1).as("n"))
+    val draws = pos
+      .withColumn("neg_rank", explode(sequence(lit(1), lit(negPerPair))))
+      .crossJoin(broadcast(nRow))
+      .withColumn("neg_pos",
+        conv(substring(md5(concat_ws(":", col("id_a"), col("id_b"),
+          col("neg_rank"))), 1, 8), 16, 10).cast("long") % col("n"))
+    draws
+      .join(posIdx.select(col("pos").as("neg_pos"), col("id").as("neg_id")),
+        Seq("neg_pos"))
+      // a draw landing on either anchor is skipped (not resampled): the
+      // triple row disappears deterministically in both engines
+      .filter(col("neg_id") =!= col("id_a") && col("neg_id") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), col("neg_rank").cast("int").as("neg_rank"),
+        col("neg_id"))
+  }
+
   /** Sorted-neighborhood dedup (the classic SNM blocking discipline): rank
     * every document in one global (text, id) sort order, compare each doc
     * only to its `window` successors in that order, and verify candidates

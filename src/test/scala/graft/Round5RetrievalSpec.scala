@@ -80,6 +80,24 @@ class Round5RetrievalSpec extends AnyFunSuite with SparkFixture {
       "SNM must not plan a single-partition global window")
   }
 
+  test("contrastiveTriples draws deterministic negatives distinct from both anchors") {
+    val docs = Seq(
+      (1L, "aaa bbb ccc ddd eee fff"),
+      (2L, "aaa bbb ccc ddd eee fff"), // exact dup of 1 -> certain LSH positive
+      (3L, "zzz yyy xxx www vvv uuu"),
+      (4L, "mmm nnn ooo ppp qqq rrr")).toDF("doc_id", "text")
+    val r1 = Dedup.contrastiveTriples(docs, "doc_id", "text", 0.5, 3).collect()
+    val r2 = Dedup.contrastiveTriples(docs, "doc_id", "text", 0.5, 3).collect()
+    assert(r1.nonEmpty, "the exact-dup pair must be a positive")
+    assert(r1.map(_.toSeq).toSet == r2.map(_.toSeq).toSet, "draws are deterministic")
+    r1.foreach { r =>
+      val (a, b, n) = (r.getLong(0), r.getLong(1), r.getLong(3))
+      assert(n != a && n != b, "negatives never equal an anchor")
+      assert(r.getInt(2) >= 1 && r.getInt(2) <= 3)
+    }
+    assert(r1.length <= 3, "at most negPerPair rows per positive pair")
+  }
+
   test("vertexCover2Approx covers every edge") {
     val cover = GraphAlgorithms.vertexCover2Approx(twoCompNf)
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
