@@ -3387,6 +3387,28 @@ SELECT doc_id, n_hits, CAST(score_q AS BIGINT) AS score_q,
 CAST(row_number() OVER (ORDER BY score_q DESC, doc_id) AS INT) AS rank
 FROM bm_agg ORDER BY score_q DESC, doc_id LIMIT 20""")),
 
+    // batch BM25 against a query TABLE (the production retrieval shape):
+    // broadcast term join, shared per-term df across queries, per-query
+    // top-k as a WindowGroupLimit — one corpus scan for all queries
+    ("q_bm25_multi", (s, dir) => {
+      import s.implicits._
+      val qt = Seq((1L, "spark"), (1L, "merge"), (2L, "stream"),
+        (2L, "table"), (3L, "customer")).toDF("query_id", "term")
+      TextAnalysis.bm25TopKPerQuery(docs(s, dir), "doc_id", "text", qt, 10)
+        .orderBy("query_id", "rank")
+    },
+      Some("""WITH qt(query_id, term) AS (VALUES (1, 'spark'), (1, 'merge'), (2, 'stream'), (2, 'table'), (3, 'customer')),
+mb_base AS (SELECT doc_id, len(string_split(text, ' ')) AS dl, string_split(text, ' ') AS l FROM documents),
+mb_stats AS (SELECT count(*) AS n_docs, sum(dl) AS sumdl FROM mb_base),
+mb_tf AS (SELECT doc_id, dl, tok AS token, count(*) AS tf FROM (SELECT doc_id, dl, unnest(l) AS tok FROM mb_base) WHERE tok IN (SELECT term FROM qt) GROUP BY 1, 2, 3),
+mb_df AS (SELECT token, count(*) AS df FROM mb_tf GROUP BY 1),
+mb_c AS (SELECT doc_id, token, (CAST(n_docs * 1000000 // df AS HUGEINT) * tf * 44 * sumdl) // (CAST(20 AS HUGEINT) * sumdl * tf + 6 * sumdl + 18 * dl * n_docs) AS contrib
+FROM mb_tf JOIN mb_df USING (token) CROSS JOIN mb_stats),
+sc AS (SELECT query_id, doc_id, count(*) AS n_hits, sum(contrib) AS score_q FROM mb_c JOIN qt ON qt.term = mb_c.token GROUP BY 1, 2),
+r AS (SELECT query_id, doc_id, n_hits, score_q, row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS rn FROM sc)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, n_hits, CAST(score_q AS BIGINT) AS score_q, CAST(rn AS INT) AS rank
+FROM r WHERE rn <= 10 ORDER BY 1, 5""")),
+
     // reciprocal-rank fusion of the BM25 lexical top-50 with the hashed
     // linear quality-model top-50 — the standard hybrid-retrieval combiner,
     // entirely integral (1e6 div (60+rank))

@@ -833,6 +833,44 @@ object TextAnalysis {
           .orderBy(desc("score_q"), asc("doc_id"))))
   }
 
+  /** Batch BM25: score the corpus against a whole QUERY TABLE
+    * (query_id, term) — the production retrieval shape, where thousands of
+    * queries amortize one corpus pass. Same rational scoring as
+    * `bm25TopK`; the differences are plan-shaped: the term set joins as a
+    * broadcast (not an isin literal), per-term df is computed once across
+    * all queries from the matched rows, each (doc, term) contribution
+    * fans out to every query containing the term through the same
+    * broadcast, and the per-query top-k is a WindowGroupLimit (partial
+    * top-k below the exchange — only k rows per query per map task cross
+    * the wire). Still one corpus scan + one shuffle regardless of query
+    * count. Output: (query_id, doc_id, n_hits, score_q, rank <= k).
+    */
+  def bm25TopKPerQuery(df: DataFrame, idCol: String, textCol: String,
+                       queries: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = queries.select(col("term")).distinct()
+    val base = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
+    val stats = base.agg(count(lit(1)).as("n_docs"), sum("dl").as("sumdl"))
+    val tf = base.select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
+      .join(broadcast(terms.select(col("term").as("token"))), Seq("token"))
+      .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val contrib = tf.join(dfreq, Seq("token")).crossJoin(broadcast(stats))
+      .withColumn("idf_q", expr("(n_docs * 1000000L) div df"))
+      .withColumn("contrib_q", expr(
+        """(CAST(idf_q AS DECIMAL(38,0)) * tf * 44 * sumdl)
+           div (CAST(20 AS DECIMAL(38,0)) * sumdl * tf + 6 * sumdl + 18 * dl * n_docs)"""))
+    val w = Window.partitionBy("query_id").orderBy(desc("score_q"), asc("doc_id"))
+    contrib
+      .join(broadcast(queries.select(col("query_id"), col("term").as("token"))),
+        Seq("token"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_hits"), sum("contrib_q").as("score_q"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Reciprocal-rank fusion of two ranked item lists — the standard hybrid-
     * retrieval combiner (lexical + semantic, or any two signals): each list
     * contributes 1e6 div (kRrf + rank) for items it ranks, absent items

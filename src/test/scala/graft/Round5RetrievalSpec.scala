@@ -36,6 +36,23 @@ class Round5RetrievalSpec extends AnyFunSuite with SparkFixture {
     assert(r.map(_.getAs[Int]("rank")).sorted.toSeq == Seq(1, 2))
   }
 
+  test("bm25TopKPerQuery scores queries independently and plans a WindowGroupLimit") {
+    val qt = Seq((1L, "cat"), (2L, "fish"), (2L, "dog")).toDF("query_id", "term")
+    val r = TextAnalysis.bm25TopKPerQuery(corpus, "doc_id", "text", qt, 10)
+    val rows = r.collect()
+    val q1 = rows.filter(_.getAs[Long]("query_id") == 1L)
+    // query 1 = single-term bm25: same doc ranking as the literal-set form
+    assert(q1.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("doc_id")).toSeq
+      == Seq(1L, 2L), "tf ordering within the cat query")
+    val q2 = rows.filter(_.getAs[Long]("query_id") == 2L)
+    assert(q2.head.getAs[Long]("doc_id") == 3L ||
+      q2.sortBy(_.getAs[Int]("rank")).head.getAs[Long]("doc_id") == 3L,
+      "rare fish term dominates query 2")
+    assert(rows.forall(_.getAs[Int]("rank") <= 10))
+    assert(r.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "per-query top-k must plan as WindowGroupLimit")
+  }
+
   test("rrfFuse is integral, handles one-sided items, and orders by fused score") {
     val a = Seq((1L, 1), (2L, 2)).toDF("id", "rank")
     val b = Seq((2L, 1), (3L, 2)).toDF("id", "rank")
