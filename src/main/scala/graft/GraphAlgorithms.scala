@@ -2406,6 +2406,77 @@ object GraphAlgorithms {
           .otherwise(col("community")).as("community"))
   }
 
+  /** Directed triad closure census: 3-cycles (a->b->c->a, one count per
+    * cyclic orientation via the min-id anchor, so a fully-reciprocal
+    * triangle counts twice — once per direction) and transitive triples
+    * (a->b, b->c, a->c counted as ordered role assignments). The directed
+    * complement of `triangleCount`; same ordered three-way self-join shape,
+    * so the same scale posture (broadcast/AQE on the deduped edge list, no
+    * unoriented wedge explosion beyond the hub degrees).
+    */
+  def triadCensus(nf: NetworkFrame): DataFrame = {
+    val e = nf.edges.select(col("source"), col("target"))
+      .filter(col("source") =!= col("target")).distinct()
+      .localCheckpointCapped()
+    val cyc = e.as("e1")
+      .join(e.as("e2"), col("e1.target") === col("e2.source"))
+      .join(e.as("e3"), col("e2.target") === col("e3.source") &&
+        col("e3.target") === col("e1.source"))
+      .filter(col("e1.source") < col("e1.target") &&
+        col("e1.source") < col("e2.target"))
+      .agg(count(lit(1)).as("n_cyclic"))
+    val tra = e.as("e1")
+      .join(e.as("e2"), col("e1.target") === col("e2.source"))
+      .join(e.as("e3"), col("e3.source") === col("e1.source") &&
+        col("e3.target") === col("e2.target"))
+      .filter(col("e1.source") =!= col("e2.target"))
+      .agg(count(lit(1)).as("n_transitive"))
+    cyc.crossJoin(tra)
+  }
+
+  /** Approximate neighborhood function (ANF, the HyperBall/HyperANF family):
+    * per node and radius k <= rounds, a k-minimum-value sketch of the
+    * undirected ball B(v, k). Each of `trials` independent md5-derived
+    * 32-bit hashes seeds a node, and the ball sketch is the elementwise MIN
+    * over the ball — a mergeable sketch, so one round is exactly one edge
+    * join + one (id, trial) min-aggregation, and k rounds cover radius k
+    * with NO per-pair BFS state. This is the scalable estimator sibling of
+    * `kHopNeighborhood` (exact balls; reference networkframe.py:1540-1549
+    * territory): the exact count is O(sum of ball sizes) — quadratic on a
+    * 100 TB small-world graph — while the sketch is O(k * |E| * trials)
+    * with map-side-combinable mins.
+    *
+    * Output: (id, k, kmv_sum) with kmv_sum = sum over trials of the ball's
+    * min hash — exact integers (the float estimate
+    * trials * 2^32 / kmv_sum - 1 is a trivial driver-side epilogue; keeping
+    * the sketch integral keeps the result engine-portable and mergeable).
+    */
+  def neighborhoodFunction(nf: NetworkFrame, rounds: Int = 3,
+                           trials: Int = 8): DataFrame =
+      withoutConstraintPropagation(nf.edges) {
+    require(rounds >= 1 && trials >= 1, "rounds and trials must be positive")
+    val und = nf.symmetrizedEdges.filter(col("source") =!= col("target"))
+      .distinct().localCheckpointCapped()
+    var s = nf.nodes.select(col("id"))
+      .select(col("id"), explode(sequence(lit(0), lit(trials - 1))).as("t"))
+      .select(col("id"), col("t"),
+        conv(substring(md5(concat(col("id").cast("string"), lit(":"),
+          col("t").cast("string"))), 1, 8), 16, 10).cast("long").as("m"))
+      .localCheckpointCapped()
+    var out: DataFrame = null
+    for (k <- 1 to rounds) {
+      val nbr = und
+        .join(s.withColumnRenamed("id", "target"), Seq("target"))
+        .select(col("source").as("id"), col("t"), col("m"))
+      s = s.union(nbr).groupBy("id", "t").agg(min("m").as("m"))
+        .localCheckpointCapped()
+      val row = s.groupBy("id").agg(sum("m").as("kmv_sum"))
+        .select(col("id"), lit(k.toLong).as("k"), col("kmv_sum"))
+      out = if (out == null) row else out.union(row)
+    }
+    out
+  }
+
   private def induce(edges: DataFrame, ids: DataFrame): DataFrame =
     edges
       .join(ids.withColumnRenamed("id", "source"), Seq("source"), "left_semi")

@@ -23,6 +23,18 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** `ts` as exact epoch nanoseconds (BIGINT), whatever the physical schema:
+    * the testdata generator has shipped `ts` both as TIMESTAMP(NANOS)
+    * (long under nanosAsLong) and as TIMESTAMP_NTZ(MICROS) across rounds, so
+    * every query doing integer time arithmetic must normalize first rather
+    * than assume one encoding. NTZ→TZ cast is exact under the UTC session tz.
+    */
+  private def tsNanos(df: DataFrame): org.apache.spark.sql.Column =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => col("ts")
+      case _ => unix_micros(col("ts").cast("timestamp")) * lit(1000L)
+    }
+
   /** Customer graph: nodes = customer, edges = orders with target derived as
     * o_orderkey mod |customer| — a deterministic synthetic multigraph over
     * the customer id space (FIXTURES.md §B).
@@ -524,6 +536,18 @@ SELECT id, count(*) AS n_reach FROM pr GROUP BY 1 ORDER BY 1""")),
       Some(s"""$G, ce AS (SELECT DISTINCT least(source, target) AS s, greatest(source, target) AS t FROM sedges WHERE source <> target)
 SELECT count(*) AS n_triangles FROM ce ab JOIN ce bc ON ab.t = bc.s JOIN ce ac ON ac.s = ab.s AND ac.t = bc.t""")),
 
+    // directed triad closure census: 3-cycles (a->b->c->a, counted once per
+    // orientation via the min-id anchor) vs transitive triples (a->b, b->c,
+    // a->c) — the directed complement of the undirected triangle count
+    ("q_triangle_types", (s, dir) =>
+      GraphAlgorithms.triadCensus(sparse(s, dir)),
+      Some(s"""$G, de AS (SELECT DISTINCT source, target FROM sedges WHERE source <> target),
+cyc AS (SELECT count(*) AS n_cyclic FROM de e1 JOIN de e2 ON e1.target = e2.source JOIN de e3 ON e2.target = e3.source AND e3.target = e1.source
+WHERE e1.source < e1.target AND e1.source < e2.target),
+tra AS (SELECT count(*) AS n_transitive FROM de e1 JOIN de e2 ON e1.target = e2.source JOIN de e3 ON e3.source = e1.source AND e3.target = e2.target
+WHERE e1.source <> e2.target)
+SELECT n_cyclic, n_transitive FROM cyc, tra""")),
+
     // deterministic quantized PageRank over the sparse graph; oracle unrolls
     // the integer-exact iterations (same technique as q_spectral)
     ("q_pagerank", (s, dir) =>
@@ -770,6 +794,25 @@ kept AS (SELECT sy.source AS z, sy.target AS n, d FROM sy JOIN deg ON deg.z = sy
 SELECT a.n AS id_a, b.n AS id_b, count(*) AS cn, CAST(sum(1000000000000 // a.d) AS BIGINT) AS ra_q
 FROM kept a JOIN kept b ON a.z = b.z AND a.n < b.n GROUP BY 1,2 ORDER BY 1,2""")),
 
+    // approximate neighborhood function (ANF/HyperBall family): KMV sketch
+    // of |ball(v,k)| for k=1..3 — the scalable effective-diameter / reach
+    // profile; sketch union = elementwise min, so each radius is one edge
+    // join + one min-agg (mergeable, map-side combinable)
+    ("q_anf", (s, dir) =>
+      GraphAlgorithms.neighborhoodFunction(sparse(s, dir), rounds = 3,
+        trials = 8).orderBy("id", "k"),
+      Some(s"""$G, tr AS (SELECT unnest(generate_series(0, 7)) AS t),
+und AS MATERIALIZED (SELECT DISTINCT source, target FROM sym WHERE source <> target),
+s0 AS MATERIALIZED (SELECT id, t, CAST(concat('0x', substr(md5(CAST(id AS VARCHAR) || ':' || CAST(t AS VARCHAR)), 1, 8)) AS BIGINT) AS m FROM nodes, tr),
+s1 AS MATERIALIZED (SELECT id, t, min(m) AS m FROM (SELECT * FROM s0 UNION ALL SELECT e.source AS id, x.t, x.m FROM und e JOIN s0 x ON x.id = e.target) GROUP BY 1, 2),
+s2 AS MATERIALIZED (SELECT id, t, min(m) AS m FROM (SELECT * FROM s1 UNION ALL SELECT e.source AS id, x.t, x.m FROM und e JOIN s1 x ON x.id = e.target) GROUP BY 1, 2),
+s3 AS MATERIALIZED (SELECT id, t, min(m) AS m FROM (SELECT * FROM s2 UNION ALL SELECT e.source AS id, x.t, x.m FROM und e JOIN s2 x ON x.id = e.target) GROUP BY 1, 2)
+SELECT id, k, kmv_sum FROM (
+SELECT id, CAST(1 AS BIGINT) AS k, CAST(sum(m) AS BIGINT) AS kmv_sum FROM s1 GROUP BY 1
+UNION ALL SELECT id, CAST(2 AS BIGINT), CAST(sum(m) AS BIGINT) FROM s2 GROUP BY 1
+UNION ALL SELECT id, CAST(3 AS BIGINT), CAST(sum(m) AS BIGINT) FROM s3 GROUP BY 1)
+ORDER BY id, k""")),
+
     // SCC condensation DAG: contract each strong component to its min-id
     // representative, emit distinct inter-component edges with
     // multiplicity; the oracle derives SCCs as mutual transitive reach
@@ -845,6 +888,23 @@ FROM edges e JOIN nodes n ON e.target = n.id GROUP BY 1 ORDER BY 1""")),
     ("q_dedup_exact", (s, dir) =>
       Dedup.exactGroups(docs(s, dir), "doc_id", "text").orderBy("fp"),
       Some("""SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    // dedup observability: per-source exact-duplicate rate (the dashboard a
+    // corpus pipeline watches to catch a crawler gone circular); one
+    // group-agg over fingerprints, dup rate in ppm by integral division
+    ("q_dedup_src_rate", (s, dir) =>
+      docs(s, dir)
+        .select(col("source"), md5(lower(trim(col("text")))).as("fp"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_unique"))
+        .selectExpr("source", "n_docs", "n_unique",
+          "CAST((n_docs - n_unique) * 1000000 DIV n_docs AS BIGINT) AS dup_ppm")
+        .orderBy("source"),
+      Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+CAST(count(DISTINCT md5(lower(trim(text)))) AS BIGINT) AS n_unique,
+CAST((count(*) - count(DISTINCT md5(lower(trim(text))))) * 1000000 // count(*) AS BIGINT) AS dup_ppm
+FROM documents GROUP BY 1 ORDER BY 1""")),
 
     ("q_minhash_sig", (s, dir) =>
       docSignatures(s, dir).orderBy("id", "h"),
@@ -2377,9 +2437,12 @@ FROM z GROUP BY 1 ORDER BY 1""")),
 
     // per-user union length of [ts, ts + value minutes] exposure intervals
     ("q_interval_union", (s, dir) => {
-      val iv = tbl(s, dir, "events").select(col("user_id"), col("event_id"),
-        expr("ts DIV 1000000000").as("s"),
-        (expr("ts DIV 1000000000") + floor(col("value") * 60).cast("long")).as("e"))
+      val ev = tbl(s, dir, "events")
+      val iv = ev.withColumn("tsn", tsNanos(ev))
+        .select(col("user_id"), col("event_id"),
+          expr("tsn DIV 1000000000").as("s"),
+          (expr("tsn DIV 1000000000") +
+            floor(col("value") * 60).cast("long")).as("e"))
       graft.operators.RangeJoin.intervalUnion(iv, "user_id", "s", "e", "event_id")
         .select(col("user_id"), col("covered").as("covered_sec"), col("n_islands"))
         .orderBy("user_id")
@@ -2468,10 +2531,11 @@ SELECT seed, id, CAST(min(t) AS BIGINT) AS arrival FROM f GROUP BY 1, 2 ORDER BY
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy("tn", "event_id")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      val e = tbl(s, dir, "events")
+      val ev0 = tbl(s, dir, "events")
+      val e = ev0
         .filter(col("event_type").isin("view", "click"))
         .select(col("user_id"), col("event_id"), col("event_type"),
-          col("ts").as("tn"))
+          tsNanos(ev0).as("tn"))
       val conv = e
         .withColumn("lv", max(when(col("event_type") === "view", col("tn"))).over(w))
         .groupBy("user_id")
@@ -2627,19 +2691,21 @@ FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id ORDER BY 1""")),
     // one window pass over the per-user event order, no join
     ("q_attribution", (s, dir) => {
       val W = org.apache.spark.sql.expressions.Window
-      val w = W.partitionBy("user_id").orderBy("ts", "event_id")
+      val w = W.partitionBy("user_id").orderBy("tsn", "event_id")
         .rowsBetween(W.unboundedPreceding, -1)
-      tbl(s, dir, "events")
+      val ev0 = tbl(s, dir, "events")
+      ev0
         .filter(col("event_type").isin("view", "click", "purchase"))
+        .withColumn("tsn", tsNanos(ev0))
         .withColumn("ltt",
           last(when(col("event_type") =!= "purchase", col("event_type")),
             ignoreNulls = true).over(w))
         .withColumn("ltts",
-          last(when(col("event_type") =!= "purchase", col("ts")),
+          last(when(col("event_type") =!= "purchase", col("tsn")),
             ignoreNulls = true).over(w))
         .filter(col("event_type") === "purchase")
         .select(when(col("ltts").isNull ||
-            col("ts") - col("ltts") > 604800000000000L, "none")
+            col("tsn") - col("ltts") > 604800000000000L, "none")
           .otherwise(col("ltt")).as("attributed"),
           floor(col("value") * 100).cast("long").as("cents"))
         .groupBy("attributed")

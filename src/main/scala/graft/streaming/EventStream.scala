@@ -23,6 +23,9 @@ object EventStream {
     events.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         events.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // watermarks require TIMESTAMP; exact under the UTC session tz
+        events.withColumn("ts", col("ts").cast("timestamp"))
       case _ => events
     }
 
@@ -98,17 +101,25 @@ object EventStream {
   /** Per-key time-weighted average (TWAP): each observation holds until the
     * next one, so the average is sum(value_i * dt_i) / (t_last - t_first)
     * over consecutive gaps — the step-function integral, in exact integer
-    * arithmetic (cent values x nanosecond gaps accumulate in DECIMAL(38,0);
-    * the final integral division is engine-portable). One window pass for
-    * the lead + one per-key aggregation; keys with fewer than two events
-    * have no time span and are omitted.
+    * arithmetic (cent values x exact-microsecond gaps accumulate in
+    * DECIMAL(38,0); the final integral division is engine-portable, and the
+    * time unit cancels exactly in the quotient). The gap MUST be computed on
+    * integer epoch micros, not `ts - ts`: a timestamp difference is a
+    * DayTimeInterval whose cast to DECIMAL(38,0) rounds each gap to whole
+    * seconds, silently re-weighting the average. One window pass for the
+    * lead + one per-key aggregation; keys with fewer than two events have
+    * no time span and are omitted.
     */
   def timeWeightedAverage(events: DataFrame, keyCol: String = "user_id"):
       DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCol).orderBy("tn", "event_id")
+    val tn = events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => col("ts") // integer nanos
+      case _ => unix_micros(col("ts").cast("timestamp")) // NTZ→TZ exact under UTC session tz
+    }
     events
-      .select(col(keyCol), col("event_id"), col("ts").as("tn"),
+      .select(col(keyCol), col("event_id"), tn.as("tn"),
         floor(col("value") * 100).cast("long").as("cents"))
       .withColumn("nts", lead("tn", 1).over(w))
       .filter(col("nts").isNotNull)

@@ -105,6 +105,22 @@ class BatchKSpec extends AnyFunSuite with SparkFixture {
     assert(got == Map(1L -> ((2L, 150L))))
   }
 
+  test("timeWeightedAverage weighs sub-second gaps exactly (no interval rounding)") {
+    // Timestamp column (not long nanos): value 1.00 holds 100ms, 9.00 holds
+    // 900ms -> (100*0.1 + 900*0.9)/1.0 = 820 cents. A gap computed as
+    // (ts - ts).cast(decimal) rounds each gap to whole seconds and would
+    // give (100*0 + 900*1)/1 = 900 — the round-6 q_twap hash fail.
+    val events = Seq(
+      (1L, 1L, "2024-01-01 00:00:00.000", 1.00),
+      (1L, 2L, "2024-01-01 00:00:00.100", 9.00),
+      (1L, 3L, "2024-01-01 00:00:01.000", 50.0))
+      .toDF("user_id", "event_id", "s", "value")
+      .withColumn("ts", col("s").cast("timestamp_ntz")).drop("s")
+    val got = EventStream.timeWeightedAverage(events, "user_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> ((2L, 820L))))
+  }
+
   test("ivfResidualEnergy is zero iff members equal their centroid") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f), 0),   // cell 0: identical vectors -> resid 0

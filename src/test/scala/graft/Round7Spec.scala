@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Round-7 specs: ANF KMV sketch propagation and the directed triad
+  * closure census.
+  */
+class Round7Spec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("neighborhoodFunction sketches are monotone and converge per component") {
+    // triangle 1-2-3 (diameter 1) + isolated node 9
+    val nodes = Seq(1L, 2L, 3L, 9L).map(Tuple1(_)).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("source", "target")
+    val g = NetworkFrame(nodes, edges)
+    val rows = GraphAlgorithms.neighborhoodFunction(g, rounds = 3, trials = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows.size == 12)
+    // per node: kmv_sum non-increasing in k (balls only grow, mins only drop)
+    for (id <- Seq(1L, 2L, 3L, 9L)) {
+      assert(rows((id, 1L)) >= rows((id, 2L)))
+      assert(rows((id, 2L)) >= rows((id, 3L)))
+    }
+    // the triangle has diameter 1: every member's ball is the whole
+    // component from k=1 on, so all three share one sketch at every k
+    for (k <- 1L to 3L)
+      assert(Set(rows((1L, k)), rows((2L, k)), rows((3L, k))).size == 1)
+    // the isolated node's ball never grows beyond itself
+    assert(rows((9L, 1L)) == rows((9L, 3L)))
+    // connected vs isolated sketches differ (4 trials, min over 3 seeds
+    // vs a single seed — equal sums would mean a hash collision)
+    assert(rows((1L, 1L)) != rows((9L, 1L)))
+  }
+
+  test("triadCensus separates cyclic from transitive closure") {
+    // one directed 3-cycle on {1,2,3}; one transitive triple on {4,5,6}
+    val nodes = (1L to 6L).map(Tuple1(_)).toDF("id")
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),
+      (4L, 5L), (5L, 6L), (4L, 6L)).toDF("source", "target")
+    val r = GraphAlgorithms.triadCensus(NetworkFrame(nodes, edges))
+      .collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((1L, 1L)))
+  }
+
+  test("triadCensus counts a fully-reciprocal triangle once per orientation") {
+    val nodes = (1L to 3L).map(Tuple1(_)).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 1L), (1L, 3L))
+      .toDF("source", "target")
+    val r = GraphAlgorithms.triadCensus(NetworkFrame(nodes, edges))
+      .collect().head
+    // both rotations are 3-cycles; every ordered pair of composable edges
+    // with the closing edge present is transitive: 6 role assignments
+    assert(r.getLong(0) == 2L)
+    assert(r.getLong(1) == 6L)
+  }
+}
