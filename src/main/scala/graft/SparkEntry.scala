@@ -801,17 +801,24 @@ FROM kept a JOIN kept b ON a.z = b.z AND a.n < b.n GROUP BY 1,2 ORDER BY 1,2""")
     ("q_anf", (s, dir) =>
       GraphAlgorithms.neighborhoodFunction(sparse(s, dir), rounds = 3,
         trials = 8).orderBy("id", "k"),
-      Some(s"""$G, tr AS (SELECT unnest(generate_series(0, 7)) AS t),
-und AS MATERIALIZED (SELECT DISTINCT source, target FROM sym WHERE source <> target),
-s0 AS MATERIALIZED (SELECT id, t, CAST(concat('0x', substr(md5(CAST(id AS VARCHAR) || ':' || CAST(t AS VARCHAR)), 1, 8)) AS BIGINT) AS m FROM nodes, tr),
-s1 AS MATERIALIZED (SELECT id, t, min(m) AS m FROM (SELECT * FROM s0 UNION ALL SELECT e.source AS id, x.t, x.m FROM und e JOIN s0 x ON x.id = e.target) GROUP BY 1, 2),
-s2 AS MATERIALIZED (SELECT id, t, min(m) AS m FROM (SELECT * FROM s1 UNION ALL SELECT e.source AS id, x.t, x.m FROM und e JOIN s1 x ON x.id = e.target) GROUP BY 1, 2),
-s3 AS MATERIALIZED (SELECT id, t, min(m) AS m FROM (SELECT * FROM s2 UNION ALL SELECT e.source AS id, x.t, x.m FROM und e JOIN s2 x ON x.id = e.target) GROUP BY 1, 2)
-SELECT id, k, kmv_sum FROM (
-SELECT id, CAST(1 AS BIGINT) AS k, CAST(sum(m) AS BIGINT) AS kmv_sum FROM s1 GROUP BY 1
-UNION ALL SELECT id, CAST(2 AS BIGINT), CAST(sum(m) AS BIGINT) FROM s2 GROUP BY 1
-UNION ALL SELECT id, CAST(3 AS BIGINT), CAST(sum(m) AS BIGINT) FROM s3 GROUP BY 1)
-ORDER BY id, k""")),
+      Some(s"""$anfSql
+SELECT id, k, kmv_sum FROM anf ORDER BY id, k""")),
+
+    // neighborhood growth profile off the ANF sketch: per radius k, the
+    // summed KMV ball-size estimate trials*2^32 DIV kmv_sum — the curve
+    // whose saturation radius is the graph's effective diameter (all
+    // integral arithmetic; one agg over the sketch table)
+    ("q_reach_profile", (s, dir) =>
+      GraphAlgorithms.neighborhoodFunction(sparse(s, dir), rounds = 3,
+        trials = 8)
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(expr("34359738368 DIV kmv_sum")).cast("long").as("est_reach_sum"))
+        .orderBy("k"),
+      Some(s"""$anfSql
+SELECT k, CAST(count(*) AS BIGINT) AS n_nodes,
+CAST(sum(34359738368 // kmv_sum) AS BIGINT) AS est_reach_sum
+FROM anf GROUP BY 1 ORDER BY 1""")),
 
     // SCC condensation DAG: contract each strong component to its min-id
     // representative, emit distinct inter-component edges with
@@ -1522,6 +1529,33 @@ tfc AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1,2),
 v AS (SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_total FROM tfc GROUP BY 1),
 rk AS (SELECT token, df, tf_total, row_number() OVER (ORDER BY df DESC, tf_total DESC, token) AS rn FROM v)
 SELECT token, df, tf_total, CAST(rn AS INT) AS rank FROM rk WHERE rn <= 50 ORDER BY 4""")),
+
+    // tokenizer-vocab coverage: per-source OOV rate against the corpus
+    // top-30 document-frequency vocabulary — the "does my tokenizer cover
+    // this source" dashboard; the vocab side is TakeOrderedAndProject-sized
+    // and broadcast into a single corpus scan
+    ("q_oov_rate", (s, dir) => {
+      val vocab = TextAnalysis.vocabulary(docs(s, dir), "doc_id", "text", 30)
+        .select(col("token"))
+      docs(s, dir)
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .join(broadcast(vocab.withColumn("iv", lit(1L))), Seq("token"), "left_outer")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .selectExpr("source", "n_tokens", "n_oov",
+          "CAST(n_oov * 1000000 DIV n_tokens AS BIGINT) AS oov_ppm")
+        .orderBy("source")
+    },
+      Some("""WITH tk AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS token FROM documents),
+tfc AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1,2),
+v AS (SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_total FROM tfc GROUP BY 1),
+rk AS (SELECT token, row_number() OVER (ORDER BY df DESC, tf_total DESC, token) AS rn FROM v),
+voc AS (SELECT token FROM rk WHERE rn <= 30)
+SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+CAST(count(*) FILTER (WHERE tk.token NOT IN (SELECT token FROM voc)) AS BIGINT) AS n_oov,
+CAST(count(*) FILTER (WHERE tk.token NOT IN (SELECT token FROM voc)) * 1000000 // count(*) AS BIGINT) AS oov_ppm
+FROM tk GROUP BY 1 ORDER BY 1""")),
 
     // collocation mining by quantized lift (the integral PMI analogue):
     // top bigram phrases whose joint count beats independence
@@ -3618,6 +3652,22 @@ GROUP BY 1 ORDER BY 1"""
     * >= log2(largest tree) replays to convergence; later rounds select
     * nothing and are no-ops. Validated against an independent Kruskal.
     */
+  /** Shared ANF oracle body: 8-trial KMV sketches propagated 3 rounds over
+    * the symmetrized sparse graph (mirrors
+    * `GraphAlgorithms.neighborhoodFunction`); exposes `anf(id, k, kmv_sum)`.
+    */
+  private val anfSql =
+    s"""$G, tr AS (SELECT unnest(generate_series(0, 7)) AS t),
+und AS MATERIALIZED (SELECT DISTINCT source, target FROM sym WHERE source <> target),
+s0 AS MATERIALIZED (SELECT id, t, CAST(concat('0x', substr(md5(CAST(id AS VARCHAR) || ':' || CAST(t AS VARCHAR)), 1, 8)) AS BIGINT) AS m FROM nodes, tr),
+s1 AS MATERIALIZED (SELECT id, t, min(m) AS m FROM (SELECT * FROM s0 UNION ALL SELECT e.source AS id, x.t, x.m FROM und e JOIN s0 x ON x.id = e.target) GROUP BY 1, 2),
+s2 AS MATERIALIZED (SELECT id, t, min(m) AS m FROM (SELECT * FROM s1 UNION ALL SELECT e.source AS id, x.t, x.m FROM und e JOIN s1 x ON x.id = e.target) GROUP BY 1, 2),
+s3 AS MATERIALIZED (SELECT id, t, min(m) AS m FROM (SELECT * FROM s2 UNION ALL SELECT e.source AS id, x.t, x.m FROM und e JOIN s2 x ON x.id = e.target) GROUP BY 1, 2),
+anf AS (
+SELECT id, CAST(1 AS BIGINT) AS k, CAST(sum(m) AS BIGINT) AS kmv_sum FROM s1 GROUP BY 1
+UNION ALL SELECT id, CAST(2 AS BIGINT), CAST(sum(m) AS BIGINT) FROM s2 GROUP BY 1
+UNION ALL SELECT id, CAST(3 AS BIGINT), CAST(sum(m) AS BIGINT) FROM s3 GROUP BY 1)"""
+
   private def mstSql(rounds: Int): String = {
     val steps = (1 to rounds).map { i =>
       val p = i - 1
