@@ -2212,6 +2212,44 @@ SELECT vec_id, s AS subspace, CAST(code AS INT) AS code
 FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn FROM d)
 WHERE rn = 1 ORDER BY 1, 2""")),
 
+    // IVF-PQ ADC search: coarse nprobe-cell probe + per-query codebook
+    // lookup table, candidates ranked by summed integer code distances —
+    // the corpus side reads m codes per vector, never raw vectors (the
+    // billion-scale ANN serving shape)
+    ("q_ivfpq_search", (s, dir) =>
+      Similarity.ivfPqSearch(emb(s, dir), "vec_id", "embedding", "label",
+          m = 8, dims = 64, k = 3, nprobe = 2)
+        .orderBy("query_id", "rank"),
+      Some(s"""$EMB_U,
+lb AS (SELECT vec_id, label FROM embeddings),
+sub AS MATERIALIZED (SELECT u.vec_id, lb.label AS cell, (i - 1) // 8 AS s, i, x FROM u JOIN lb USING (vec_id)),
+cents AS MATERIALIZED (SELECT cell AS code, s, i,
+CAST(CASE WHEN sum(x) >= 0 THEN sum(x) // count(*) ELSE -((-sum(x)) // count(*)) END AS BIGINT) AS c
+FROM sub GROUP BY 1, 2, 3),
+codes AS MATERIALIZED (SELECT vec_id, s, code FROM (
+SELECT vec_id, s, code, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn FROM (
+SELECT sub.vec_id, sub.s, cents.code, sum(CAST((x - c) * (x - c) AS HUGEINT)) AS d2
+FROM sub JOIN cents ON cents.s = sub.s AND cents.i = sub.i GROUP BY 1, 2, 3)) WHERE rn = 1),
+norms AS (SELECT vec_id, sum(x * x) AS nn FROM u GROUP BY 1),
+g AS (SELECT label AS cell, i, sum(x) AS sx, count(*) AS n FROM u JOIN lb USING (vec_id) GROUP BY 1,2),
+cent AS (SELECT cell, i, CAST(CASE WHEN sx >= 0 THEN sx // n ELSE -((-sx) // n) END AS BIGINT) AS cq FROM g),
+cn AS (SELECT cell, sum(cq * cq) AS cn2 FROM cent GROUP BY 1),
+qc AS (SELECT u.vec_id, c.cell, sum(u.x * c.cq) AS d FROM u JOIN cent c ON c.i = u.i GROUP BY 1,2),
+ps AS (SELECT qc.vec_id, qc.cell, CAST(d AS DOUBLE) / (sqrt(CAST(nn AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) AS cs
+FROM qc JOIN norms ON norms.vec_id = qc.vec_id JOIN cn ON cn.cell = qc.cell),
+probed AS (SELECT vec_id AS query_id, cell FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS pn FROM ps) WHERE pn <= 2),
+lut AS MATERIALIZED (SELECT q.vec_id AS query_id, c.s, c.code, sum(CAST((q.x - c.c) * (q.x - c.c) AS HUGEINT)) AS ld
+FROM sub q JOIN cents c ON c.s = q.s AND c.i = q.i GROUP BY 1, 2, 3),
+cand AS (SELECT probed.query_id, lb.vec_id AS neighbor_id FROM probed JOIN lb ON lb.label = probed.cell
+WHERE lb.vec_id <> probed.query_id),
+ad AS (SELECT cand.query_id, cand.neighbor_id, CAST(sum(l.ld) AS BIGINT) AS ad2
+FROM cand JOIN codes ON codes.vec_id = cand.neighbor_id
+JOIN lut l ON l.query_id = cand.query_id AND l.s = codes.s AND l.code = codes.code
+GROUP BY 1, 2)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, ad2 FROM (
+SELECT query_id, neighbor_id, ad2, row_number() OVER (PARTITION BY query_id ORDER BY ad2, neighbor_id) AS rank FROM ad)
+WHERE rank <= 3 ORDER BY 1, 3""")),
+
     // as-of join with staleness tolerance: matches older than 1h are
     // nulled (merge_asof tolerance semantics), same one-window-pass plan
     ("q_asof_within", (s, dir) => {

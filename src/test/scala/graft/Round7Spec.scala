@@ -44,6 +44,31 @@ class Round7Spec extends AnyFunSuite with SparkFixture {
     assert((r.getLong(0), r.getLong(1)) == ((1L, 1L)))
   }
 
+  test("ivfPqSearch ranks by exact ADC distance with deterministic ties") {
+    import graft.functions.Similarity
+    // two cells of identical vectors: codes collapse to the cell id, so the
+    // ADC table is fully predictable — same-cell candidates at distance 0
+    // (id tie-break), cross-cell at the exact quantized ||a-b||^2 = 2e14
+    val a = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val b = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    val df = Seq(
+      (1L, a, 0), (2L, a, 0), (3L, a, 0),
+      (11L, b, 1), (12L, b, 1), (13L, b, 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.ivfPqSearch(df, "vec_id", "embedding", "label",
+        m = 2, dims = 4, k = 3, nprobe = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> (r.getLong(1), r.getLong(3)))
+      .toMap
+    assert(got((1L, 1)) == ((2L, 0L)))
+    assert(got((1L, 2)) == ((3L, 0L)))
+    assert(got((1L, 3)) == ((11L, 200000000000000L)))
+    assert(got((11L, 1)) == ((12L, 0L)))
+    assert(got((11L, 3)) == ((1L, 200000000000000L)))
+    // every query gets exactly k ranked rows
+    assert(got.size == 18)
+  }
+
   test("triadCensus counts a fully-reciprocal triangle once per orientation") {
     val nodes = (1L to 3L).map(Tuple1(_)).toDF("id")
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 1L), (1L, 3L))
