@@ -929,6 +929,42 @@ hs AS (SELECT doc_id, unnest(generate_series(0, 15)) AS h, shingle FROM sh),
 sig AS (SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash FROM hs GROUP BY 1,2)
 SELECT doc_id AS id, CAST(h // 4 AS INT) AS band, md5(string_agg(minhash, '|' ORDER BY h)) AS bucket FROM sig GROUP BY 1,2 ORDER BY 1,2""")),
 
+    // split-leakage QA: near-duplicate candidate pairs (LSH) that CROSS the
+    // deterministic train/val/test hash-split — the contamination check a
+    // pipeline runs before shipping an eval set; composes the signature
+    // table and the split assignment, both already warehouse-resident
+    ("q_split_leakage", (s, dir) => {
+      val sp = graft.functions.Sampling.hashSplit(docs(s, dir), "doc_id",
+          Seq("train" -> 98, "val" -> 1, "test" -> 1))
+        .select(col("doc_id"), col("split"))
+      Dedup.minhashLshPairsFromSignatures(docSignatures(s, dir), 16, 4)
+        .join(sp.select(col("doc_id").as("id_a"), col("split").as("sa")), Seq("id_a"))
+        .join(sp.select(col("doc_id").as("id_b"), col("split").as("sb")), Seq("id_b"))
+        .filter(col("sa") =!= col("sb"))
+        .select(least(col("sa"), col("sb")).as("split_lo"),
+          greatest(col("sa"), col("sb")).as("split_hi"),
+          col("est_jaccard"))
+        .groupBy("split_lo", "split_hi")
+        .agg(count(lit(1)).as("n_cross_pairs"),
+          sum(when(col("est_jaccard") >= 0.5, 1L).otherwise(0L)).as("n_strong"))
+        .orderBy("split_lo", "split_hi")
+    },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 0)), i -> array_to_string(list_slice(l, i, i + 2), ' '))) AS shingle FROM t),
+hs AS (SELECT doc_id, unnest(generate_series(0, 15)) AS h, shingle FROM sh),
+sig AS (SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash FROM hs GROUP BY 1,2),
+b AS (SELECT doc_id AS id, h // 4 AS band, md5(string_agg(minhash, '|' ORDER BY h)) AS bucket FROM sig GROUP BY 1,2),
+cand AS (SELECT DISTINCT x.id AS ia, y.id AS ib FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id),
+pj AS (SELECT c.ia, c.ib, CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS ej
+FROM cand c JOIN sig sa ON sa.doc_id = c.ia JOIN sig sb ON sb.doc_id = c.ib AND sb.h = sa.h GROUP BY 1,2),
+sp AS (SELECT doc_id, CASE WHEN bk < 98 THEN 'train' WHEN bk < 99 THEN 'val' ELSE 'test' END AS split
+FROM (SELECT doc_id, CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bk FROM documents)),
+x AS (SELECT least(a.split, b.split) AS split_lo, greatest(a.split, b.split) AS split_hi, ej
+FROM pj JOIN sp a ON a.doc_id = pj.ia JOIN sp b ON b.doc_id = pj.ib WHERE a.split <> b.split)
+SELECT split_lo, split_hi, count(*) AS n_cross_pairs,
+CAST(sum(CASE WHEN ej >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_strong
+FROM x GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     ("q_minhash_pairs", (s, dir) =>
       Dedup.minhashLshPairsFromSignatures(docSignatures(s, dir), 16, 4)
         .orderBy("id_a", "id_b"),
@@ -1556,6 +1592,23 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
 CAST(count(*) FILTER (WHERE tk.token NOT IN (SELECT token FROM voc)) AS BIGINT) AS n_oov,
 CAST(count(*) FILTER (WHERE tk.token NOT IN (SELECT token FROM voc)) * 1000000 // count(*) AS BIGINT) AS oov_ppm
 FROM tk GROUP BY 1 ORDER BY 1""")),
+
+    // Kneser-Ney continuation statistics: distinct-left-context counts per
+    // token (the type-count KN smoothing scores by), history fertility, and
+    // continuation probability in ppm of the bigram-type total
+    ("q_kn_counts", (s, dir) =>
+      TextAnalysis.knContinuation(docs(s, dir), "doc_id", "text")
+        .orderBy("token"),
+      Some("""WITH t AS (SELECT string_split(text, ' ') AS l FROM documents WHERE len(string_split(text, ' ')) >= 2),
+bp AS (SELECT DISTINCT lt, rt FROM (SELECT unnest(list_transform(generate_series(1, len(l) - 1), i -> {'lt': l[i], 'rt': l[i + 1]}), recursive := true) FROM t)),
+cont AS (SELECT rt AS token, count(*) AS cont_types FROM bp GROUP BY 1),
+fert AS (SELECT lt AS token, count(*) AS right_types FROM bp GROUP BY 1),
+tot AS (SELECT count(*) AS tt FROM bp)
+SELECT coalesce(c.token, f.token) AS token,
+CAST(coalesce(c.cont_types, 0) AS BIGINT) AS cont_types,
+CAST(coalesce(f.right_types, 0) AS BIGINT) AS right_types,
+CAST(coalesce(c.cont_types, 0) * 1000000 // tt AS BIGINT) AS cont_ppm
+FROM cont c FULL OUTER JOIN fert f ON c.token = f.token, tot ORDER BY 1""")),
 
     // collocation mining by quantized lift (the integral PMI analogue):
     // top bigram phrases whose joint count beats independence

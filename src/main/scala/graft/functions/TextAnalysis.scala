@@ -620,6 +620,39 @@ object TextAnalysis {
         expr("CAST((fs * 1000000) DIV n_bigrams AS BIGINT)").as("lm_score_q"))
   }
 
+  /** Kneser-Ney continuation statistics — the vocabulary-level pass of
+    * n-gram LM smoothing: per token w, the number of DISTINCT left contexts
+    * (continuation count: how many bigram TYPES end in w — the quantity KN
+    * uses instead of raw frequency, so "Francisco" scores low however often
+    * "San Francisco" appears), the distinct right contexts (fertility of w
+    * as a history, the denominator of the modified-KN backoff weight), and
+    * the continuation probability as ppm of the total bigram-type count.
+    * Everything counts TYPES: one distinct over (left, right) pairs, two
+    * group-aggs, a broadcast single-row total — no token-frequency skew
+    * reaches the shuffle.
+    */
+  def knContinuation(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bp = df.select(split(col(textCol), " ").as("l"))
+      .filter(size(col("l")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(l) - 1), i -> struct(element_at(l, i) AS lt, element_at(l, i + 1) AS rt))"))
+        .as("p"))
+      .select(col("p.lt").as("lt"), col("p.rt").as("rt"))
+      .distinct()
+      .localCheckpointCapped()
+    val cont = bp.groupBy(col("rt").as("token"))
+      .agg(count(lit(1)).as("cont_types"))
+    val fert = bp.groupBy(col("lt").as("token"))
+      .agg(count(lit(1)).as("right_types"))
+    val tot = bp.agg(count(lit(1)).as("tt"))
+    cont.join(fert, Seq("token"), "full_outer")
+      .crossJoin(broadcast(tot))
+      .selectExpr("token",
+        "CAST(coalesce(cont_types, 0) AS BIGINT) AS cont_types",
+        "CAST(coalesce(right_types, 0) AS BIGINT) AS right_types",
+        "CAST(coalesce(cont_types, 0) * 1000000 DIV tt AS BIGINT) AS cont_ppm")
+  }
+
   /** Byte-pair-encoding merge induction (Sennrich et al. 2016) — the
     * tokenizer-training step of an LLM data pipeline, run over the corpus
     * WORD-FREQUENCY table rather than the corpus itself: the vocabulary is

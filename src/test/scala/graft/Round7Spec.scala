@@ -33,6 +33,22 @@ class Round7Spec extends AnyFunSuite with SparkFixture {
     assert(rows((1L, 1L)) != rows((9L, 1L)))
   }
 
+  test("knContinuation counts bigram types, not token frequency") {
+    import graft.functions.TextAnalysis
+    // "b" follows two distinct lefts (a, c) even though "a b" repeats 3x;
+    // "c" follows only "b" once. Bigram TYPES: (a,b) (c,b) (b,c) -> tt=3
+    val df = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "a b c b"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.knContinuation(df, "doc_id", "text")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got("b") == ((2L, 1L, 666666L)))  // 2 left types, 1 right type
+    assert(got("c") == ((1L, 1L, 333333L)))
+    assert(got("a") == ((0L, 1L, 0L)))       // never ends a bigram
+  }
+
   test("triadCensus separates cyclic from transitive closure") {
     // one directed 3-cycle on {1,2,3}; one transitive triple on {4,5,6}
     val nodes = (1L to 6L).map(Tuple1(_)).toDF("id")
