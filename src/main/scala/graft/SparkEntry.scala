@@ -913,6 +913,24 @@ CAST(count(DISTINCT md5(lower(trim(text)))) AS BIGINT) AS n_unique,
 CAST((count(*) - count(DISTINCT md5(lower(trim(text))))) * 1000000 // count(*) AS BIGINT) AS dup_ppm
 FROM documents GROUP BY 1 ORDER BY 1""")),
 
+    // cross-source duplicate overlap via theta-sketch (KMV) intersection:
+    // k smallest fingerprint hashes per source, pairwise overlap from
+    // common-below-theta counts — sketch rows join, documents never do
+    ("q_source_overlap", (s, dir) =>
+      Dedup.sourceOverlapSketch(docs(s, dir), "source", "text", 32)
+        .orderBy("src_a", "src_b"),
+      Some("""WITH hsh AS (SELECT DISTINCT source AS g, CAST(concat('0x', substr(md5(lower(trim(text))), 1, 8)) AS BIGINT) AS h FROM documents),
+rk AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM hsh),
+sk AS (SELECT g, h FROM rk WHERE rn <= 32),
+th AS (SELECT g, CASE WHEN count(*) >= 32 THEN max(h) ELSE 4294967296 END AS theta FROM sk GROUP BY 1),
+pr AS (SELECT a.g AS ga, b.g AS gb, least(a.theta, b.theta) AS theta_q FROM th a JOIN th b ON a.g < b.g),
+cm AS (SELECT sa.g AS ga, sb.g AS gb, sa.h FROM sk sa JOIN sk sb ON sa.h = sb.h AND sa.g < sb.g)
+SELECT pr.ga AS src_a, pr.gb AS src_b, pr.theta_q,
+CAST(coalesce(count(cm.h) FILTER (WHERE cm.h < pr.theta_q), 0) AS BIGINT) AS n_common,
+CAST(coalesce(count(cm.h) FILTER (WHERE cm.h < pr.theta_q), 0) * 4294967296 // pr.theta_q AS BIGINT) AS est_overlap
+FROM pr LEFT JOIN cm ON cm.ga = pr.ga AND cm.gb = pr.gb
+GROUP BY 1, 2, 3 ORDER BY 1, 2""")),
+
     ("q_minhash_sig", (s, dir) =>
       docSignatures(s, dir).orderBy("id", "h"),
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),

@@ -659,4 +659,47 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Cross-source duplicate-overlap estimation via theta-sketch (KMV)
+    * intersection: each group keeps only its k smallest 32-bit fingerprint
+    * hashes (the KMV sketch — k rows per group at rest, independent of
+    * group size), and a pair's overlap estimate is
+    * |common hashes below theta| * 2^32 DIV theta with
+    * theta = min(theta_a, theta_b) (a group's theta is its k-th minimum, or
+    * 2^32 when the whole group fits in the sketch — then the estimate is
+    * exact). This is the sketch-algebra sibling of the cardinality sketch:
+    * pairwise overlap across G groups costs G*k sketch rows joined on hash
+    * value, never a cross-group document join — the shape for auditing
+    * duplicate flow between corpus snapshots at 100 TB. Output per (a < b)
+    * pair: n_common (observed below theta), theta_q, est_overlap.
+    */
+  def sourceOverlapSketch(df: DataFrame, groupCol: String, textCol: String,
+                          k: Int = 32): DataFrame = {
+    require(k >= 1, "sketch size must be positive")
+    val M = 4294967296L // 2^32, the hash range
+    val h = df.select(col(groupCol).as("g"),
+        expr(s"CAST(conv(substring(md5(lower(trim($textCol))), 1, 8), 16, 10) AS BIGINT)").as("h"))
+      .distinct() // KMV is over distinct fingerprint values per group
+    val ranked = h.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy("h")))
+    val sketch = ranked.filter(col("rn") <= k).localCheckpointCapped()
+    val theta = sketch.groupBy("g")
+      .agg(count(lit(1)).as("n"), max(col("h")).as("mx"))
+      .select(col("g"),
+        when(col("n") >= k, col("mx")).otherwise(lit(M)).as("theta"))
+    val pairs = theta.select(col("g").as("ga"), col("theta").as("ta"))
+      .join(theta.select(col("g").as("gb"), col("theta").as("tb")),
+        col("ga") < col("gb"))
+      .select(col("ga"), col("gb"), least(col("ta"), col("tb")).as("theta_q"))
+    val common = sketch.select(col("g").as("ga"), col("h"))
+      .join(sketch.select(col("g").as("gb"), col("h")), Seq("h"))
+      .filter(col("ga") < col("gb"))
+      .groupBy("ga", "gb").agg(collect_list(col("h")).as("hs"))
+    pairs.join(common, Seq("ga", "gb"), "left_outer")
+      .select(col("ga").as("src_a"), col("gb").as("src_b"), col("theta_q"),
+        coalesce(size(filter(col("hs"), x => x < col("theta_q"))), lit(0))
+          .cast("long").as("n_common"))
+      .selectExpr("src_a", "src_b", "theta_q", "n_common",
+        "CAST(n_common * 4294967296 DIV theta_q AS BIGINT) AS est_overlap")
+  }
 }

@@ -33,6 +33,20 @@ class Round7Spec extends AnyFunSuite with SparkFixture {
     assert(rows((1L, 1L)) != rows((9L, 1L)))
   }
 
+  test("ivfPqSearch plans with no cartesian product beyond the broadcast probe") {
+    import graft.functions.Similarity
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val plan = Similarity.ivfPqSearch(df, "vec_id", "embedding", "label",
+        m = 2, dims = 4, k = 1, nprobe = 1)
+      .queryExecution.executedPlan.toString
+    // the only all-pairs structure allowed is the query x centroid-table
+    // broadcast (cells, not vectors); the fine stage must join on codes
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+  }
+
   test("knContinuation counts bigram types, not token frequency") {
     import graft.functions.TextAnalysis
     // "b" follows two distinct lefts (a, c) even though "a b" repeats 3x;
@@ -47,6 +61,24 @@ class Round7Spec extends AnyFunSuite with SparkFixture {
     assert(got("b") == ((2L, 1L, 666666L)))  // 2 left types, 1 right type
     assert(got("c") == ((1L, 1L, 333333L)))
     assert(got("a") == ((0L, 1L, 0L)))       // never ends a bigram
+  }
+
+  test("sourceOverlapSketch is exact when groups fit inside the sketch") {
+    import graft.functions.Dedup
+    val df = Seq(
+      ("a", "shared one"), ("a", "only a1"), ("a", "only a2"),
+      ("b", "shared one"), ("b", "only b1"),
+      ("c", "only c1"))
+      .toDF("source", "text")
+    val got = Dedup.sourceOverlapSketch(df, "source", "text", k = 32)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    // sketches hold every hash (k=32 > group sizes) -> theta = 2^32 and the
+    // estimate collapses to the exact duplicate-overlap count
+    assert(got(("a", "b")) == ((1L, 1L)))
+    assert(got(("a", "c")) == ((0L, 0L)))
+    assert(got(("b", "c")) == ((0L, 0L)))
   }
 
   test("triadCensus separates cyclic from transitive closure") {
