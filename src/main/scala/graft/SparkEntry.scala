@@ -2499,6 +2499,56 @@ tk AS (SELECT qa, cb, sv FROM rk WHERE rn <= 5)
 SELECT t.qa AS vec_a, t.cb AS vec_b, CAST(floor(t.sv * 1000000) AS BIGINT) AS cos_q
 FROM tk t JOIN tk r ON r.qa = t.cb AND r.cb = t.qa WHERE t.qa < t.cb ORDER BY 1, 2""")),
 
+    // semantic document clustering: weak components over the mutual-KNN
+    // cosine graph — the "group near-identical embedding neighborhoods"
+    // pass between near-dup detection and mixing; reuses the banded KNN
+    // construction + the pointer-doubled component fixpoint
+    ("q_doc_clusters", (s, dir) => {
+      val e = emb(s, dir)
+      val knn = Similarity.mutualKnnGraph(e, "vec_id", "embedding", 5)
+        .select(col("vec_a").as("source"), col("vec_b").as("target"))
+      val lab = GraphAlgorithms.componentLabels(
+        NetworkFrame(e.select(col("vec_id").as("id")), knn))
+      lab.join(lab.groupBy("component").agg(count(lit(1)).as("cluster_size")),
+          Seq("component"))
+        .select(col("id").as("vec_id"), col("component").as("cluster"),
+          col("cluster_size"))
+        .orderBy("vec_id")
+    },
+      Some("""WITH RECURSIVE u AS (SELECT vec_id, s.i, CAST(floor(CAST(embedding[s.i] AS DOUBLE) * 10000000) AS BIGINT) AS x FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) s),
+norms AS (SELECT vec_id, sum(x * x) AS nn FROM u GROUP BY 1),
+dq AS (SELECT a.vec_id AS qa, b.vec_id AS cb, sum(a.x * b.x) AS d
+FROM u a JOIN u b ON a.i = b.i AND a.vec_id <> b.vec_id GROUP BY 1, 2),
+sims AS (SELECT qa, cb, CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS sv
+FROM dq JOIN norms na ON na.vec_id = qa JOIN norms nb ON nb.vec_id = cb),
+rk AS (SELECT qa, cb, sv, row_number() OVER (PARTITION BY qa ORDER BY sv DESC, cb) AS rn FROM sims),
+tk AS (SELECT qa, cb FROM rk WHERE rn <= 5),
+me AS (SELECT t.qa AS source, t.cb AS target FROM tk t JOIN tk r ON r.qa = t.cb AND r.cb = t.qa WHERE t.qa < t.cb),
+sym2 AS (SELECT source, target FROM me UNION SELECT target, source FROM me),
+reach(id, r) AS (SELECT vec_id, vec_id FROM embeddings UNION SELECT reach.id, s.target FROM reach JOIN sym2 s ON s.source = reach.r),
+lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY 1),
+sz AS (SELECT cluster, count(*) AS n FROM lab GROUP BY 1)
+SELECT lab.id AS vec_id, lab.cluster, CAST(sz.n AS BIGINT) AS cluster_size
+FROM lab JOIN sz USING (cluster) ORDER BY 1""")),
+
+    // relational pivot: per-user event-type count matrix with an explicit
+    // (deterministic) column set — the wide companion of q_unpivot
+    ("q_pivot", (s, dir) =>
+      tbl(s, dir, "events").groupBy("user_id")
+        .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .selectExpr("user_id", "view AS n_view", "click AS n_click",
+          "purchase AS n_purchase", "signup AS n_signup", "error AS n_error")
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+count(*) FILTER (WHERE event_type = 'view') AS n_view,
+count(*) FILTER (WHERE event_type = 'click') AS n_click,
+count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+count(*) FILTER (WHERE event_type = 'error') AS n_error
+FROM events GROUP BY 1 ORDER BY 1""")),
+
     // unpivot/melt wide per-nation aggregates into long form
     ("q_unpivot", (s, dir) =>
       graph(s, dir).nodes.groupBy(col("c_nationkey").as("nation"))
