@@ -140,6 +140,25 @@ object Plans {
       an.explain("formatted")
       t("hourlyAnomalies")(an.count())
     }
+    if (what == "r7") {
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+      val ord = spark.read.parquet(s"$dir/orders.parquet")
+      val nodes = cust.select(col("c_custkey").as("id"))
+      val edges = ord.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_custkey").as("source"),
+          (col("o_orderkey") % cust.count()).as("target"))
+      val g = graft.NetworkFrame(nodes, edges)
+      val anf = graft.GraphAlgorithms.neighborhoodFunction(g, 3, 8)
+      println("==== neighborhoodFunction plan — expect per-round join + partial min-agg (map-side combine), no window ====")
+      anf.explain("formatted")
+      t("neighborhoodFunction")(anf.count())
+
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val pq = Similarity.ivfPqSearch(emb, "vec_id", "embedding", "label", 8, 64, 3, 2)
+      println("==== ivfPqSearch plan — expect broadcast codebook/centroids, code-keyed fine join, no cartesian ====")
+      pq.explain("formatted")
+      t("ivfPqSearch")(pq.count())
+    }
     spark.stop()
   }
 }
