@@ -2531,6 +2531,27 @@ sz AS (SELECT cluster, count(*) AS n FROM lab GROUP BY 1)
 SELECT lab.id AS vec_id, lab.cluster, CAST(sz.n AS BIGINT) AS cluster_size
 FROM lab JOIN sz USING (cluster) ORDER BY 1""")),
 
+    // long-context stitching: deterministic ordered concatenation of
+    // related documents (source x lang proxy groups) into training
+    // sequences — emitted as prefix hash + exact length so the row stays
+    // bounded; the group agg is one shuffle, the concat order is total
+    ("q_ctx_stitch", (s, dir) =>
+      docs(s, dir)
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          collect_list(struct(col("doc_id"), col("text"))).as("ps"))
+        .select(col("source"), col("lang"), col("n_docs"),
+          array_join(transform(array_sort(col("ps")), p => p.getField("text")),
+            " | ").as("st"))
+        .select(col("source"), col("lang"), col("n_docs"),
+          length(col("st")).cast("long").as("stitch_chars"),
+          md5(substring(col("st"), 1, 2000)).as("stitch_hash"))
+        .orderBy("source", "lang"),
+      Some("""SELECT source, lang, count(*) AS n_docs,
+CAST(len(string_agg(text, ' | ' ORDER BY doc_id)) AS BIGINT) AS stitch_chars,
+md5(substr(string_agg(text, ' | ' ORDER BY doc_id), 1, 2000)) AS stitch_hash
+FROM documents GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // relational pivot: per-user event-type count matrix with an explicit
     // (deterministic) column set — the wide companion of q_unpivot
     ("q_pivot", (s, dir) =>
