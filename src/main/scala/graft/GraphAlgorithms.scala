@@ -2406,6 +2406,47 @@ object GraphAlgorithms {
           .otherwise(col("community")).as("community"))
   }
 
+  /** Bounded-step hitting probability of a target set: ppm probability that
+    * a uniform random walk on the DISTINCT directed edges reaches T within
+    * `rounds` steps. Quantized-integer dynamic program (the same replayable
+    * discipline as `pageRank`): p_0 = 1e6 on T else 0, and
+    * p_k(v) = 1e6 if v in T else floor(sum over out-nbrs p_{k-1}(u) / deg),
+    * dead ends absorb to 0. One edge join + one (source) aggregation +
+    * one broadcastable target stamp per round — rounds x two shuffles,
+    * no per-walk state, which is why this replaces sampled-walk reach
+    * estimation at 100 TB. Output: (id, hit_ppm).
+    */
+  def boundedHitting(nf: NetworkFrame, targets: DataFrame,
+                     rounds: Int): DataFrame =
+      withoutConstraintPropagation(nf.edges) {
+    require(rounds >= 1, "at least one round")
+    val e = nf.edges.select(col("source"), col("target"))
+      .filter(col("source") =!= col("target")).distinct()
+      .localCheckpointCapped()
+    val deg = e.groupBy(col("source").as("id")).agg(count(lit(1)).as("d"))
+      .localCheckpointCapped()
+    val t = targets.select(col("id")).distinct()
+      .withColumn("isT", lit(true)).localCheckpointCapped()
+    var p = nf.nodes.select(col("id"))
+      .join(t, Seq("id"), "left_outer")
+      .select(col("id"),
+        when(col("isT"), 1000000L).otherwise(0L).as("p"))
+      .localCheckpointCapped()
+    for (_ <- 1 to rounds) {
+      val m = e.join(p.select(col("id").as("target"), col("p")), Seq("target"))
+        .groupBy(col("source").as("id")).agg(sum("p").as("sp"))
+        .join(deg, Seq("id"))
+        .selectExpr("id", "sp DIV d AS pv")
+      p = nf.nodes.select(col("id"))
+        .join(t, Seq("id"), "left_outer")
+        .join(m, Seq("id"), "left_outer")
+        .select(col("id"), when(col("isT"), 1000000L)
+          .otherwise(coalesce(col("pv"), lit(0L))).as("p"))
+        .localCheckpointCapped()
+    }
+    p.select(col("id"), col("p").as("hit_ppm"))
+  }
+
   /** Directed triad closure census: 3-cycles (a->b->c->a, one count per
     * cyclic orientation via the min-id anchor, so a fully-reciprocal
     * triangle counts twice — once per direction) and transitive triples

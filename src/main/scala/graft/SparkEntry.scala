@@ -794,6 +794,16 @@ kept AS (SELECT sy.source AS z, sy.target AS n, d FROM sy JOIN deg ON deg.z = sy
 SELECT a.n AS id_a, b.n AS id_b, count(*) AS cn, CAST(sum(1000000000000 // a.d) AS BIGINT) AS ra_q
 FROM kept a JOIN kept b ON a.z = b.z AND a.n < b.n GROUP BY 1,2 ORDER BY 1,2""")),
 
+    // bounded-step hitting probability to a deterministic target set
+    // (ids % 97 == 0): quantized-integer absorbing-walk DP, 6 unrolled
+    // rounds in the oracle — walk analytics without per-walk state
+    ("q_hitting", (s, dir) =>
+      GraphAlgorithms.boundedHitting(sparse(s, dir),
+        graph(s, dir).nodes.select("id").filter(col("id") % 97 === 0),
+        rounds = 6)
+        .orderBy("id"),
+      Some(hittingSql(6))),
+
     // approximate neighborhood function (ANF/HyperBall family): KMV sketch
     // of |ball(v,k)| for k=1..3 — the scalable effective-diameter / reach
     // profile; sketch union = elementwise min, so each radius is one edge
@@ -2531,6 +2541,37 @@ sz AS (SELECT cluster, count(*) AS n FROM lab GROUP BY 1)
 SELECT lab.id AS vec_id, lab.cluster, CAST(sz.n AS BIGINT) AS cluster_size
 FROM lab JOIN sz USING (cluster) ORDER BY 1""")),
 
+    // top session paths: batch sessionization (30-min inactivity gap) +
+    // total-order event-type path strings, counted corpus-wide — the
+    // product-analytics "what do sessions look like" profile; two window
+    // passes + one count agg + TakeOrderedAndProject for the top-20
+    ("q_session_paths", (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val ev0 = tbl(s, dir, "events")
+      val byUser = W.partitionBy("user_id").orderBy("tsn", "event_id")
+      val sess = ev0.withColumn("tsn", tsNanos(ev0))
+        .select(col("user_id"), col("event_id"), col("event_type"), col("tsn"))
+        .withColumn("prev", lag("tsn", 1).over(byUser))
+        .withColumn("brk",
+          when(col("prev").isNull || col("tsn") - col("prev") > 1800000000000L,
+            1L).otherwise(0L))
+        .withColumn("sess", sum("brk").over(
+          byUser.rowsBetween(W.unboundedPreceding, 0)))
+      sess.groupBy("user_id", "sess")
+        .agg(collect_list(struct(col("tsn"), col("event_id"),
+          col("event_type"))).as("ps"))
+        .select(array_join(transform(array_sort(col("ps")),
+          p => p.getField("event_type")), ">").as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        .orderBy(desc("n_sessions"), asc("path")).limit(20)
+    },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS tn FROM events),
+g AS (SELECT *, CASE WHEN lag(tn) OVER w IS NULL OR tn - lag(tn) OVER w > 1800000000000 THEN 1 ELSE 0 END AS brk
+FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tn, event_id)),
+sx AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tn, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM g),
+p AS (SELECT user_id, sess, string_agg(event_type, '>' ORDER BY tn, event_id) AS path FROM sx GROUP BY 1, 2)
+SELECT path, count(*) AS n_sessions FROM p GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20""")),
+
     // long-context stitching: deterministic ordered concatenation of
     // related documents (source x lang proxy groups) into training
     // sequences — emitted as prefix hash + exact length so the row stays
@@ -3886,6 +3927,25 @@ symd AS MATERIALIZED (SELECT DISTINCT source, target FROM (SELECT source, target
 l0 AS MATERIALIZED (SELECT id, '0' AS wl FROM nodes),
 $steps
 SELECT id, wl FROM l$rounds ORDER BY 1"""
+  }
+
+  /** DuckDB mirror of GraphAlgorithms.boundedHitting: quantized ppm
+    * absorbing-walk DP over the distinct directed sparse edges, unrolled;
+    * every CTE MATERIALIZED (see spectralSql for why).
+    */
+  private def hittingSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""m$i AS MATERIALIZED (SELECT e.source AS id, sum(p.p) AS sp FROM de e JOIN p${i - 1} p ON p.id = e.target GROUP BY 1),
+p$i AS MATERIALIZED (SELECT n.id, CAST(CASE WHEN n.id % 97 = 0 THEN 1000000 ELSE coalesce(m.sp // d.d, 0) END AS BIGINT) AS p
+FROM nodes n LEFT JOIN m$i m ON m.id = n.id LEFT JOIN dg d ON d.id = n.id)"""
+    }.mkString(",\n")
+    s"""WITH nodes AS MATERIALIZED (SELECT c_custkey AS id FROM customer),
+sedges AS MATERIALIZED (SELECT o_custkey AS source, o_orderkey % (SELECT count(*) FROM customer) AS target FROM orders WHERE o_orderkey % 10 = 0),
+de AS MATERIALIZED (SELECT DISTINCT source, target FROM sedges WHERE source <> target),
+dg AS MATERIALIZED (SELECT source AS id, count(*) AS d FROM de GROUP BY 1),
+p0 AS MATERIALIZED (SELECT id, CAST(CASE WHEN id % 97 = 0 THEN 1000000 ELSE 0 END AS BIGINT) AS p FROM nodes),
+$steps
+SELECT id, p AS hit_ppm FROM p$rounds ORDER BY 1"""
   }
 
   /** DuckDB mirror of GraphAlgorithms.sortSpectral at fixed iteration count:

@@ -63,6 +63,20 @@ class Round7Spec extends AnyFunSuite with SparkFixture {
     assert(got("a") == ((0L, 1L, 0L)))       // never ends a bigram
   }
 
+  test("boundedHitting computes the exact quantized absorbing-walk DP") {
+    // 1 -> {2, 4}, 2 -> 3 (target), 4 is a dead end
+    val nodes = Seq(1L, 2L, 3L, 4L).map(Tuple1(_)).toDF("id")
+    val edges = Seq((1L, 2L), (1L, 4L), (2L, 3L)).toDF("source", "target")
+    val targets = Seq(3L).map(Tuple1(_)).toDF("id")
+    val got = GraphAlgorithms.boundedHitting(
+        NetworkFrame(nodes, edges), targets, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // p1: node2 = 1e6 (its only successor is the target); p2:
+    // node1 = (p1(2) + p1(4)) DIV 2 = (1e6 + 0) DIV 2
+    assert(got == Map(1L -> 500000L, 2L -> 1000000L, 3L -> 1000000L,
+      4L -> 0L))
+  }
+
   test("sourceOverlapSketch is exact when groups fit inside the sketch") {
     import graft.functions.Dedup
     val df = Seq(
