@@ -2690,6 +2690,39 @@ z AS (SELECT ${Storage.zorderSql("x", "y", 7)} AS zkey FROM b)
 SELECT zkey // 64 AS zbucket, count(*) AS n, CAST(min(zkey) AS BIGINT) AS min_z, CAST(max(zkey) AS BIGINT) AS max_z
 FROM z GROUP BY 1 ORDER BY 1""")),
 
+    // data-skipping effectiveness report over the z-order layout: per
+    // zbucket "file", the min/max stats a format keeps, whether a fixed
+    // range predicate (nation IN [3,5], balance-band [15,25]) could prune
+    // it on stats alone, and the row-level truth — the scan-fraction audit
+    // that justifies a re-layout before a 100 TB backfill
+    ("q_skipping", (s, dir) => {
+      val nodes = graph(s, dir).nodes
+        .select(col("c_nationkey").cast("long").as("x"),
+          floor((col("c_acctbal") + 1000) / 100).cast("long").as("y"))
+      val z = nodes.select(col("x"), col("y"),
+          Storage.zorderKey(col("x"), col("y"), 7).as("zkey"))
+        .withColumn("zbucket", (col("zkey") / 64).cast("long"))
+      z.groupBy("zbucket")
+        .agg(count(lit(1)).as("n_rows"),
+          min("x").as("min_x"), max("x").as("max_x"),
+          min("y").as("min_y"), max("y").as("max_y"),
+          sum(when(col("x").between(3, 5) && col("y").between(15, 25), 1L)
+            .otherwise(0L)).as("n_matching"))
+        .withColumn("stats_hit",
+          when(col("max_x") >= 3 && col("min_x") <= 5 &&
+            col("max_y") >= 15 && col("min_y") <= 25, 1L).otherwise(0L))
+        .select(col("zbucket"), col("n_rows"), col("stats_hit"),
+          col("n_matching"))
+        .orderBy("zbucket")
+    },
+      Some(s"""$G, b AS (SELECT CAST(c_nationkey AS BIGINT) AS x, CAST(floor((c_acctbal + 1000) / 100) AS BIGINT) AS y FROM nodes),
+z AS (SELECT x, y, ${Storage.zorderSql("x", "y", 7)} AS zkey FROM b),
+g AS (SELECT zkey // 64 AS zbucket, count(*) AS n_rows, min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y,
+sum(CASE WHEN x BETWEEN 3 AND 5 AND y BETWEEN 15 AND 25 THEN 1 ELSE 0 END) AS n_matching FROM z GROUP BY 1)
+SELECT zbucket, CAST(n_rows AS BIGINT) AS n_rows,
+CAST(CASE WHEN max_x >= 3 AND min_x <= 5 AND max_y >= 15 AND min_y <= 25 THEN 1 ELSE 0 END AS BIGINT) AS stats_hit,
+CAST(n_matching AS BIGINT) AS n_matching FROM g ORDER BY 1""")),
+
     // per-user union length of [ts, ts + value minutes] exposure intervals
     ("q_interval_union", (s, dir) => {
       val ev = tbl(s, dir, "events")
