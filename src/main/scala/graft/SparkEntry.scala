@@ -2690,6 +2690,36 @@ z AS (SELECT ${Storage.zorderSql("x", "y", 7)} AS zkey FROM b)
 SELECT zkey // 64 AS zbucket, count(*) AS n, CAST(min(zkey) AS BIGINT) AS min_z, CAST(max(zkey) AS BIGINT) AS max_z
 FROM z GROUP BY 1 ORDER BY 1""")),
 
+    // day-of-week seasonality profile; dow derived from epoch days with an
+    // explicit (epoch_days + 4) % 7 formula (0=Sunday) because the engines'
+    // native dayofweek numberings disagree
+    ("q_events_dow", (s, dir) =>
+      tbl(s, dir, "events")
+        .select(((datediff(col("ts").cast("date"), to_date(lit("1970-01-01")))
+            + 4) % 7).cast("long").as("dow"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .groupBy("dow")
+        .agg(count(lit(1)).as("n_events"), sum("cents").cast("long").as("sum_cents"))
+        .orderBy("dow"),
+      Some("""SELECT CAST((CAST(ts AS DATE) - DATE '1970-01-01' + 4) % 7 AS BIGINT) AS dow,
+count(*) AS n_events, CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // Benford first-significant-digit screen over order totals (the
+    // classic bulk anomaly/fraud sniff test): digit histogram with ppm
+    ("q_benford", (s, dir) =>
+      tbl(s, dir, "orders")
+        .select(floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .filter(col("cents") > 0)
+        .select(substring(col("cents").cast("string"), 1, 1).as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+        .withColumn("ppm", expr(
+          "CAST(n * 1000000 DIV (sum(n) OVER ()) AS BIGINT)"))
+        .orderBy("digit"),
+      Some("""WITH c AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders WHERE floor(o_totalprice * 100) > 0),
+d AS (SELECT substr(CAST(cents AS VARCHAR), 1, 1) AS digit, count(*) AS n FROM c GROUP BY 1)
+SELECT digit, n, CAST(n * 1000000 // (SELECT sum(n) FROM d) AS BIGINT) AS ppm FROM d ORDER BY 1""")),
+
     // data-skipping effectiveness report over the z-order layout: per
     // zbucket "file", the min/max stats a format keeps, whether a fixed
     // range predicate (nation IN [3,5], balance-band [15,25]) could prune
