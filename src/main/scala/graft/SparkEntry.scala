@@ -1977,6 +1977,74 @@ FROM s GROUP BY user_id, seq ORDER BY 1,2""")),
 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, count(*) AS n
 FROM lineitem GROUP BY 1,2 ORDER BY 1,2""")),
 
+    // TPC-H Q3 analog (shipping-priority top-10): three-way join with
+    // pushed-down date/segment filters, exact integer revenue
+    // (cents x (10000 - discount_bps)), TakeOrderedAndProject top-k
+    ("q3_shipping", (s, dir) => {
+      val cut = "1996-07-01"
+      val c = tbl(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = tbl(s, dir, "orders")
+        .filter(col("o_orderdate").cast("date") < to_date(lit(cut)))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate").cast("date").as("odate"), col("o_orderpriority"))
+      val l = tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("date") > to_date(lit(cut)))
+        .select(col("l_orderkey"),
+          (floor(col("l_extendedprice") * 100).cast("long") *
+            (lit(10000L) - floor(col("l_discount") * 10000).cast("long")))
+            .as("rev_q"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("odate"), col("o_orderpriority"))
+        .agg(sum(col("rev_q").cast("decimal(38,0)")).cast("long").as("revenue_q"))
+        .orderBy(desc("revenue_q"), asc("odate"), asc("l_orderkey"))
+        .limit(10)
+    },
+      Some("""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS odate, o_orderpriority,
+CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) * (10000 - CAST(floor(l_discount * 10000) AS BIGINT))) AS BIGINT) AS revenue_q
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+AND CAST(o_orderdate AS DATE) < DATE '1996-07-01' AND CAST(l_shipdate AS DATE) > DATE '1996-07-01'
+GROUP BY 1, 2, 3 ORDER BY 4 DESC, 2, 1 LIMIT 10""")),
+
+    // TPC-H Q5 analog (local-supplier volume): six-table join chain with
+    // region/date pushdown; dimension chain broadcasts, fact side shuffles
+    // once on the order key
+    ("q5_supplier", (s, dir) => {
+      val dims = tbl(s, dir, "supplier")
+        .join(broadcast(tbl(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(tbl(s, dir, "region")
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val c = tbl(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val o = tbl(s, dir, "orders")
+        .filter(col("o_orderdate").cast("date") >= to_date(lit("1996-01-01")) &&
+          col("o_orderdate").cast("date") < to_date(lit("1997-01-01")))
+        .select("o_orderkey", "o_custkey")
+      val l = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (floor(col("l_extendedprice") * 100).cast("long") *
+            (lit(10000L) - floor(col("l_discount") * 10000).cast("long")))
+            .as("rev_q"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(dims), l("l_suppkey") === dims("s_suppkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey") &&
+          c("c_nationkey") === dims("s_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(col("rev_q").cast("decimal(38,0)")).cast("long").as("revenue_q"))
+        .orderBy(desc("revenue_q"), asc("n_name"))
+    },
+      Some("""SELECT n_name,
+CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) * (10000 - CAST(floor(l_discount * 10000) AS BIGINT))) AS BIGINT) AS revenue_q
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+AND r_name = 'ASIA' AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01' AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+GROUP BY 1 ORDER BY 2 DESC, 1""")),
+
     ("q_revenue_by_segment", (s, dir) => {
       val o = tbl(s, dir, "orders")
       val c = tbl(s, dir, "customer")
