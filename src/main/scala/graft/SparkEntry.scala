@@ -2045,6 +2045,36 @@ AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_
 AND r_name = 'ASIA' AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01' AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
 GROUP BY 1 ORDER BY 2 DESC, 1""")),
 
+    // TPC-H Q10 analog (returned-item reporting): revenue lost to returns
+    // per customer over one quarter, top 20 — fact-side filters push to the
+    // scans, the customer dimension broadcasts
+    ("q10_returns", (s, dir) => {
+      val c = tbl(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_nationkey")
+      val o = tbl(s, dir, "orders")
+        .filter(col("o_orderdate").cast("date") >= to_date(lit("1996-01-01")) &&
+          col("o_orderdate").cast("date") < to_date(lit("1996-04-01")))
+        .select("o_orderkey", "o_custkey")
+      val l = tbl(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (floor(col("l_extendedprice") * 100).cast("long") *
+            (lit(10000L) - floor(col("l_discount") * 10000).cast("long")))
+            .as("rev_q"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_nationkey")
+        .agg(sum(col("rev_q").cast("decimal(38,0)")).cast("long").as("revenue_q"))
+        .orderBy(desc("revenue_q"), asc("c_custkey"))
+        .limit(20)
+    },
+      Some("""SELECT c_custkey, c_name, c_nationkey,
+CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) * (10000 - CAST(floor(l_discount * 10000) AS BIGINT))) AS BIGINT) AS revenue_q
+FROM customer, orders, lineitem
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_returnflag = 'R'
+AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01' AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
+GROUP BY 1, 2, 3 ORDER BY 4 DESC, 1 LIMIT 20""")),
+
     ("q_revenue_by_segment", (s, dir) => {
       val o = tbl(s, dir, "orders")
       val c = tbl(s, dir, "customer")

@@ -63,6 +63,18 @@ class Round7Spec extends AnyFunSuite with SparkFixture {
     assert(got("a") == ((0L, 1L, 0L)))       // never ends a bigram
   }
 
+  test("TPC-H analog plans broadcast the dimension chain, never a cartesian") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/lineitem.parquet").exists())
+    for (q <- Seq("q3_shipping", "q5_supplier", "q10_returns")) {
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") ||
+        plan.contains("BroadcastExchange"), s"$q: ${plan.take(400)}")
+      assert(!plan.contains("CartesianProduct"), s"$q: ${plan.take(400)}")
+    }
+  }
+
   test("boundedHitting computes the exact quantized absorbing-walk DP") {
     // 1 -> {2, 4}, 2 -> 3 (target), 4 is a dead end
     val nodes = Seq(1L, 2L, 3L, 4L).map(Tuple1(_)).toDF("id")
