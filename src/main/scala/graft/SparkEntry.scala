@@ -2788,6 +2788,95 @@ z AS (SELECT ${Storage.zorderSql("x", "y", 7)} AS zkey FROM b)
 SELECT zkey // 64 AS zbucket, count(*) AS n, CAST(min(zkey) AS BIGINT) AS min_z, CAST(max(zkey) AS BIGINT) AS max_z
 FROM z GROUP BY 1 ORDER BY 1""")),
 
+    // quantized percent_rank of order value within event type: ppm rank via
+    // (rank-1)*1e6 DIV (n-1) — window-function coverage with exact integral
+    // quantization instead of the engines' float percent_rank
+    ("q_percent_rank", (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      tbl(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .withColumn("rk", rank().over(
+          W.partitionBy("event_type").orderBy("cents")))
+        .withColumn("n", count(lit(1)).over(W.partitionBy("event_type")))
+        .selectExpr("event_type", "event_id", "cents",
+          "CAST(CASE WHEN n > 1 THEN (rk - 1) * 1000000 DIV (n - 1) ELSE 0 END AS BIGINT) AS prank_ppm")
+        .orderBy("event_type", "event_id")
+    },
+      Some("""WITH c AS (SELECT event_type, event_id, CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+r AS (SELECT *, rank() OVER (PARTITION BY event_type ORDER BY cents) AS rk,
+count(*) OVER (PARTITION BY event_type) AS n FROM c)
+SELECT event_type, event_id, cents,
+CAST(CASE WHEN n > 1 THEN (rk - 1) * 1000000 // (n - 1) ELSE 0 END AS BIGINT) AS prank_ppm
+FROM r ORDER BY 1, 2""")),
+
+    // sessionized bounce rate: fraction of 30-min-gap sessions with exactly
+    // one event, per event type of the session opener
+    ("q_bounce_rate", (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val ev0 = tbl(s, dir, "events")
+      val byUser = W.partitionBy("user_id").orderBy("tsn", "event_id")
+      val sess = ev0.withColumn("tsn", tsNanos(ev0))
+        .select(col("user_id"), col("event_id"), col("event_type"), col("tsn"))
+        .withColumn("prev", lag("tsn", 1).over(byUser))
+        .withColumn("brk",
+          when(col("prev").isNull || col("tsn") - col("prev") > 1800000000000L,
+            1L).otherwise(0L))
+        .withColumn("sess", sum("brk").over(
+          byUser.rowsBetween(W.unboundedPreceding, 0)))
+      sess.groupBy("user_id", "sess")
+        .agg(count(lit(1)).as("len"),
+          min(struct(col("tsn"), col("event_id"), col("event_type")))
+            .getField("event_type").as("opener"))
+        .groupBy("opener")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("len") === 1, 1L).otherwise(0L)).as("n_bounced"))
+        .selectExpr("opener", "n_sessions", "n_bounced",
+          "CAST(n_bounced * 1000000 DIV n_sessions AS BIGINT) AS bounce_ppm")
+        .orderBy("opener")
+    },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS tn FROM events),
+g AS (SELECT *, CASE WHEN lag(tn) OVER w IS NULL OR tn - lag(tn) OVER w > 1800000000000 THEN 1 ELSE 0 END AS brk
+FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tn, event_id)),
+sx AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tn, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM g),
+p AS (SELECT user_id, sess, count(*) AS len, min(struct_pack(tn := tn, event_id := event_id, event_type := event_type)) AS mn FROM sx GROUP BY 1, 2),
+q AS (SELECT (mn).event_type AS opener, len FROM p)
+SELECT opener, count(*) AS n_sessions,
+CAST(sum(CASE WHEN len = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounced,
+CAST(sum(CASE WHEN len = 1 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS bounce_ppm
+FROM q GROUP BY 1 ORDER BY 1""")),
+
+    // exact-moment Pearson correlation between order total and the owning
+    // customer's account balance (cents-quantized; the double formula runs
+    // over exact integer moments, so it is bit-identical in any engine)
+    ("q_correlation", (s, dir) => {
+      val o = tbl(s, dir, "orders")
+        .select(col("o_custkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("x"))
+      val c = tbl(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"),
+          floor(col("c_acctbal") * 100).cast("long").as("y"))
+      o.join(broadcast(c), Seq("o_custkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(38,0)")).as("sx"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"),
+          sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("sx2"),
+          sum((col("y") * col("y")).cast("decimal(38,0)")).as("sy2"))
+        .selectExpr("n",
+          """CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) * 1000000) AS BIGINT) AS corr_q""")
+    },
+      Some("""WITH j AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS x, CAST(floor(c_acctbal * 100) AS BIGINT) AS y
+FROM orders JOIN customer ON c_custkey = o_custkey),
+m AS (SELECT count(*) AS n, sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+sum(CAST(x AS HUGEINT) * y) AS sxy, sum(CAST(x AS HUGEINT) * x) AS sx2, sum(CAST(y AS HUGEINT) * y) AS sy2 FROM j)
+SELECT n, CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+/ (sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+ * sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) * 1000000) AS BIGINT) AS corr_q
+FROM m""")),
+
     // day-of-week seasonality profile; dow derived from epoch days with an
     // explicit (epoch_days + 4) % 7 formula (0=Sunday) because the engines'
     // native dayofweek numberings disagree
