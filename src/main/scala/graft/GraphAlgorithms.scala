@@ -901,6 +901,22 @@ object GraphAlgorithms {
     */
   def closenessCentrality(nf: NetworkFrame, k: Int = 8,
                           maxDepth: Int = 12): DataFrame =
+    closenessFromDistances(nf.nodes, multiSourceBfsDistances(nf, k, maxDepth))
+
+  /** The k-seed simultaneous multi-source BFS distance table
+    * (seed, id, d): seeds are the k smallest node ids, distances are hop
+    * counts on the symmetrized distinct edge set, bounded by `maxDepth`.
+    * This is THE shared input of `closenessCentrality`,
+    * `harmonicCentrality`, `graphVoronoi`, and `eccentricities` — derive
+    * it once, persist it, and fan the four aggregates out from the same
+    * frame (each `*FromDistances` variant below is a single aggregation
+    * pass). All k BFS trees grow in ONE frontier loop keyed on
+    * (seed, node): per round one join shuffle over the combined frontier
+    * plus one anti-join against the visited set, so k seeds cost one
+    * loop, not k.
+    */
+  def multiSourceBfsDistances(nf: NetworkFrame, k: Int = 8,
+                              maxDepth: Int = 12): DataFrame =
       withoutConstraintPropagation(nf.edges) {
     require(k >= 1 && maxDepth >= 1, "need at least one seed and one hop")
     val e = nf.symmetrizedEdges.distinct().localCheckpointCapped()
@@ -923,7 +939,14 @@ object GraphAlgorithms {
       }
       hops += 1
     }
-    nf.nodes.select(col("id"))
+    dist
+  }
+
+  /** Closeness aggregate over a precomputed `multiSourceBfsDistances`
+    * frame — one groupBy + one left join, no BFS.
+    */
+  def closenessFromDistances(nodes: DataFrame, dist: DataFrame): DataFrame = {
+    nodes.select(col("id"))
       .join(dist.filter(col("d") > 0)
           .groupBy("id").agg(count(lit(1)).as("n_reached"),
             sum("d").cast("decimal(38,0)").cast("long").as("dist_sum")),
@@ -943,32 +966,14 @@ object GraphAlgorithms {
     * loop) followed by a per-node argmin; unreached nodes keep a NULL seed.
     */
   def graphVoronoi(nf: NetworkFrame, k: Int = 8, maxDepth: Int = 12): DataFrame =
-      withoutConstraintPropagation(nf.edges) {
-    require(k >= 1 && maxDepth >= 1, "need at least one seed and one hop")
-    val e = nf.symmetrizedEdges.distinct().localCheckpointCapped()
-    var dist = nf.nodes.select(col("id")).orderBy("id").limit(k)
-      .select(col("id").as("seed"), col("id"), lit(0L).as("d"))
-      .localCheckpointCapped()
-    var frontier = dist
-    var hops = 0
-    var done = frontier.isEmpty
-    while (!done && hops < maxDepth) {
-      val next = e.join(frontier.withColumnRenamed("id", "source"), Seq("source"))
-        .select(col("seed"), col("target").as("id"), (col("d") + 1).as("d"))
-        .distinct()
-        .join(dist.select("seed", "id"), Seq("seed", "id"), "left_anti")
-        .localCheckpointCapped()
-      if (next.isEmpty) done = true
-      else {
-        dist = dist.union(next).localCheckpointCapped()
-        frontier = next
-      }
-      hops += 1
-    }
+    voronoiFromDistances(nf.nodes, multiSourceBfsDistances(nf, k, maxDepth))
+
+  /** Voronoi aggregate over a precomputed `multiSourceBfsDistances` frame. */
+  def voronoiFromDistances(nodes: DataFrame, dist: DataFrame): DataFrame = {
     val best = dist.groupBy("id")
       .agg(min(struct(col("d"), col("seed"))).as("b"))
       .select(col("id"), col("b.seed").as("seed"), col("b.d").as("dist"))
-    nf.nodes.select(col("id")).join(best, Seq("id"), "left_outer")
+    nodes.select(col("id")).join(best, Seq("id"), "left_outer")
   }
 
   /** Multi-seed personalized PageRank: teleport mass splits evenly across
@@ -1519,34 +1524,16 @@ object GraphAlgorithms {
     * bounds the rounds (and matches the oracle's recursion bound).
     */
   def harmonicCentrality(nf: NetworkFrame, k: Int = 8, maxDepth: Int = 12):
-      DataFrame = withoutConstraintPropagation(nf.edges) {
-    require(k >= 1 && maxDepth >= 1, "need at least one seed and one hop")
-    val e = nf.symmetrizedEdges.distinct().localCheckpointCapped()
-    var dist = nf.nodes.select(col("id")).orderBy("id").limit(k)
-      .select(col("id").as("seed"), col("id"), lit(0L).as("d"))
-      .localCheckpointCapped()
-    var frontier = dist
-    var hops = 0
-    var done = frontier.isEmpty
-    while (!done && hops < maxDepth) {
-      val next = e.join(frontier.withColumnRenamed("id", "source"), Seq("source"))
-        .select(col("seed"), col("target").as("id"), (col("d") + 1).as("d"))
-        .distinct()
-        .join(dist.select("seed", "id"), Seq("seed", "id"), "left_anti")
-        .localCheckpointCapped()
-      if (next.isEmpty) done = true
-      else {
-        dist = dist.union(next).localCheckpointCapped()
-        frontier = next
-      }
-      hops += 1
-    }
-    nf.nodes.select(col("id"))
+      DataFrame =
+    harmonicFromDistances(nf.nodes, multiSourceBfsDistances(nf, k, maxDepth))
+
+  /** Harmonic aggregate over a precomputed `multiSourceBfsDistances` frame. */
+  def harmonicFromDistances(nodes: DataFrame, dist: DataFrame): DataFrame =
+    nodes.select(col("id"))
       .join(dist.filter(col("d") > 0)
           .groupBy("id").agg(sum(expr("1000000 div d")).as("hsum")),
         Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("hsum"), lit(0L)).as("harmonic_q"))
-  }
 
   /** Bipartite co-occurrence projection: from a (group, item) membership
     * table, emit the item-item edge list weighted by the number of shared
@@ -1831,31 +1818,15 @@ object GraphAlgorithms {
     * share each round's single join + anti-join shuffle.
     */
   def eccentricities(nf: NetworkFrame, k: Int = 8, maxDepth: Int = 12):
-      DataFrame = withoutConstraintPropagation(nf.edges) {
-    require(k >= 1 && maxDepth >= 1, "need at least one seed and one hop")
-    val e = nf.symmetrizedEdges.distinct().localCheckpointCapped()
-    var dist = nf.nodes.select(col("id")).orderBy("id").limit(k)
-      .select(col("id").as("seed"), col("id"), lit(0L).as("d"))
-      .localCheckpointCapped()
-    var frontier = dist
-    var hops = 0
-    var done = frontier.isEmpty
-    while (!done && hops < maxDepth) {
-      val next = e.join(frontier.withColumnRenamed("id", "source"), Seq("source"))
-        .select(col("seed"), col("target").as("id"), (col("d") + 1).as("d"))
-        .distinct()
-        .join(dist.select("seed", "id"), Seq("seed", "id"), "left_anti")
-        .localCheckpointCapped()
-      if (next.isEmpty) done = true
-      else {
-        dist = dist.union(next).localCheckpointCapped()
-        frontier = next
-      }
-      hops += 1
-    }
+      DataFrame =
+    eccentricitiesFromDistances(multiSourceBfsDistances(nf, k, maxDepth))
+
+  /** Eccentricity aggregate over a precomputed `multiSourceBfsDistances`
+    * frame.
+    */
+  def eccentricitiesFromDistances(dist: DataFrame): DataFrame =
     dist.groupBy("seed")
       .agg(max("d").as("ecc_lb"), count(lit(1)).as("n_reached"))
-  }
 
   /** Minimum spanning forest by Borůvka rounds — the scipy.csgraph
     * `minimum_spanning_tree` counterpart for the reference's sparse-export

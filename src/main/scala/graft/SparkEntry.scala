@@ -31,7 +31,17 @@ object SparkEntry {
     */
   private def tsNanos(df: DataFrame): org.apache.spark.sql.Column =
     df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => col("ts")
+      case org.apache.spark.sql.types.LongType =>
+        // loud guard on the long branch: epoch NANOS for any modern date is
+        // >= ~1.5e18 while micros are ~1.7e15 — if the generator ever ships
+        // long MICROS again, fail the query with a clear message instead of
+        // silently computing every interval 1000x off (codegen'd per-row
+        // branch, negligible cost)
+        when(col("ts") =!= 0L && abs(col("ts")) < lit(100000000000000000L),
+          raise_error(concat(lit("tsNanos: long ts value "),
+            col("ts").cast("string"),
+            lit(" is too small to be epoch nanoseconds — encoding changed?"))))
+          .otherwise(col("ts"))
       case _ => unix_micros(col("ts").cast("timestamp")) * lit(1000L)
     }
 
@@ -138,6 +148,26 @@ object SparkEntry {
     s.read.parquet(p)
   }
 
+  /** The k=8, depth-12 multi-source BFS distance table of the sparse
+    * graph, derived ONCE per (JVM, sf dir) and materialized to parquet —
+    * q_closeness / q_harmonic / q_voronoi / q_eccentricity are four
+    * aggregates of the SAME (seed, id, d) frame, and the API exposes
+    * `*FromDistances` variants precisely so pipelines run the BFS once
+    * and fan out. Same pattern as `sparseLabels`: parquet (not cache) so
+    * per-query unpersist cannot invalidate it.
+    */
+  private val seedDistPath = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def seedDists(s: SparkSession, dir: String): DataFrame = {
+    val p = seedDistPath.getOrElseUpdate(dir, {
+      val out = scratchDir(s, "seed_dists_")
+      GraphAlgorithms.multiSourceBfsDistances(sparse(s, dir), k = 8, maxDepth = 12)
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(p)
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents")
 
@@ -178,6 +208,11 @@ sym AS (SELECT source, target FROM sedges UNION SELECT target, source FROM sedge
     """,
 reach(id, r) AS (SELECT id, id FROM nodes UNION SELECT reach.id, s.target FROM reach JOIN sym s ON s.source = reach.r),
 lab AS (SELECT id, min(r) AS component FROM reach GROUP BY id)"""
+
+  /** The q_hitting absorbing-target predicate (id % this == 0) — one
+    * constant shared by the Scala query and the DuckDB oracle.
+    */
+  private val HIT_TARGET_MOD = 97L
 
   // deterministic decimal accumulation helpers
   private val D = "decimal(18,2)"
@@ -677,7 +712,7 @@ CAST(sum(m) * 1000000 // count(*) AS BIGINT) AS reciprocity_q FROM r""")),
     // simultaneous multi-source BFS keyed on (seed, node); the oracle
     // replays it as a bounded recursive CTE over the same sym edges
     ("q_harmonic", (s, dir) =>
-      GraphAlgorithms.harmonicCentrality(sparse(s, dir), k = 8, maxDepth = 12)
+      GraphAlgorithms.harmonicFromDistances(sparse(s, dir).nodes, seedDists(s, dir))
         .orderBy("id"),
       Some(s"""$G, seeds AS (SELECT id FROM nodes ORDER BY id LIMIT 8),
 bfs(seed, id, d) AS (
@@ -691,7 +726,7 @@ FROM nodes n LEFT JOIN md ON md.id = n.id GROUP BY 1 ORDER BY 1""")),
     // sampled closeness centrality: seeds-reaching count + distance sum +
     // the quantized classic estimate, from the same multi-source BFS
     ("q_closeness", (s, dir) =>
-      GraphAlgorithms.closenessCentrality(sparse(s, dir), k = 8, maxDepth = 12)
+      GraphAlgorithms.closenessFromDistances(sparse(s, dir).nodes, seedDists(s, dir))
         .orderBy("id"),
       Some(s"""$G, seeds AS (SELECT id FROM nodes ORDER BY id LIMIT 8),
 bfs(seed, id, d) AS (
@@ -716,7 +751,7 @@ FROM nodes n LEFT JOIN ag ON ag.id = n.id ORDER BY 1""")),
     // (ties to the smaller seed) — BFS-based partitioning for
     // locality-aware sharding; same multi-source BFS as q_harmonic
     ("q_voronoi", (s, dir) =>
-      GraphAlgorithms.graphVoronoi(sparse(s, dir), k = 8, maxDepth = 12)
+      GraphAlgorithms.voronoiFromDistances(sparse(s, dir).nodes, seedDists(s, dir))
         .orderBy("id"),
       Some(s"""$G, seeds AS (SELECT id FROM nodes ORDER BY id LIMIT 8),
 bfs(seed, id, d) AS (
@@ -799,7 +834,7 @@ FROM kept a JOIN kept b ON a.z = b.z AND a.n < b.n GROUP BY 1,2 ORDER BY 1,2""")
     // rounds in the oracle — walk analytics without per-walk state
     ("q_hitting", (s, dir) =>
       GraphAlgorithms.boundedHitting(sparse(s, dir),
-        graph(s, dir).nodes.select("id").filter(col("id") % 97 === 0),
+        graph(s, dir).nodes.select("id").filter(col("id") % HIT_TARGET_MOD === 0),
         rounds = 6)
         .orderBy("id"),
       Some(hittingSql(6))),
@@ -1772,6 +1807,38 @@ FROM k GROUP BY 1 ORDER BY 1""")),
 1 + (ascii(substr(text, 2, 1)) % 64) AS height, 3 AS channels,
 CAST(octet_length(encode(text)) AS BIGINT) AS byte_len FROM documents ORDER BY 1""")),
 
+    // REAL end-to-end image decode: each doc's text bytes become an 8x8
+    // 24-bit BMP (syntheticBmp), javax.imageio decodes actual pixels, and
+    // the 8-dim feature vector is per-band means + second moments from
+    // integer raster sums — the oracle predicts every statistic in closed
+    // form from the same text bytes (file data byte i = text byte i % len;
+    // channel = i % 3 with B=0,G=1,R=2; ImageIO band 0 is R)
+    ("q_image_features", (s, dir) =>
+      Multimodal.decodeImages(Multimodal.fromTextBmp(s, docs(s, dir), "doc_id", "text"))
+        .toDF()
+        .select(Seq(col("id"), col("width"), col("height"), col("channels"),
+          col("byte_len")) ++
+          (0 until Multimodal.featureDim).map(i =>
+            element_at(col("features"), i + 1).as(s"f$i")): _*)
+        .orderBy("id"),
+      Some("""WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+p AS (SELECT doc_id, n, text, unnest(generate_series(0, 191)) AS i FROM t),
+b AS (SELECT doc_id, i % 3 AS chan, ascii(substr(text, CAST(i % n AS INT) + 1, 1)) AS v FROM p),
+s AS (SELECT doc_id,
+sum(CASE WHEN chan = 2 THEN v ELSE 0 END) AS sr, sum(CASE WHEN chan = 1 THEN v ELSE 0 END) AS sg, sum(CASE WHEN chan = 0 THEN v ELSE 0 END) AS sb,
+sum(CASE WHEN chan = 2 THEN v * v ELSE 0 END) AS qr, sum(CASE WHEN chan = 1 THEN v * v ELSE 0 END) AS qg, sum(CASE WHEN chan = 0 THEN v * v ELSE 0 END) AS qb
+FROM b GROUP BY 1)
+SELECT doc_id AS id, 8 AS width, 8 AS height, 3 AS channels, CAST(246 AS BIGINT) AS byte_len,
+CAST(CAST(sr AS DOUBLE) / 64 / 255.0 AS REAL) AS f0,
+CAST(CAST(sg AS DOUBLE) / 64 / 255.0 AS REAL) AS f1,
+CAST(CAST(sb AS DOUBLE) / 64 / 255.0 AS REAL) AS f2,
+CAST(0.0 AS REAL) AS f3,
+CAST(CAST(qr AS DOUBLE) / 64 / 65025.0 AS REAL) AS f4,
+CAST(CAST(qg AS DOUBLE) / 64 / 65025.0 AS REAL) AS f5,
+CAST(CAST(qb AS DOUBLE) / 64 / 65025.0 AS REAL) AS f6,
+CAST(0.0 AS REAL) AS f7
+FROM s ORDER BY 1""")),
+
     ("q_frame_sample", (s, dir) =>
       Multimodal.sampleFrames(Multimodal.fromText(s, docs(s, dir), "doc_id", "text"), 16, 4)
         .toDF().orderBy("id", "frame_index"),
@@ -2492,7 +2559,7 @@ FROM tri, w""")),
     // eccentricity profile from the 8 smallest ids (depth-capped multi-
     // source BFS; exact where the sweep exhausts the component)
     ("q_eccentricity", (s, dir) =>
-      GraphAlgorithms.eccentricities(sparse(s, dir), k = 8, maxDepth = 12)
+      GraphAlgorithms.eccentricitiesFromDistances(seedDists(s, dir))
         .orderBy("seed"),
       Some(s"""$G, seeds AS (SELECT id FROM nodes ORDER BY id LIMIT 8),
 bfs(seed, id, d) AS (
@@ -2672,20 +2739,35 @@ SELECT path, count(*) AS n_sessions FROM p GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 2
 
     // long-context stitching: deterministic ordered concatenation of
     // related documents (source x lang proxy groups) into training
-    // sequences — emitted as prefix hash + exact length so the row stays
-    // bounded; the group agg is one shuffle, the concat order is total
-    ("q_ctx_stitch", (s, dir) =>
+    // sequences — emitted as prefix hash + exact length, and BOTH stay
+    // bounded: stitch_chars is pure arithmetic (sum of lengths plus
+    // separators, never a materialized string) and the 2000-char prefix
+    // hash concatenates only the docs whose start offset (running sum of
+    // prior lengths + 3-char separators, same partition key as the group
+    // so the window adds no extra shuffle) can still reach into the first
+    // 2000 characters — a group holding the whole corpus contributes a
+    // handful of rows to the concat, not its full text
+    ("q_ctx_stitch", (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val wsl = W.partitionBy("source", "lang").orderBy("doc_id")
       docs(s, dir)
+        .withColumn("cum_before", coalesce(
+          sum(length(col("text")).cast("long") + lit(3L))
+            .over(wsl.rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
         .groupBy("source", "lang")
         .agg(count(lit(1)).as("n_docs"),
-          collect_list(struct(col("doc_id"), col("text"))).as("ps"))
-        .select(col("source"), col("lang"), col("n_docs"),
-          array_join(transform(array_sort(col("ps")), p => p.getField("text")),
-            " | ").as("st"))
-        .select(col("source"), col("lang"), col("n_docs"),
-          length(col("st")).cast("long").as("stitch_chars"),
-          md5(substring(col("st"), 1, 2000)).as("stitch_hash"))
-        .orderBy("source", "lang"),
+          (sum(length(col("text")).cast("long")) +
+            (count(lit(1)) - 1L) * 3L).as("stitch_chars"),
+          // < 2003, not < 2000: a doc starting just past 2000 is dropped
+          // only once even the 3-char separator before it lies wholly
+          // beyond the prefix window
+          collect_list(when(col("cum_before") < 2003L,
+            struct(col("doc_id"), col("text")))).as("ps"))
+        .select(col("source"), col("lang"), col("n_docs"), col("stitch_chars"),
+          md5(substring(array_join(transform(array_sort(col("ps")),
+            p => p.getField("text")), " | "), 1, 2000)).as("stitch_hash"))
+        .orderBy("source", "lang")
+    },
       Some("""SELECT source, lang, count(*) AS n_docs,
 CAST(len(string_agg(text, ' | ' ORDER BY doc_id)) AS BIGINT) AS stitch_chars,
 md5(substr(string_agg(text, ' | ' ORDER BY doc_id), 1, 2000)) AS stitch_hash
@@ -2886,7 +2968,11 @@ FROM m""")),
             + 4) % 7).cast("long").as("dow"),
           floor(col("value") * 100).cast("long").as("cents"))
         .groupBy("dow")
-        .agg(count(lit(1)).as("n_events"), sum("cents").cast("long").as("sum_cents"))
+        // sum as DECIMAL(38,0) then narrow: a LongType sum can overflow
+        // (throwing under ANSI) at scale while DuckDB promotes to HUGEINT
+        // — same discipline as the TPC-H analogs
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("cents").cast("decimal(38,0)")).cast("long").as("sum_cents"))
         .orderBy("dow"),
       Some("""SELECT CAST((CAST(ts AS DATE) - DATE '1970-01-01' + 4) % 7 AS BIGINT) AS dow,
 count(*) AS n_events, CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
@@ -4029,16 +4115,17 @@ SELECT lab.id, cluster_rep, CAST(nn AS BIGINT) AS n2,
 row_number() OVER (PARTITION BY cluster_rep ORDER BY nn DESC, lab.id) = 1 AS keep
 FROM lab JOIN norms n ON n.vec_id = lab.id ORDER BY 1""")),
 
-    // sorted-neighborhood dedup: one global (text, id) sort, each doc
-    // compared to its 10 rank-successors only (candidates EXACTLY n*w),
-    // exact distinct-shingle Jaccard verification — rank assigned via
-    // range-partitioned sortBy+zipWithIndex, never a single-partition
-    // row_number window
+    // sorted-neighborhood dedup: one global (64-char text prefix, id)
+    // sort, each doc compared to its 10 rank-successors only (candidates
+    // EXACTLY n*w), exact distinct-shingle Jaccard verification — rank
+    // assigned via range-partitioned sortBy+zipWithIndex on the
+    // fixed-width key (shuffle carries ~72 B/doc, not the corpus), never
+    // a single-partition row_number window
     ("q_snm_pairs", (s, dir) =>
-      Dedup.sortedNeighborhoodPairs(docs(s, dir), "doc_id", "text", 10, 3, 0.3)
+      Dedup.sortedNeighborhoodPairs(docs(s, dir), "doc_id", "text", 10, 3, 0.3, 64)
         .orderBy("id_a", "id_b"),
       Some("""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
-rk AS (SELECT doc_id, row_number() OVER (ORDER BY text, doc_id) AS rn FROM t),
+rk AS (SELECT doc_id, row_number() OVER (ORDER BY substr(text, 1, 64), doc_id) AS rn FROM t),
 cand AS (SELECT least(a.doc_id, b.doc_id) AS id_a, greatest(a.doc_id, b.doc_id) AS id_b
 FROM rk a JOIN rk b ON b.rn - a.rn BETWEEN 1 AND 10),
 sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 0)), i -> array_to_string(list_slice(l, i, i + 2), ' '))) AS shingle FROM t),
@@ -4184,16 +4271,21 @@ SELECT id, wl FROM l$rounds ORDER BY 1"""
     * every CTE MATERIALIZED (see spectralSql for why).
     */
   private def hittingSql(rounds: Int): String = {
+    val tgt = s"%s %% $HIT_TARGET_MOD = 0"
     val steps = (1 to rounds).map { i =>
       s"""m$i AS MATERIALIZED (SELECT e.source AS id, sum(p.p) AS sp FROM de e JOIN p${i - 1} p ON p.id = e.target GROUP BY 1),
-p$i AS MATERIALIZED (SELECT n.id, CAST(CASE WHEN n.id % 97 = 0 THEN 1000000 ELSE coalesce(m.sp // d.d, 0) END AS BIGINT) AS p
+p$i AS MATERIALIZED (SELECT n.id, CAST(CASE WHEN ${tgt.format("n.id")} THEN 1000000 ELSE coalesce(m.sp // d.d, 0) END AS BIGINT) AS p
 FROM nodes n LEFT JOIN m$i m ON m.id = n.id LEFT JOIN dg d ON d.id = n.id)"""
     }.mkString(",\n")
-    s"""WITH nodes AS MATERIALIZED (SELECT c_custkey AS id FROM customer),
-sedges AS MATERIALIZED (SELECT o_custkey AS source, o_orderkey % (SELECT count(*) FROM customer) AS target FROM orders WHERE o_orderkey % 10 = 0),
+    // composes the shared $G prelude (same nodes/sedges definitions as
+    // graph()/sparse()) instead of restating them, so a change to the
+    // shared graph definition cannot decouple this oracle from its query;
+    // the target predicate derives from the one HIT_TARGET_MOD constant
+    // referenced by both sides
+    s"""$G,
 de AS MATERIALIZED (SELECT DISTINCT source, target FROM sedges WHERE source <> target),
 dg AS MATERIALIZED (SELECT source AS id, count(*) AS d FROM de GROUP BY 1),
-p0 AS MATERIALIZED (SELECT id, CAST(CASE WHEN id % 97 = 0 THEN 1000000 ELSE 0 END AS BIGINT) AS p FROM nodes),
+p0 AS MATERIALIZED (SELECT id, CAST(CASE WHEN ${tgt.format("id")} THEN 1000000 ELSE 0 END AS BIGINT) AS p FROM nodes),
 $steps
 SELECT id, p AS hit_ppm FROM p$rounds ORDER BY 1"""
   }

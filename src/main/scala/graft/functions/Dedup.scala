@@ -608,28 +608,37 @@ object Dedup {
   }
 
   /** Sorted-neighborhood dedup (the classic SNM blocking discipline): rank
-    * every document in one global (text, id) sort order, compare each doc
-    * only to its `window` successors in that order, and verify candidates
-    * with exact distinct-shingle Jaccard. Candidate count is EXACTLY n*w —
-    * linear in the corpus for fixed w — regardless of how skewed the
-    * content is, which is SNM's advantage over inverted-index blocking
-    * (no posting list to cap). The global rank is computed the scale-safe
-    * way: RDD `sortBy` (range-partition + per-partition sort) +
+    * every document in one global (text-prefix, id) sort order, compare
+    * each doc only to its `window` successors in that order, and verify
+    * candidates with exact distinct-shingle Jaccard. Candidate count is
+    * EXACTLY n*w — linear in the corpus for fixed w — regardless of how
+    * skewed the content is, which is SNM's advantage over inverted-index
+    * blocking (no posting list to cap). The global rank is computed the
+    * scale-safe way: RDD `sortBy` (range-partition + per-partition sort) +
     * `zipWithIndex` (one extra lightweight job for partition offsets) —
     * NOT `row_number() OVER (ORDER BY text)`, which funnels the corpus
-    * through a single partition. Neighbor pairing is then an equi-join on
-    * rank+offset, shuffle-keyed by rank. Sort order is binary/codepoint
-    * lexicographic on the text (engines agree on ASCII; pick an explicit
-    * normalization for general unicode). Output: (id_a < id_b, jaccard)
-    * for window-adjacent pairs with Jaccard >= minJaccard.
+    * through a single partition. Crucially the sort key is a FIXED-WIDTH
+    * key — the first `keyLen` characters of the text plus the id as the
+    * tiebreak — not the whole document: SNM blocking only needs near-equal
+    * texts to land adjacent in rank, and a 64-char prefix gives the same
+    * neighborhoods while the range shuffle carries O(n * (keyLen + 8))
+    * bytes instead of the entire corpus (sortBy additionally SAMPLES its
+    * input for range boundaries, so a full-text key would scan the corpus
+    * bytes twice). Neighbor pairing is then an equi-join on rank+offset,
+    * shuffle-keyed by rank. Sort order is binary/codepoint lexicographic
+    * on the prefix (engines agree on ASCII; pick an explicit normalization
+    * for general unicode). Output: (id_a < id_b, jaccard) for
+    * window-adjacent pairs with Jaccard >= minJaccard.
     */
   def sortedNeighborhoodPairs(df: DataFrame, idCol: String, textCol: String,
                               window: Int = 10, shingleLen: Int = 3,
-                              minJaccard: Double = 0.3): DataFrame = {
+                              minJaccard: Double = 0.3, keyLen: Int = 64): DataFrame = {
     require(window >= 1, "window must be >= 1")
+    require(keyLen >= 1, "keyLen must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
-    val keyed = df.select(col(textCol).as("txt"), col(idCol).cast("long").as("id"))
+    val keyed = df.select(substring(col(textCol), 1, keyLen).as("pfx"),
+      col(idCol).cast("long").as("id"))
     val ranked = keyed.as[(String, Long)].rdd
       .sortBy(identity)
       .zipWithIndex()
@@ -695,9 +704,14 @@ object Dedup {
       .join(sketch.select(col("g").as("gb"), col("h")), Seq("h"))
       .filter(col("ga") < col("gb"))
       .groupBy("ga", "gb").agg(collect_list(col("h")).as("hs"))
+    // guard the no-common-hash case with an explicit isNull branch, not
+    // coalesce(size(...)): under legacy sizeOfNull (ANSI off) size(NULL)
+    // is -1, not NULL, and the coalesce would silently pass -1 through —
+    // this form is config-independent
     pairs.join(common, Seq("ga", "gb"), "left_outer")
       .select(col("ga").as("src_a"), col("gb").as("src_b"), col("theta_q"),
-        coalesce(size(filter(col("hs"), x => x < col("theta_q"))), lit(0))
+        when(col("hs").isNull, lit(0L))
+          .otherwise(size(filter(col("hs"), x => x < col("theta_q"))))
           .cast("long").as("n_common"))
       .selectExpr("src_a", "src_b", "theta_q", "n_common",
         "CAST(n_common * 4294967296 DIV theta_q AS BIGINT) AS est_overlap")

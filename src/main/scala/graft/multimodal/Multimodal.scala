@@ -81,17 +81,63 @@ object Multimodal {
     * Plan shape: narrow mapPartitions — no shuffle; upstream should size
     * partitions via `spark.sql.files.maxPartitionBytes` so one batch of
     * decoded images fits executor memory (payloads dominate).
+    *
+    * REAL features for any payload the JDK can decode (PNG/BMP/GIF/JPEG
+    * via javax.imageio): the 8-dim vector is per-band pixel means
+    * (f0..f3 = sum/n/255, zero-filled past the band count) and per-band
+    * second moments (f4..f7 = sum of squares/n/255², likewise) — all
+    * accumulated in integers, so the floats are exact and reproducible at
+    * any parallelism. The deterministic byte-derived stub survives ONLY
+    * for payloads no JDK codec can read (header parse still supplies
+    * dimensions when the header is intact but pixel data is absent).
     */
   def decodeImages(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[ImageFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
-          val (w, h, c, f) = decodeHeader(r.media) match {
-            case Some((pw, ph, pc)) =>
-              // real header parse; features still stubbed (no codec libs)
-              (pw, ph, pc, stubDecodeImage(r.media)._4)
-            case None => stubDecodeImage(r.media)
+          val img =
+            try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.media)))
+            catch { case _: Throwable => None }
+          val (w, h, c, f) = img match {
+            case Some(im) =>
+              val raster = im.getRaster
+              val w0 = im.getWidth; val h0 = im.getHeight
+              val bands = raster.getNumBands
+              val sums = new Array[Long](bands)
+              val sqs = new Array[Long](bands)
+              val buf = new Array[Int](bands)
+              var y = 0
+              while (y < h0) {
+                var x = 0
+                while (x < w0) {
+                  raster.getPixel(x, y, buf)
+                  var b = 0
+                  while (b < bands) {
+                    val v = buf(b); sums(b) += v; sqs(b) += v.toLong * v; b += 1
+                  }
+                  x += 1
+                }
+                y += 1
+              }
+              val np = w0.toLong * h0
+              val feats = Array.tabulate(featureDim) { i =>
+                if (i < 4) {
+                  if (i < bands) (sums(i).toDouble / np / 255.0).toFloat else 0f
+                } else {
+                  val b = i - 4
+                  if (b < bands) (sqs(b).toDouble / np / 65025.0).toFloat else 0f
+                }
+              }
+              (w0, h0, bands, feats)
+            case None => decodeHeader(r.media) match {
+              case Some((pw, ph, pc)) =>
+                // intact header, undecodable pixel data: real dimensions,
+                // stub features
+                (pw, ph, pc, stubDecodeImage(r.media)._4)
+              case None => stubDecodeImage(r.media)
+            }
           }
           ImageFeatures(r.id, w, h, c, r.media.length.toLong, f)
         }
@@ -271,5 +317,52 @@ object Multimodal {
         encode(col(textCol), "UTF-8").as("media"),
         lit("text/plain").as("mime"))
       .as[MediaRecord]
+  }
+
+  /** Deterministic uncompressed 24-bit BMP (`w` x `h`, bottom-up,
+    * BITMAPINFOHEADER) whose pixel-data bytes cyclically repeat `payload` —
+    * a REAL, fully ImageIO-decodable image a DuckDB oracle can still
+    * predict arithmetically, because every channel statistic is a closed
+    * form over the payload bytes (file byte i of the data section is
+    * payload(i % len); with w*3 divisible by 3 a byte's channel is just
+    * i % 3: B=0, G=1, R=2 in file order, and row order cannot affect
+    * whole-image sums). Requires `w % 4 == 0` so rows need no padding
+    * bytes (which would break the closed form).
+    */
+  def syntheticBmp(payload: Array[Byte], w: Int = 8, h: Int = 8): Array[Byte] = {
+    require(w > 0 && h > 0 && w % 4 == 0, "w must be positive and 4-aligned")
+    val dataLen = w * 3 * h
+    val out = new Array[Byte](54 + dataLen)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte
+      out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    le32(2, 54 + dataLen); le32(10, 54)
+    le32(14, 40); le32(18, w); le32(22, h)
+    out(26) = 1; out(28) = 24
+    le32(34, dataLen); le32(38, 2835); le32(42, 2835)
+    val n = payload.length
+    var i = 0
+    while (i < dataLen) {
+      out(54 + i) = if (n == 0) 0 else payload(i % n)
+      i += 1
+    }
+    out
+  }
+
+  /** MediaRecord dataset of REAL decodable images: one `syntheticBmp` per
+    * row, pixel bytes derived from the row's text — the fixture generator
+    * for end-to-end decode tests whose expected statistics an external
+    * oracle can compute without any image codec.
+    */
+  def fromTextBmp(spark: SparkSession, df: DataFrame, idCol: String,
+                  textCol: String, w: Int = 8, h: Int = 8): Dataset[MediaRecord] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), encode(col(textCol), "UTF-8"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) => MediaRecord(id, syntheticBmp(bytes, w, h), "image/bmp") }
   }
 }
