@@ -565,15 +565,32 @@ object GraphAlgorithms {
     * scalable representation of the reference's dense N x N `k_hop_mask`
     * (networkframe.py:1279-1307; representation diverges, results match).
     * Self-pairs excluded when dropSelf (the mask's zeroed diagonal,
-    * networkframe.py:1434-1435). Per-level distinct caps the blowup; at
-    * 100 TB scale add degree capping / bucketed edges.
+    * networkframe.py:1434-1435). Per-level distinct caps the blowup.
+    *
+    * `degreeCap` is the power-law escape hatch for 100 TB graphs
+    * (SURVEY §7.4): when set, every node's expansion adjacency keeps only
+    * its `cap` smallest-id out-neighbors (deterministic, per-source
+    * WindowGroupLimit — a keyed top-k, never a global sort), so a
+    * celebrity hub contributes O(cap^k) pairs instead of O(deg^k).
+    * DOCUMENTED DIVERGENCE when capped: the result is a deterministic
+    * SUBSET of the exact <= k-hop reachability (paths routed only through
+    * kept adjacency); with the cap at or above the max degree it is
+    * exactly the uncapped output.
     */
   def kHopPairs(nf: NetworkFrame, k: Int, directed: Boolean = false,
-                dropSelf: Boolean = true): DataFrame = withoutConstraintPropagation(nf.edges) {
+                dropSelf: Boolean = true,
+                degreeCap: Option[Int] = None): DataFrame = withoutConstraintPropagation(nf.edges) {
     require(k >= 1, "k must be >= 1")
+    require(degreeCap.forall(_ >= 1), "degreeCap must be >= 1 when set")
     val e0 = if (directed) nf.edges.select(col("source"), col("target"))
              else nf.symmetrizedEdges
-    val one = e0.distinct().localCheckpointCapped()
+    val eDedup = e0.distinct()
+    val one = degreeCap.fold(eDedup) { cap =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("target")
+      eDedup.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= cap).drop("rn")
+    }.localCheckpointCapped()
     var pairs = one.select(col("source").as("id"), col("target").as("neighbor"))
     var level = one
     for (_ <- 2 to k) {
@@ -855,10 +872,17 @@ object GraphAlgorithms {
       if (nxt.isEmpty) done = true
       else {
         levels = nxt :: levels
-        visited = visited.union(nxt.select("seed", "id")).localCheckpointCapped()
+        // free the superseded visited set once the union has materialized:
+        // peak forward-pass storage stays O(levels + one visited), not
+        // O(levels + depth visited chains)
+        val nv = visited.union(nxt.select("seed", "id")).localCheckpointCapped()
+        unpersistCheckpoint(visited)
+        visited = nv
         d += 1
       }
     }
+    // the backward pass never reads the visited set
+    unpersistCheckpoint(visited)
     var above: DataFrame = null // (seed, id, sigma, delta) one level deeper
     var acc: DataFrame = null
     for (lvl <- levels) { // deepest -> level 0
@@ -880,8 +904,18 @@ object GraphAlgorithms {
               coalesce(col("delta"), lit(0).cast(D38)).as("delta"))
         }
       val wd = withDelta.localCheckpointCapped()
-      acc = if (acc == null) wd.select("seed", "id", "delta")
-            else acc.union(wd.select("seed", "id", "delta")).localCheckpointCapped()
+      val newAcc =
+        if (acc == null) wd.select("seed", "id", "delta")
+        else acc.union(wd.select("seed", "id", "delta")).localCheckpointCapped()
+      // wd and newAcc have materialized: the deeper level (`above`), this
+      // frontier (`lvl`), and the superseded accumulator are all fully
+      // consumed — free them so only O(1) level frames stay alive instead
+      // of the whole forward history (unpersistCheckpoint no-ops on the
+      // first lazy-view accumulator)
+      if (above != null) unpersistCheckpoint(above)
+      unpersistCheckpoint(lvl)
+      if (acc != null) unpersistCheckpoint(acc)
+      acc = newAcc
       above = wd
     }
     nf.nodes.select(col("id"))

@@ -1881,6 +1881,23 @@ count(*) AS n_parallel, CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS wei
 WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
 GROUP BY 1,2,3 ORDER BY 1,2,3""")),
 
+    // streaming connected-component maintenance: a foreachBatch runner
+    // keeps live labels over 6 deterministic micro-batches of the
+    // events-derived edge stream, merging only each batch's quotient
+    // delta via incrementalComponents; min-id labeling is confluent, so
+    // the final table equals the batch weak-CC fixpoint over all edges —
+    // which is exactly what the oracle replays
+    ("q_cc_stream", (s, dir) =>
+      EventStream.runComponentsStream(s, s"$dir/events.parquet",
+          chunks = 6, everyNth = 10, targetMod = 211,
+          s"cc_stream_${Counter.next()}")
+        .orderBy("id"),
+      Some("""WITH RECURSIVE e AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS s, CAST(event_id % 211 AS BIGINT) AS t FROM events WHERE event_id % 10 = 0),
+n AS (SELECT s AS id FROM e UNION SELECT t FROM e),
+sym2 AS (SELECT s, t FROM e WHERE s <> t UNION SELECT t, s FROM e WHERE s <> t),
+reach(id, r) AS (SELECT id, id FROM n UNION SELECT reach.id, s2.t FROM reach JOIN sym2 s2 ON s2.s = reach.r)
+SELECT id, min(r) AS component FROM reach GROUP BY 1 ORDER BY 1""")),
+
     // stream-stream interval self-join (attribution: views within 4 hours
     // before each click, per user) through the real watermarked join
     ("q_stream_join", (s, dir) =>

@@ -634,6 +634,76 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Streaming connected-component maintenance (SURVEY §2.9 phase 3): a
+    * foreachBatch runner that keeps a live (id, component) label table over
+    * an events-derived edge stream. Each micro-batch contributes delta
+    * edges (source = user_id, target = event_id % targetMod — the same
+    * synthetic-hub scheme as the customer graph); new endpoints enter as
+    * their own singleton components, then
+    * `GraphAlgorithms.incrementalComponents` merges only the QUOTIENT
+    * graph touched by the batch (label-pairs of the delta, a graph of
+    * components, exponentially smaller than the node space) — per batch
+    * the cost is the delta, never a full recompute. Labels are min-node-id
+    * based and component merging is CONFLUENT: the final table equals the
+    * batch weak-CC labels over the union of all edges REGARDLESS of how
+    * the stream was micro-batched, which is what makes the result
+    * deterministic (and externally verifiable) even though file-source
+    * batch boundaries are an implementation detail. The input is staged as
+    * `chunks` deterministic parquet files with maxFilesPerTrigger=1, so
+    * the runner genuinely exercises multi-batch incremental maintenance
+    * rather than one big batch.
+    */
+  def runComponentsStream(spark: SparkSession, parquetPath: String,
+                          chunks: Int = 6, everyNth: Int = 10,
+                          targetMod: Int = 211,
+                          queryName: String = "cc_stream"): DataFrame = {
+    require(chunks >= 1, "need at least one chunk")
+    val edges = spark.read.parquet(parquetPath)
+      .filter(col("event_id") % everyNth === 0)
+      .select(col("user_id").cast("long").as("source"),
+        (col("event_id") % targetMod).cast("long").as("target"),
+        col("event_id").cast("long").as("event_id"))
+    val stage = java.nio.file.Files.createTempDirectory("graft_cc_stream_")
+    (0 until chunks).foreach { i =>
+      val build = stage.resolve(s"_build_$i")
+      edges.filter(expr(s"(event_id DIV $everyNth) % $chunks") === i)
+        .coalesce(1).write.parquet(build.toString)
+      val part = asScalaIt(java.nio.file.Files.list(build).iterator())
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part written for chunk $i"))
+      java.nio.file.Files.move(part, stage.resolve(f"chunk_$i%04d.parquet"))
+    }
+    val src = spark.readStream.schema(edges.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+    // the label table lives across batches; foreachBatch bodies run
+    // serially on the driver, so plain var state is safe
+    var labels: DataFrame =
+      edges.select(col("source").as("id"), col("source").as("component")).limit(0)
+    val q = src.writeStream
+      .queryName(queryName)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val e = batch.select(col("source"), col("target"))
+        val ends = e.select(col("source").as("id"))
+          .union(e.select(col("target").as("id"))).distinct()
+        val fresh = ends.join(labels.select("id"), Seq("id"), "left_anti")
+          .select(col("id"), col("id").as("component"))
+        labels = graft.GraphAlgorithms
+          .incrementalComponents(labels.union(fresh), e)
+          .localCheckpointCapped()
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    labels
+  }
+
+  private def asScalaIt[A](it: java.util.Iterator[A]): Iterator[A] =
+    new Iterator[A] {
+      def hasNext: Boolean = it.hasNext
+      def next(): A = it.next()
+    }
+
   /** Production-mode streaming pass: APPEND output with watermark-evicted
     * state. Unlike `runStreamingOnce` (complete mode: unbounded state, fine
     * only for the memory-sink test harness), append mode emits each window

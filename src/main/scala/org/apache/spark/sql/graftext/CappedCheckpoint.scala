@@ -45,6 +45,21 @@ object CappedCheckpoint {
     def localCheckpointCapped(): DataFrame = localCapped(df)
   }
 
+  /** Free the block-manager storage of a frame produced by
+    * `localCheckpointCapped`, once every downstream consumer has
+    * materialized (eager checkpoints downstream guarantee that). Safe
+    * no-op on frames that are NOT directly a checkpoint scan (e.g. lazy
+    * projections over one) — only an exact `LogicalRDD` root is freed, so
+    * callers can call this unconditionally in iterative loops. This is
+    * what bounds peak storage of multi-level algorithms (Brandes keeps
+    * O(depth) level frames alive otherwise).
+    */
+  def unpersistCheckpoint(df: DataFrame): Unit =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed match {
+      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   private val Cap = BigInt(Long.MaxValue)
 
   def localCapped(df: DataFrame): DataFrame = {

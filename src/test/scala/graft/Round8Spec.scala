@@ -87,6 +87,46 @@ class Round8Spec extends AnyFunSuite with SparkFixture {
     assert(vor(1L) == 1L && vor(2L) == 2L && vor(3L) == 2L && vor(9L) == -1L)
   }
 
+  test("kHopPairs degreeCap: uncapped-equivalent at cap >= max degree, subset below") {
+    // star: hub 0 — {1..6}, plus chain 1-7
+    val nodes = (0L to 7L).toDF("id")
+    val edges = ((1L to 6L).map(i => (0L, i)) :+ (1L, 7L)).toDF("source", "target")
+    val nf = NetworkFrame(nodes, edges)
+    def pairs(cap: Option[Int]) =
+      GraphAlgorithms.kHopPairs(nf, 2, directed = false, dropSelf = true, cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(None)
+    assert(pairs(Some(100)) == exact, "cap above max degree must match exact output")
+    val capped = pairs(Some(2))
+    assert(capped.subsetOf(exact), "capped result is a subset of exact reachability")
+    // hub kept only neighbors {1,2}: 0-3 (a direct edge's reverse 3->0 is
+    // capped out of 3's adjacency? no — 3's own adjacency is just {0},
+    // under cap 2 it survives) stays reachable 1-hop; but 3-4 (via hub)
+    // requires hub adjacency to 4, which the cap dropped
+    assert(capped.contains((3L, 0L)))
+    assert(exact.contains((3L, 4L)) && !capped.contains((3L, 4L)))
+  }
+
+  test("runComponentsStream maintains labels across micro-batches == batch CC fixpoint") {
+    import graft.streaming.EventStream
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_stream_spec").toString
+    // 9 events, 3 users; everyNth=1 keeps all, targetMod=7 makes hub ids
+    val ev = (0L until 9L).map(i => (i, 100L + i % 3)).toDF("event_id", "user_id")
+    ev.coalesce(1).write.mode("overwrite").parquet(dir)
+    val out = EventStream.runComponentsStream(spark, dir,
+        chunks = 3, everyNth = 1, targetMod = 7, "cc_stream_spec")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch truth: same edge derivation, one weak-CC fixpoint
+    val e = ev.select(col("user_id").as("source"),
+      (col("event_id") % 7).as("target"))
+    val n = e.select(col("source").as("id"))
+      .union(e.select(col("target").as("id"))).distinct()
+    val truth = GraphAlgorithms.componentLabels(NetworkFrame(n, e), "weak")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == truth, "incremental streaming labels must equal the batch fixpoint")
+    assert(out.nonEmpty)
+  }
+
   test("sourceOverlapSketch reports 0 (not -1) common hashes under legacy sizeOfNull") {
     val prev = spark.conf.getOption("spark.sql.ansi.enabled")
     spark.conf.set("spark.sql.ansi.enabled", "false")
