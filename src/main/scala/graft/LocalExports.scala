@@ -32,6 +32,31 @@ object LocalExports {
     (indptr, coo.map(_._2), coo.map(_._3), n)
   }
 
+  /** LIL adjacency (list-of-lists: per-row arrays of (col, value)) — the
+    * reference's `to_sparse_adjacency(format="lil")`
+    * (networkframe.py:652-668). Rows with no entries are empty arrays, so
+    * the outer array always has exactly `n` rows in positional order.
+    * Driver-bound like every export here; built from the same positional
+    * COO as `toLocalCsr`.
+    */
+  def toLocalLil(nf: NetworkFrame, weightCol: Option[String] = None,
+                 aggfunc: String = "sum"): (Array[Array[(Long, Double)]], Int) = {
+    val n = nf.nodes.count().toInt
+    val rows = Array.fill(n)(List.empty[(Long, Double)])
+    nf.toSparseAdjacencyCoo(weightCol, aggfunc)
+      .orderBy(desc("row"), desc("col")) // prepend in reverse = ascending lists
+      .collect()
+      .foreach { r =>
+        val row = r.getLong(0).toInt
+        val v = r.get(2) match {
+          case d: java.math.BigDecimal => d.doubleValue()
+          case x: Number => x.doubleValue()
+        }
+        rows(row) = (r.getLong(1), v) :: rows(row)
+      }
+    (rows.map(_.toArray), n)
+  }
+
   /** PyG-style export (networkframe.py:677-719): positional 2 x E edge index
     * (undirected graphs get reversed edges appended, matching the
     * reference's concatenation) + numeric node-feature matrix in node-id

@@ -498,6 +498,22 @@ SELECT id FROM r ORDER BY 1""")),
       Some(s"""$G, fr(id, d) AS (SELECT id, 0 FROM nodes WHERE id = 0 UNION SELECT s.target, fr.d + 1 FROM fr JOIN sym s ON s.source = fr.id WHERE fr.d < 2)
 SELECT DISTINCT id FROM fr ORDER BY 1""")),
 
+    // hub-capped <=2-hop reachability sizes: every node's expansion
+    // adjacency keeps only its 8 smallest-id neighbors (deterministic
+    // per-source WindowGroupLimit top-k — the power-law escape hatch for
+    // celebrity hubs), then pair-count per node; the oracle replays the
+    // same capped adjacency with a row_number window
+    ("q_k_hop_capped", (s, dir) =>
+      GraphAlgorithms.kHopPairs(sparse(s, dir), 2, directed = false,
+          dropSelf = true, degreeCap = Some(8))
+        .groupBy("id").agg(count(lit(1)).as("n_reach"))
+        .orderBy("id"),
+      Some(s"""$G, sy AS (SELECT DISTINCT source, target FROM sym),
+ad AS (SELECT source, target FROM (SELECT source, target, row_number() OVER (PARTITION BY source ORDER BY target) AS rn FROM sy) WHERE rn <= 8),
+h2 AS (SELECT a.source AS id, b.target AS nb FROM ad a JOIN ad b ON b.source = a.target),
+uni AS (SELECT DISTINCT id, nb FROM (SELECT source AS id, target AS nb FROM ad UNION ALL SELECT id, nb FROM h2) WHERE id <> nb)
+SELECT id, count(*) AS n_reach FROM uni GROUP BY 1 ORDER BY 1""")),
+
     // single-source hop distances (min over the recursive frontier is immune
     // to the RECURSIVE-prelude sym duplication, like q_bfs_reach)
     ("q_bfs_depth", (s, dir) =>
@@ -1838,6 +1854,32 @@ CAST(CAST(qg AS DOUBLE) / 64 / 65025.0 AS REAL) AS f5,
 CAST(CAST(qb AS DOUBLE) / 64 / 65025.0 AS REAL) AS f6,
 CAST(0.0 AS REAL) AS f7
 FROM s ORDER BY 1""")),
+
+    // perceptual average-hash over REAL decoded pixels of the synthetic
+    // BMPs: 8x8 image -> one luminance cell per pixel (299R+587G+114B),
+    // bit set where the cell exceeds the integer grid mean; emitted as the
+    // 64-char two's-complement bit string (bin() is MSB-first in both
+    // engines' reading). Raster row y = 7 - file row (bottom-up BMP), so
+    // the oracle computes every bit position in closed form from the text
+    // bytes — the whole image-near-dup stack's hash function, oracle-gated
+    ("q_phash", (s, dir) =>
+      Multimodal.perceptualHash(Multimodal.fromTextBmp(s, docs(s, dir), "doc_id", "text"))
+        .toDF()
+        .select(col("id"), col("decoded"),
+          lpad(bin(col("phash")), 64, "0").as("phash_bits"))
+        .orderBy("id"),
+      Some("""WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+p AS (SELECT doc_id, n, text, unnest(generate_series(0, 63)) AS px FROM t),
+b AS (SELECT doc_id, px,
+ascii(substr(text, CAST((px * 3 + 2) % n AS INT) + 1, 1)) AS vr,
+ascii(substr(text, CAST((px * 3 + 1) % n AS INT) + 1, 1)) AS vg,
+ascii(substr(text, CAST((px * 3 + 0) % n AS INT) + 1, 1)) AS vb FROM p),
+l AS (SELECT doc_id, px, 299 * vr + 587 * vg + 114 * vb AS lum FROM b),
+g AS (SELECT doc_id, sum(lum) // 64 AS gmean FROM l GROUP BY 1),
+bits AS (SELECT l.doc_id, (7 - (px // 8)) * 8 + (px % 8) AS bit,
+CASE WHEN lum > gmean THEN '1' ELSE '0' END AS s FROM l JOIN g ON g.doc_id = l.doc_id)
+SELECT doc_id AS id, TRUE AS decoded, string_agg(s, '' ORDER BY bit DESC) AS phash_bits
+FROM bits GROUP BY 1 ORDER BY 1""")),
 
     ("q_frame_sample", (s, dir) =>
       Multimodal.sampleFrames(Multimodal.fromText(s, docs(s, dir), "doc_id", "text"), 16, 4)

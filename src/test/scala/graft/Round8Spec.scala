@@ -127,6 +127,24 @@ class Round8Spec extends AnyFunSuite with SparkFixture {
     assert(out.nonEmpty)
   }
 
+  test("toLocalLil matches CSR content row for row") {
+    val nodes = Seq(10L, 20L, 30L).toDF("id")
+    val edges = Seq((10L, 20L, 1.5), (10L, 30L, 2.0), (30L, 10L, 4.0),
+      (10L, 20L, 0.5)) // duplicate edge aggregates under sum
+      .toDF("source", "target", "weight")
+    val nf = NetworkFrame(nodes, edges)
+    val (lil, n) = LocalExports.toLocalLil(nf, Some("weight"))
+    assert(n == 3)
+    assert(lil(0).toSeq == Seq((1L, 2.0), (2L, 2.0))) // 10->20 summed, 10->30
+    assert(lil(1).isEmpty)
+    assert(lil(2).toSeq == Seq((0L, 4.0)))
+    // parity with the CSR export
+    val (indptr, cols, vals, cn) = LocalExports.toLocalCsr(nf, Some("weight"))
+    val fromCsr = (0 until cn).map(r =>
+      (indptr(r) until indptr(r + 1)).map(i => (cols(i.toInt), vals(i.toInt))).toSeq)
+    assert(lil.map(_.toSeq).toSeq == fromCsr)
+  }
+
   test("sourceOverlapSketch reports 0 (not -1) common hashes under legacy sizeOfNull") {
     val prev = spark.conf.getOption("spark.sql.ansi.enabled")
     spark.conf.set("spark.sql.ansi.enabled", "false")
