@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.{Dedup, Similarity, TextAnalysis}
+import graft.functions.{Curation, Dedup, Similarity, TextAnalysis}
 import graft.multimodal.Multimodal
 import graft.streaming.EventStream
 import org.apache.spark.sql.graftext.CappedCheckpoint._
@@ -1886,6 +1886,89 @@ FROM bits GROUP BY 1 ORDER BY 1""")),
         .toDF().orderBy("id", "frame_index"),
       Some("""WITH f AS (SELECT doc_id, text, unnest(generate_series(0, CAST(floor(length(text) / 16) AS INT) - 1, 4)) AS fi FROM documents WHERE length(text) >= 16)
 SELECT doc_id AS id, CAST(fi AS INT) AS frame_index, md5(substr(text, CAST(fi AS INT) * 16 + 1, 16)) AS frame_md5 FROM f ORDER BY 1,2""")),
+
+    // ====================== corpus curation ======================
+
+    // temperature-scaled mixture weights (w ∝ tokens^(1/2), quantized via
+    // the one correctly-rounded transcendental): the per-language sampling
+    // table for a training run — boost_ppm > 1e6 marks up-weighted tails
+    ("q_mix_weights", (s, dir) =>
+      Curation.mixtureWeights(docs(s, dir), "lang", "text").orderBy("lang"),
+      Some("""WITH g AS (SELECT lang, count(*) AS n_docs, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens FROM documents GROUP BY 1),
+sq AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000) AS BIGINT) AS s_q FROM g),
+tot AS (SELECT CAST(sum(n_tokens) AS HUGEINT) AS tt, CAST(sum(s_q) AS HUGEINT) AS st FROM sq),
+p AS (SELECT lang, n_docs, n_tokens,
+  CAST(CAST(n_tokens AS HUGEINT) * 1000000 // tt AS BIGINT) AS raw_ppm,
+  CAST(CAST(s_q AS HUGEINT) * 1000000 // st AS BIGINT) AS w_ppm FROM sq CROSS JOIN tot)
+SELECT lang, n_docs, n_tokens, raw_ppm, w_ppm,
+CAST(CAST(w_ppm AS HUGEINT) * 1000000 // nullif(raw_ppm, 0) AS BIGINT) AS boost_ppm
+FROM p ORDER BY 1""")),
+
+    // token-budget curriculum selection: per source, admit docs by
+    // descending lexical diversity until 800 tokens — the fixed-budget
+    // training-slice assembler
+    ("q_budget_sample", (s, dir) =>
+      Curation.budgetSample(docs(s, dir), "doc_id", "source", "text", 800L)
+        .orderBy("id"),
+      Some("""WITH b AS (SELECT doc_id AS id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct FROM documents),
+sc AS (SELECT id, source, n_tokens, CAST(n_distinct * 1000000 // n_tokens AS BIGINT) AS score_q FROM b),
+c AS (SELECT id, source, n_tokens, score_q,
+  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY score_q DESC, id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM sc)
+SELECT id, source, n_tokens, score_q, cum_tokens FROM c WHERE cum_tokens <= 800 ORDER BY 1""")),
+
+    // DSIR-style hashed importance weights toward the English slice:
+    // smoothed target/raw probability ratio per hashed-unigram bucket,
+    // docs scored by mean token ratio — the domain-reweighting scorer
+    ("q_importance", (s, dir) =>
+      Curation.importanceRatio(docs(s, dir), "doc_id", "text",
+          col("lang") === "en", 64)
+        .orderBy("id"),
+      Some("""WITH tk AS (SELECT doc_id AS id, lang = 'en' AS is_t, unnest(string_split(text, ' ')) AS tok FROM documents),
+tb AS (SELECT id, is_t, CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS b FROM tk),
+cnt AS (SELECT b, count(*) AS cr, CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct FROM tb GROUP BY 1),
+tot AS (SELECT CAST(sum(cr) AS HUGEINT) AS rr, CAST(sum(ct) AS HUGEINT) AS tt FROM cnt),
+ratio AS (SELECT b, CAST((CAST(ct + 1 AS HUGEINT) * (rr + 64) * 1000000) // (CAST(cr + 1 AS HUGEINT) * (tt + 64)) AS BIGINT) AS ratio_ppm FROM cnt CROSS JOIN tot)
+SELECT id, CAST(count(*) AS BIGINT) AS n_tokens,
+CAST(CAST(sum(ratio_ppm) AS HUGEINT) // count(*) AS BIGINT) AS imp_ppm
+FROM tb JOIN ratio USING (b) GROUP BY 1 ORDER BY 1""")),
+
+    // per-source token-length distribution drift vs the whole corpus
+    // (total-variation distance in ppm) — the "which slice is atypical"
+    // ingest-QA dashboard
+    ("q_length_drift", (s, dir) =>
+      Curation.lengthDrift(docs(s, dir), "source", "text", 32, 15)
+        .orderBy("source"),
+      Some("""WITH lb AS (SELECT source, least(CAST(len(string_split(text, ' ')) AS BIGINT) // 32, 15) AS b FROM documents),
+gb AS (SELECT source, b, count(*) AS c FROM lb GROUP BY 1, 2),
+g AS (SELECT source, CAST(sum(c) AS BIGINT) AS cg FROM gb GROUP BY 1),
+corpus AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM gb GROUP BY 1),
+tot AS (SELECT CAST(sum(cb) AS HUGEINT) AS ctot FROM corpus),
+grid AS (SELECT g.source, g.cg, corpus.b, corpus.cb FROM g CROSS JOIN corpus),
+p AS (SELECT grid.source, grid.b,
+  CAST(CAST(coalesce(gb.c, 0) AS HUGEINT) * 1000000 // grid.cg AS BIGINT) AS grp_ppm,
+  CAST(CAST(grid.cb AS HUGEINT) * 1000000 // ctot AS BIGINT) AS corpus_ppm
+  FROM grid LEFT JOIN gb ON gb.source = grid.source AND gb.b = grid.b CROSS JOIN tot)
+SELECT source, CAST(sum(abs(grp_ppm - corpus_ppm)) // 2 AS BIGINT) AS tv_ppm
+FROM p GROUP BY 1 ORDER BY 1""")),
+
+    // tokenizer fertility per language: BPE-estimate subwords per unicode
+    // word (ppm) — the "how expensive is this language to tokenize" table
+    ("q_fertility", (s, dir) =>
+      docs(s, dir).groupBy("lang").agg(
+          sum(TextAnalysis.bpeTokenEstimate(col("text"))).as("bpe_tokens"),
+          sum(TextAnalysis.tokenCountUnicode(col("text")).cast("long"))
+            .as("words"))
+        .withColumn("fertility_ppm",
+          expr("CAST(CAST(bpe_tokens AS DECIMAL(38,0)) * 1000000 DIV nullif(words, 0) AS BIGINT)"))
+        .orderBy("lang"),
+      Some("""WITH r AS (SELECT lang,
+  CAST(list_sum(list_transform(string_split(text, ' '), w -> CAST(ceil(len(w) / 4.0) AS BIGINT))) AS BIGINT) AS bpe,
+  CAST(len(list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}]+'), w -> w <> '')) AS BIGINT) AS words FROM documents),
+g AS (SELECT lang, CAST(sum(bpe) AS BIGINT) AS bpe_tokens, CAST(sum(words) AS BIGINT) AS words FROM r GROUP BY 1)
+SELECT lang, bpe_tokens, words,
+CAST(CAST(bpe_tokens AS HUGEINT) * 1000000 // nullif(words, 0) AS BIGINT) AS fertility_ppm
+FROM g ORDER BY 1""")),
 
     // ====================== streaming ======================
 
