@@ -23,9 +23,10 @@ object Bench {
     // lands on whichever query the Map iterates first and reads as a fake
     // regression of that query
     selected.headOption.foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      System.err.println(s"[bench] warmup ($name) done")
+      System.err.println(f"[bench] warmup ($name) done ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()

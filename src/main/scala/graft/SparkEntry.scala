@@ -173,7 +173,8 @@ object SparkEntry {
 
   /** MinHash signatures of the documents table, derived ONCE per (JVM, sf
     * dir) and materialized to parquet — the signature pass (shingle explode
-    * x 16 md5s per shingle) is the expensive stage shared by
+    * + 1 md5 per shingle + 16 derived universal hashes) is the expensive
+    * stage shared by
     * q_minhash_sig / q_lsh_buckets / q_minhash_pairs / q_dedup_clusters,
     * and the API exposes `*FromSignatures` variants precisely so pipelines
     * derive signatures once and fan out. Same pattern as `sparseLabels`:
@@ -974,6 +975,32 @@ CAST(count(DISTINCT md5(lower(trim(text)))) AS BIGINT) AS n_unique,
 CAST((count(*) - count(DISTINCT md5(lower(trim(text))))) * 1000000 // count(*) AS BIGINT) AS dup_ppm
 FROM documents GROUP BY 1 ORDER BY 1""")),
 
+    // token accounting for exact dedup: per source, tokens kept when only
+    // the first (min doc_id) copy of each global fingerprint survives —
+    // the "what does dedup buy us in training tokens" report; duplicate
+    // cost attributes to the source holding the DROPPED copy. One
+    // fp-keyed agg + one fp-keyed join, both map-side combinable.
+    ("q_dedup_savings", (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        md5(lower(trim(col("text")))).as("fp"),
+        size(split(col("text"), " ")).cast("long").as("t"))
+      val keep = d.groupBy("fp").agg(min("doc_id").as("keep_id"))
+      d.join(keep, Seq("fp"))
+        .groupBy("source")
+        .agg(sum("t").as("total_tokens"),
+          sum(when(col("doc_id") === col("keep_id"), col("t")).otherwise(0L))
+            .as("kept_tokens"))
+        .selectExpr("source", "total_tokens", "kept_tokens",
+          "CAST((total_tokens - kept_tokens) * 1000000 DIV total_tokens AS BIGINT) AS saved_ppm")
+        .orderBy("source")
+    },
+      Some("""WITH f AS (SELECT doc_id, source, md5(lower(trim(text))) AS fp, CAST(len(string_split(text, ' ')) AS BIGINT) AS t FROM documents),
+k AS (SELECT fp, min(doc_id) AS keep_id FROM f GROUP BY 1)
+SELECT source, CAST(sum(t) AS BIGINT) AS total_tokens,
+CAST(sum(CASE WHEN doc_id = keep_id THEN t ELSE 0 END) AS BIGINT) AS kept_tokens,
+CAST(sum(CASE WHEN doc_id = keep_id THEN 0 ELSE t END) * 1000000 // sum(t) AS BIGINT) AS saved_ppm
+FROM f JOIN k USING (fp) GROUP BY 1 ORDER BY 1""")),
+
     // cross-source duplicate overlap via theta-sketch (KMV) intersection:
     // k smallest fingerprint hashes per source, pairwise overlap from
     // common-below-theta counts — sketch rows join, documents never do
@@ -996,17 +1023,19 @@ GROUP BY 1, 2, 3 ORDER BY 1, 2""")),
       docSignatures(s, dir).orderBy("id", "h"),
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
 sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 0)), i -> array_to_string(list_slice(l, i, i + 2), ' '))) AS shingle FROM t),
-hs AS (SELECT doc_id, unnest(generate_series(0, 15)) AS h, shingle FROM sh)
-SELECT doc_id AS id, CAST(h AS INT) AS h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash FROM hs GROUP BY 1,2 ORDER BY 1,2""")),
+xy AS (SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % 576460752303423487 AS x, CAST(concat('0x', substr(md5(shingle), 17, 15)) AS BIGINT) % 576460752303423487 AS y FROM sh),
+hs AS (SELECT doc_id, unnest(generate_series(0, 15)) AS h, x, y FROM xy)
+SELECT doc_id AS id, CAST(h AS INT) AS h, min((x + h * y) % 576460752303423487) AS minhash FROM hs GROUP BY 1,2 ORDER BY 1,2""")),
 
     ("q_lsh_buckets", (s, dir) =>
       Dedup.lshBucketsFromSignatures(docSignatures(s, dir), 16, 4)
         .orderBy("id", "band"),
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
 sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 0)), i -> array_to_string(list_slice(l, i, i + 2), ' '))) AS shingle FROM t),
-hs AS (SELECT doc_id, unnest(generate_series(0, 15)) AS h, shingle FROM sh),
-sig AS (SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash FROM hs GROUP BY 1,2)
-SELECT doc_id AS id, CAST(h // 4 AS INT) AS band, md5(string_agg(minhash, '|' ORDER BY h)) AS bucket FROM sig GROUP BY 1,2 ORDER BY 1,2""")),
+xy AS (SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % 576460752303423487 AS x, CAST(concat('0x', substr(md5(shingle), 17, 15)) AS BIGINT) % 576460752303423487 AS y FROM sh),
+hs AS (SELECT doc_id, unnest(generate_series(0, 15)) AS h, x, y FROM xy),
+sig AS (SELECT doc_id, h, min((x + h * y) % 576460752303423487) AS minhash FROM hs GROUP BY 1,2)
+SELECT doc_id AS id, CAST(h // 4 AS INT) AS band, md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY h)) AS bucket FROM sig GROUP BY 1,2 ORDER BY 1,2""")),
 
     // split-leakage QA: near-duplicate candidate pairs (LSH) that CROSS the
     // deterministic train/val/test hash-split — the contamination check a
@@ -1030,9 +1059,10 @@ SELECT doc_id AS id, CAST(h // 4 AS INT) AS band, md5(string_agg(minhash, '|' OR
     },
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
 sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 0)), i -> array_to_string(list_slice(l, i, i + 2), ' '))) AS shingle FROM t),
-hs AS (SELECT doc_id, unnest(generate_series(0, 15)) AS h, shingle FROM sh),
-sig AS (SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash FROM hs GROUP BY 1,2),
-b AS (SELECT doc_id AS id, h // 4 AS band, md5(string_agg(minhash, '|' ORDER BY h)) AS bucket FROM sig GROUP BY 1,2),
+xy AS (SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % 576460752303423487 AS x, CAST(concat('0x', substr(md5(shingle), 17, 15)) AS BIGINT) % 576460752303423487 AS y FROM sh),
+hs AS (SELECT doc_id, unnest(generate_series(0, 15)) AS h, x, y FROM xy),
+sig AS (SELECT doc_id, h, min((x + h * y) % 576460752303423487) AS minhash FROM hs GROUP BY 1,2),
+b AS (SELECT doc_id AS id, h // 4 AS band, md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY h)) AS bucket FROM sig GROUP BY 1,2),
 cand AS (SELECT DISTINCT x.id AS ia, y.id AS ib FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id),
 pj AS (SELECT c.ia, c.ib, CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS ej
 FROM cand c JOIN sig sa ON sa.doc_id = c.ia JOIN sig sb ON sb.doc_id = c.ib AND sb.h = sa.h GROUP BY 1,2),
@@ -1049,9 +1079,10 @@ FROM x GROUP BY 1, 2 ORDER BY 1, 2""")),
         .orderBy("id_a", "id_b"),
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
 sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 0)), i -> array_to_string(list_slice(l, i, i + 2), ' '))) AS shingle FROM t),
-hs AS (SELECT doc_id, unnest(generate_series(0, 15)) AS h, shingle FROM sh),
-sig AS (SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash FROM hs GROUP BY 1,2),
-b AS (SELECT doc_id AS id, h // 4 AS band, md5(string_agg(minhash, '|' ORDER BY h)) AS bucket FROM sig GROUP BY 1,2),
+xy AS (SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % 576460752303423487 AS x, CAST(concat('0x', substr(md5(shingle), 17, 15)) AS BIGINT) % 576460752303423487 AS y FROM sh),
+hs AS (SELECT doc_id, unnest(generate_series(0, 15)) AS h, x, y FROM xy),
+sig AS (SELECT doc_id, h, min((x + h * y) % 576460752303423487) AS minhash FROM hs GROUP BY 1,2),
+b AS (SELECT doc_id AS id, h // 4 AS band, md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY h)) AS bucket FROM sig GROUP BY 1,2),
 cand AS (SELECT DISTINCT x.id AS ia, y.id AS ib FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id)
 SELECT c.ia AS id_a, c.ib AS id_b, CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS est_jaccard
 FROM cand c JOIN sig sa ON sa.doc_id = c.ia JOIN sig sb ON sb.doc_id = c.ib AND sb.h = sa.h GROUP BY 1,2 ORDER BY 1,2""")),
@@ -1064,9 +1095,10 @@ FROM cand c JOIN sig sa ON sa.doc_id = c.ia JOIN sig sb ON sb.doc_id = c.ib AND 
         .orderBy("id_a", "id_b", "neg_rank"),
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
 sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 0)), i -> array_to_string(list_slice(l, i, i + 2), ' '))) AS shingle FROM t),
-hs AS (SELECT doc_id, unnest(generate_series(0, 15)) AS h, shingle FROM sh),
-sig AS (SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash FROM hs GROUP BY 1,2),
-b AS (SELECT doc_id AS id, h // 4 AS band, md5(string_agg(minhash, '|' ORDER BY h)) AS bucket FROM sig GROUP BY 1,2),
+xy AS (SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % 576460752303423487 AS x, CAST(concat('0x', substr(md5(shingle), 17, 15)) AS BIGINT) % 576460752303423487 AS y FROM sh),
+hs AS (SELECT doc_id, unnest(generate_series(0, 15)) AS h, x, y FROM xy),
+sig AS (SELECT doc_id, h, min((x + h * y) % 576460752303423487) AS minhash FROM hs GROUP BY 1,2),
+b AS (SELECT doc_id AS id, h // 4 AS band, md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY h)) AS bucket FROM sig GROUP BY 1,2),
 cand AS (SELECT DISTINCT x.id AS ia, y.id AS ib FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id),
 e AS (SELECT c.ia, c.ib FROM cand c JOIN sig sa ON sa.doc_id = c.ia JOIN sig sb ON sb.doc_id = c.ib AND sb.h = sa.h GROUP BY 1,2
 HAVING CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS DOUBLE) / count(*) >= 0.5),
@@ -1123,9 +1155,10 @@ WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3 ORDER BY 1,2""")),
         .orderBy("doc_id"),
       Some("""WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
 sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 0)), i -> array_to_string(list_slice(l, i, i + 2), ' '))) AS shingle FROM t),
-hs AS (SELECT doc_id, unnest(generate_series(0, 15)) AS h, shingle FROM sh),
-sig AS (SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash FROM hs GROUP BY 1,2),
-b AS (SELECT doc_id AS id, h // 4 AS band, md5(string_agg(minhash, '|' ORDER BY h)) AS bucket FROM sig GROUP BY 1,2),
+xy AS (SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % 576460752303423487 AS x, CAST(concat('0x', substr(md5(shingle), 17, 15)) AS BIGINT) % 576460752303423487 AS y FROM sh),
+hs AS (SELECT doc_id, unnest(generate_series(0, 15)) AS h, x, y FROM xy),
+sig AS (SELECT doc_id, h, min((x + h * y) % 576460752303423487) AS minhash FROM hs GROUP BY 1,2),
+b AS (SELECT doc_id AS id, h // 4 AS band, md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY h)) AS bucket FROM sig GROUP BY 1,2),
 cand AS (SELECT DISTINCT x.id AS ia, y.id AS ib FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id),
 pe AS (SELECT c.ia, c.ib, CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS ej
 FROM cand c JOIN sig sa ON sa.doc_id = c.ia JOIN sig sb ON sb.doc_id = c.ib AND sb.h = sa.h GROUP BY 1,2),
@@ -1165,8 +1198,9 @@ WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5 ORDER BY 1,2""")),
     },
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
 sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 0)), i -> array_to_string(list_slice(l, i, i + 2), ' '))) AS shingle FROM t),
-hs AS (SELECT doc_id, unnest(generate_series(0, 15)) AS h, shingle FROM sh)
-SELECT doc_id AS id, CAST(h AS INT) AS h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash FROM hs GROUP BY 1,2 ORDER BY 1,2""")),
+xy AS (SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % 576460752303423487 AS x, CAST(concat('0x', substr(md5(shingle), 17, 15)) AS BIGINT) % 576460752303423487 AS y FROM sh),
+hs AS (SELECT doc_id, unnest(generate_series(0, 15)) AS h, x, y FROM xy)
+SELECT doc_id AS id, CAST(h AS INT) AS h, min((x + h * y) % 576460752303423487) AS minhash FROM hs GROUP BY 1,2 ORDER BY 1,2""")),
 
     // hashed linear classifier inference (fastText-style bag-of-words
     // scoring): per-token slot weights derived from the hashing-trick
@@ -1779,9 +1813,10 @@ fp AS (SELECT doc_id, md5(lower(trim(text))) AS f FROM qd),
 keep1 AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
 u AS (SELECT qd.doc_id, qd.l, qd.n_tokens, qd.quality_score FROM qd JOIN keep1 USING (doc_id)),
 sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 0)), i -> array_to_string(list_slice(l, i, i + 2), ' '))) AS shingle FROM u),
-hs AS (SELECT doc_id, unnest(generate_series(0, 15)) AS h, shingle FROM sh),
-sig AS (SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash FROM hs GROUP BY 1, 2),
-b AS (SELECT doc_id AS id, h // 4 AS band, md5(string_agg(minhash, '|' ORDER BY h)) AS bucket FROM sig GROUP BY 1, 2),
+xy AS (SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % 576460752303423487 AS x, CAST(concat('0x', substr(md5(shingle), 17, 15)) AS BIGINT) % 576460752303423487 AS y FROM sh),
+hs AS (SELECT doc_id, unnest(generate_series(0, 15)) AS h, x, y FROM xy),
+sig AS (SELECT doc_id, h, min((x + h * y) % 576460752303423487) AS minhash FROM hs GROUP BY 1, 2),
+b AS (SELECT doc_id AS id, h // 4 AS band, md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY h)) AS bucket FROM sig GROUP BY 1, 2),
 cand AS (SELECT DISTINCT x.id AS ia, y.id AS ib FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id),
 pe AS (SELECT c.ia, c.ib, CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS ej
 FROM cand c JOIN sig sa ON sa.doc_id = c.ia JOIN sig sb ON sb.doc_id = c.ib AND sb.h = sa.h GROUP BY 1, 2),
@@ -2430,9 +2465,10 @@ ORDER BY 1, 2""")),
     },
       Some("""WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
 sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 0)), i -> array_to_string(list_slice(l, i, i + 2), ' '))) AS shingle FROM t),
-hs AS (SELECT doc_id, unnest(generate_series(0, 15)) AS h, shingle FROM sh),
-sig AS (SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash FROM hs GROUP BY 1,2),
-b AS (SELECT doc_id AS id, h // 4 AS band, md5(string_agg(minhash, '|' ORDER BY h)) AS bucket FROM sig GROUP BY 1,2),
+xy AS (SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % 576460752303423487 AS x, CAST(concat('0x', substr(md5(shingle), 17, 15)) AS BIGINT) % 576460752303423487 AS y FROM sh),
+hs AS (SELECT doc_id, unnest(generate_series(0, 15)) AS h, x, y FROM xy),
+sig AS (SELECT doc_id, h, min((x + h * y) % 576460752303423487) AS minhash FROM hs GROUP BY 1,2),
+b AS (SELECT doc_id AS id, h // 4 AS band, md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY h)) AS bucket FROM sig GROUP BY 1,2),
 cand AS (SELECT DISTINCT x.id AS ia, y.id AS ib FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id),
 pe AS (SELECT c.ia, c.ib, CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS ej
 FROM cand c JOIN sig sa ON sa.doc_id = c.ia JOIN sig sb ON sb.doc_id = c.ib AND sb.h = sa.h GROUP BY 1,2),

@@ -37,17 +37,36 @@ object Dedup {
     * Hash family h(s) = md5(h || ':' || shingle); the signature entry is the
     * lexicographic min digest — identical semantics in any engine with MD5.
     */
+  /** Modulus for the derived universal-hash family: 2^59 - 1, chosen so
+    * that with numHashes <= 16 the worst-case accumulator
+    * (M-1) + 15*(M-1) = 16*(M-1) < 2^63 never overflows a signed 64-bit
+    * long in EITHER engine — the formula stays plain integer arithmetic,
+    * exactly mirrorable in SQL.
+    */
+  val HashModulus: Long = 576460752303423487L
+
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 16, shingleLen: Int = 3): DataFrame = {
+    require(numHashes <= 16,
+      s"numHashes must be <= 16 (got $numHashes): (x + h*y) with h <= 15 " +
+        "is the largest coefficient that cannot overflow int64 under " +
+        s"modulus $HashModulus")
     val sh = df.select(col(idCol).as("id"),
       explode(TextAnalysis.shingles(col(textCol), shingleLen)).as("shingle"))
-    // flat explode of the hash index keeps md5/concat inside whole-stage
-    // codegen (a transform() lambda here would force interpreted evaluation
-    // of numHashes digests per shingle — measured ~10x slower)
-    val hs = sh.select(col("id"), col("shingle"),
+    // ONE digest per shingle; the numHashes-member family is derived from
+    // its two 60-bit halves via the classic universal-hash form
+    // v_h = (x + h*y) mod M — long arithmetic inside whole-stage codegen
+    // instead of numHashes md5 calls per shingle (16x fewer digests; the
+    // signature value is an 8-byte long instead of a 32-char hex string,
+    // so the shuffle and the at-rest signature table shrink ~4x too)
+    val m = md5(col("shingle"))
+    val hs = sh.select(col("id"),
+        (conv(substring(m, 1, 15), 16, 10).cast("long") % HashModulus).as("x"),
+        (conv(substring(m, 17, 15), 16, 10).cast("long") % HashModulus).as("y"))
+      .select(col("id"), col("x"), col("y"),
         explode(sequence(lit(0), lit(numHashes - 1))).as("h"))
       .select(col("id"), col("h"),
-        md5(concat(col("h").cast("string"), lit(":"), col("shingle"))).as("v"))
+        ((col("x") + col("h") * col("y")) % HashModulus).as("v"))
     hs.groupBy("id", "h").agg(min("v").as("minhash"))
   }
 
@@ -75,7 +94,7 @@ object Dedup {
       .groupBy("id", "band")
       // deterministic band digest: rows ordered by h via sort_array on (h, minhash)
       .agg(md5(array_join(transform(sort_array(collect_list(struct(col("h"), col("minhash")))),
-        s => s.getField("minhash")), "|")).as("bucket"))
+        s => s.getField("minhash").cast("string")), "|")).as("bucket"))
   }
 
   /** Candidate near-dup pairs from LSH: ids sharing a (band,bucket), a < b,

@@ -97,9 +97,9 @@ class Round5Spec extends AnyFunSuite with SparkFixture {
     val inc = Dedup.incrementalSignatures(
         Dedup.minhashSignatures(stale, "doc_id", "text", 8, 3),
         changed, "doc_id", "text", 8, 3)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     val full = Dedup.minhashSignatures(docsDf, "doc_id", "text", 8, 3)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(inc == full)
   }
 
