@@ -2969,6 +2969,36 @@ count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
 count(*) FILTER (WHERE event_type = 'error') AS n_error
 FROM events GROUP BY 1 ORDER BY 1""")),
 
+    // hierarchical subtotals in one pass: ROLLUP(source, lang) — the
+    // provenance dashboard cube slice; Catalyst plans one Expand + one
+    // aggregation (subtotal rows cost one extra projected copy per level,
+    // not a re-scan); gid is the standard grouping bitmask in both engines
+    ("q_rollup", (s, dir) =>
+      docs(s, dir).rollup("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+          grouping_id().as("gid"))
+        .orderBy("gid", "source", "lang"),
+      Some("""SELECT source, lang, count(*) AS n_docs,
+CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+CAST(GROUPING(source, lang) AS BIGINT) AS gid
+FROM documents GROUP BY ROLLUP(source, lang) ORDER BY gid, source, lang""")),
+
+    // full cross-dimensional subtotals: CUBE(event_type, user bucket) with
+    // decimal-exact value sums — same one-Expand plan shape as ROLLUP
+    ("q_cube", (s, dir) =>
+      tbl(s, dir, "events")
+        .select(col("event_type"), (col("user_id") % 4).as("ub"), col("value"))
+        .cube("event_type", "ub")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(20,6)")).cast("double").as("sum_value"),
+          grouping_id().as("gid"))
+        .orderBy("gid", "event_type", "ub"),
+      Some("""SELECT event_type, user_id % 4 AS ub, count(*) AS n_events,
+CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value,
+CAST(GROUPING(event_type, ub) AS BIGINT) AS gid
+FROM events GROUP BY CUBE(event_type, ub) ORDER BY gid, event_type, ub""")),
+
     // unpivot/melt wide per-nation aggregates into long form
     ("q_unpivot", (s, dir) =>
       graph(s, dir).nodes.groupBy(col("c_nationkey").as("nation"))
