@@ -1604,6 +1604,19 @@ SELECT CASE WHEN b < 98 THEN 'train' WHEN b < 99 THEN 'val' ELSE 'test' END AS s
 WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
   < CASE WHEN lang = 'en' THEN 5 ELSE 50 END ORDER BY 1""")),
 
+    // deterministic multi-epoch training order: per-epoch md5 permutation,
+    // bucketed into data-loader shards with dense in-shard ranks —
+    // regenerate any shard independently (checkpoint-resumable loading)
+    ("q_epoch_shuffle", (s, dir) =>
+      graft.functions.Sampling.epochShuffle(
+          docs(s, dir).filter(col("doc_id") % 5 === 0), "doc_id", 2, 4)
+        .orderBy("epoch", "bucket", "pos"),
+      Some("""WITH e AS (SELECT doc_id AS id, unnest(generate_series(0, 1)) AS epoch FROM documents WHERE doc_id % 5 = 0),
+k AS (SELECT CAST(epoch AS INT) AS epoch, id, md5('ep' || CAST(epoch AS VARCHAR) || ':' || CAST(id AS VARCHAR)) AS k FROM e),
+b AS (SELECT epoch, id, k, CAST(CAST(concat('0x', substr(k, 1, 8)) AS BIGINT) % 4 AS INT) AS bucket FROM k)
+SELECT epoch, bucket, CAST(row_number() OVER (PARTITION BY epoch, bucket ORDER BY k, id) AS BIGINT) AS pos, id
+FROM b ORDER BY 1, 2, 3""")),
+
     // backward as-of join (union + one window pass, no join operator):
     // each click gets the latest preceding purchase value per user;
     // oracle is DuckDB's NATIVE ASOF JOIN — an independent implementation

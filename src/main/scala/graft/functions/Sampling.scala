@@ -160,4 +160,35 @@ object Sampling {
       .groupBy("bin")
       .agg(count(lit(1)).as("n"), min("q").as("lo_q"), max("q").as("hi_q"))
   }
+
+  /** Deterministic multi-epoch training order: each epoch draws a fresh
+    * pseudorandom permutation from the per-row key md5("ep<epoch>:" || id) —
+    * no RNG state, so any shard of the order can be regenerated
+    * independently (checkpoint-resumable data loading) and the order is
+    * identical across engines, reruns, and cluster sizes. Rows land in
+    * `buckets` shuffle files (the shard a data-loader worker reads) with a
+    * dense rank inside each; the md5 key is uniform, so shard sizes are
+    * balanced whatever the id distribution.
+    *
+    * Scale shape: one shuffle on (epoch, bucket) + a per-shard window
+    * rank. Shards are a fixed-count partition of the corpus (corpus_size /
+    * buckets rows each) — size `buckets` so a shard fits a data-loader
+    * worker; the window sorts one shard per task, never a global order.
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epochs: Int,
+                   buckets: Int = 8): DataFrame = {
+    require(epochs >= 1 && buckets >= 1, "epochs and buckets must be >= 1")
+    val e = df.select(col(idCol).as("id"),
+      explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
+    val key = md5(concat(lit("ep"), col("epoch").cast("string"), lit(":"),
+      col("id").cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("epoch", "bucket").orderBy(col("k"), col("id"))
+    e.select(col("epoch").cast("int").as("epoch"), col("id"), key.as("k"))
+      .withColumn("bucket",
+        (conv(substring(col("k"), 1, 8), 16, 10).cast("long") % buckets)
+          .cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("epoch", "bucket", "pos", "id")
+  }
 }

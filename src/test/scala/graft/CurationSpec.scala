@@ -66,6 +66,38 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
       .getAs[Long]("n_tokens") == 10L)
   }
 
+  test("epochShuffle: dense in-shard ranks, full coverage, epochs permute differently") {
+    import graft.functions.Sampling
+    val out = Sampling.epochShuffle(docs.select("doc_id"), "doc_id", 2, 2)
+      .collect()
+    assert(out.length == 10) // 5 docs x 2 epochs
+    // dense ranks per (epoch, bucket)
+    out.groupBy(r => (r.getInt(0), r.getInt(1))).values.foreach { g =>
+      assert(g.map(_.getAs[Long]("pos")).sorted.toSeq == (1L to g.length).toSeq)
+    }
+    // each epoch covers every id exactly once
+    (0 to 1).foreach { e =>
+      assert(out.filter(_.getInt(0) == e).map(_.getAs[Long]("id")).sorted.toSeq
+        == Seq(1L, 2L, 3L, 4L, 5L))
+    }
+    // the two epochs draw different permutations (independent md5 keys)
+    def order(e: Int) = Sampling.epochShuffle(docs.select("doc_id"), "doc_id", 2, 1)
+      .filter(col("epoch") === e).orderBy("pos")
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(order(0) != order(1))
+  }
+
+  test("curation plans broadcast scalar totals; no shuffled cartesian") {
+    val p1 = Curation.mixtureWeights(docs, "src", "text")
+      .queryExecution.executedPlan.toString
+    assert(p1.contains("Broadcast"), p1)
+    assert(!p1.contains("CartesianProduct"), p1)
+    val p2 = Curation.importanceRatio(docs, "doc_id", "text",
+      col("src") === "b", 16).queryExecution.executedPlan.toString
+    assert(p2.contains("Broadcast"), p2)
+    assert(!p2.contains("CartesianProduct"), p2)
+  }
+
   test("lengthDrift: identical distributions give zero TV, disjoint give large") {
     // two groups with identical histograms -> each group's ppm vector
     // equals the corpus vector -> tv 0
