@@ -86,6 +86,7 @@ object SparkEntry {
 
   // scratch dirs for the CSV/JSON sink half of q_io_roundtrip, one per dir
   private val ioDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val orcDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Allocate a scratch directory for the per-(JVM, sf dir) materialized
     * caches. Location is deployment-configurable: `spark.graft.scratch` if
@@ -2129,6 +2130,27 @@ ORDER BY 1, 2""")),
     },
       Some("""SELECT r.r_name, count(*) AS n_nations, CAST(sum(n.n_nationkey) AS BIGINT) AS key_sum
 FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY 1 ORDER BY 1""")),
+
+    // ORC sink/source parity: write a columnar slice to ORC, read it back,
+    // aggregate — exercises the second columnar format end-to-end (same
+    // pushdown/pruning machinery as the parquet scans; the oracle reads the
+    // original table, so the round-trip must be lossless)
+    ("q_io_orc", (s, dir) => {
+      val tmp = orcDirs.getOrElseUpdate(dir, {
+        val d = scratchDir(s, "orc_")
+        tbl(s, dir, "supplier").write.mode("overwrite").orc(s"$d/supplier_orc")
+        d
+      })
+      s.read.orc(s"$tmp/supplier_orc")
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("s_acctbal").cast("decimal(20,2)")).cast("double")
+            .as("sum_bal"))
+        .orderBy("s_nationkey")
+    },
+      Some("""SELECT s_nationkey, count(*) AS n_suppliers,
+CAST(sum(CAST(s_acctbal AS DECIMAL(20,2))) AS DOUBLE) AS sum_bal
+FROM supplier GROUP BY 1 ORDER BY 1""")),
 
     // recency-decayed edge aggregation: each event's cents halve per day of
     // age (integer power-of-2 decay, exact in any engine — values are
