@@ -2019,6 +2019,26 @@ SELECT lang, bpe_tokens, words,
 CAST(CAST(bpe_tokens AS HUGEINT) * 1000000 // nullif(words, 0) AS BIGINT) AS fertility_ppm
 FROM g ORDER BY 1""")),
 
+    // streaming quality drift: per-micro-batch token-length histogram TV
+    // (ppm) vs the static corpus reference — batch boundaries are staged
+    // deterministically (chunk = doc_id mod 5), so DuckDB replays them
+    ("q_drift_stream", (s, dir) =>
+      EventStream.runDriftStream(s, s"$dir/documents.parquet", 5, 32, 15,
+          s"drift_${Counter.next()}")
+        .orderBy("chunk"),
+      Some("""WITH d AS (SELECT doc_id, CAST(doc_id % 5 AS INT) AS chunk, least(CAST(len(string_split(text, ' ')) AS BIGINT) // 32, 15) AS b FROM documents),
+ref AS (SELECT b, count(*) AS cb FROM d GROUP BY 1),
+tot AS (SELECT CAST(sum(cb) AS HUGEINT) AS ctot FROM ref),
+bt AS (SELECT chunk, b, count(*) AS c FROM d GROUP BY 1, 2),
+n AS (SELECT chunk, CAST(sum(c) AS BIGINT) AS n_docs FROM bt GROUP BY 1),
+grid AS (SELECT n.chunk, n.n_docs, ref.b, ref.cb FROM n CROSS JOIN ref),
+p AS (SELECT grid.chunk, grid.n_docs,
+  CAST(CAST(coalesce(bt.c, 0) AS HUGEINT) * 1000000 // grid.n_docs AS BIGINT) AS bppm,
+  CAST(CAST(grid.cb AS HUGEINT) * 1000000 // ctot AS BIGINT) AS rppm
+  FROM grid LEFT JOIN bt ON bt.chunk = grid.chunk AND bt.b = grid.b CROSS JOIN tot)
+SELECT chunk, n_docs, CAST(sum(abs(bppm - rppm)) // 2 AS BIGINT) AS tv_ppm
+FROM p GROUP BY 1, 2 ORDER BY 1""")),
+
     // ====================== streaming ======================
 
     ("q_events_window", (s, dir) =>

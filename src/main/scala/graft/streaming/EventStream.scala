@@ -698,6 +698,76 @@ object EventStream {
     labels
   }
 
+  /** Streaming data-quality drift monitor: each micro-batch's token-length
+    * histogram is compared (total-variation distance, integral ppm — the
+    * `Curation.lengthDrift` statistic) against the static full-corpus
+    * reference histogram, the production "is today's ingest shaped like the
+    * corpus" gate. The corpus is staged as `chunks` deterministic parquet
+    * files (chunk = doc_id mod chunks) consumed one per trigger, so the
+    * runner genuinely exercises batch-at-a-time monitoring; the emitted
+    * chunk id derives from batch CONTENT (doc_id mod chunks — constant
+    * within a staged file), not the engine's batch counter, so the result
+    * is independent of file-listing order.
+    *
+    * Scale shape: per batch one bin aggregation over the batch (map-side
+    * combinable, <= maxBin+1 rows out) + pure driver arithmetic on two
+    * histogram arrays (fixed-size artifacts). The reference histogram is
+    * computed once per run. State across batches: none — each batch is
+    * judged independently, so the monitor runs forever at ingest rate.
+    */
+  def runDriftStream(spark: SparkSession, parquetPath: String,
+                     chunks: Int = 5, binWidth: Int = 32, maxBin: Int = 15,
+                     queryName: String = "drift_stream"): DataFrame = {
+    require(chunks >= 1 && binWidth >= 1 && maxBin >= 0, "bad parameters")
+    val docs = spark.read.parquet(parquetPath)
+    val binOf = least(
+      expr(s"CAST(size(split(text, ' ')) AS BIGINT) div ${binWidth}L"),
+      lit(maxBin.toLong))
+    // static reference: full-corpus histogram in ppm (floor division)
+    val refRows = docs.select(binOf.as("b")).groupBy("b").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val refTotal = refRows.values.sum
+    val refPpm = refRows.map { case (b, c) => b -> c * 1000000L / refTotal }
+    val stage = java.nio.file.Files.createTempDirectory("graft_drift_stream_")
+    (0 until chunks).foreach { i =>
+      val build = stage.resolve(s"_build_$i")
+      docs.filter(col("doc_id") % chunks === i)
+        .coalesce(1).write.parquet(build.toString)
+      val part = asScalaIt(java.nio.file.Files.list(build).iterator())
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part written for chunk $i"))
+      java.nio.file.Files.move(part, stage.resolve(f"chunk_$i%04d.parquet"))
+    }
+    val src = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    val q = src.writeStream
+      .queryName(queryName)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = batch.select((col("doc_id") % chunks).cast("int").as("chunk"),
+            binOf.as("b"))
+          .groupBy("chunk", "b").count().collect()
+        if (rows.nonEmpty) {
+          val chunk = rows.head.getInt(0)
+          val counts = rows.map(r => r.getLong(1) -> r.getLong(2)).toMap
+          val nDocs = counts.values.sum
+          // TV over the reference's bin grid — a bin the batch misses
+          // contributes |0 - ref share|; a batch length bin outside the
+          // reference cannot exist (the reference covers the full corpus)
+          val sumAbs = refPpm.map { case (b, rp) =>
+            math.abs(counts.getOrElse(b, 0L) * 1000000L / nDocs - rp)
+          }.sum
+          results += ((chunk, nDocs, sumAbs / 2))
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    import spark.implicits._
+    results.toSeq.toDF("chunk", "n_docs", "tv_ppm")
+  }
+
   private def asScalaIt[A](it: java.util.Iterator[A]): Iterator[A] =
     new Iterator[A] {
       def hasNext: Boolean = it.hasNext

@@ -145,6 +145,28 @@ class Round8Spec extends AnyFunSuite with SparkFixture {
     assert(lil.map(_.toSeq).toSeq == fromCsr)
   }
 
+  test("runDriftStream: per-batch TV matches the batch lengthDrift arithmetic") {
+    import graft.streaming.EventStream
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift_spec").toString
+    // chunk 0 (ids 0,2): one short + one long doc; chunk 1 (ids 1,3): short
+    // only — so chunk 1 must show positive drift vs the mixed corpus
+    val docs = Seq(
+      (0L, "a b"), (2L, Array.fill(40)("x").mkString(" ")),
+      (1L, "c d"), (3L, "e f g")
+    ).toDF("doc_id", "text")
+    docs.coalesce(1).write.mode("overwrite").parquet(dir)
+    val out = EventStream.runDriftStream(spark, dir, chunks = 2,
+        binWidth = 32, maxBin = 15, "drift_spec")
+      .collect().map(r => (r.getInt(0), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("tv_ppm"))).sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(0, 1))
+    assert(out.map(_._2).toSeq == Seq(2L, 2L))
+    // corpus: bin0 3/4 (750000), bin1 1/4 (250000)
+    // chunk0: bin0 1/2, bin1 1/2 -> |500000-750000|+|500000-250000| = 500000 -> tv 250000
+    // chunk1: bin0 2/2, bin1 0   -> |1000000-750000|+|0-250000| = 500000 -> tv 250000
+    assert(out.map(_._3).toSeq == Seq(250000L, 250000L))
+  }
+
   test("sourceOverlapSketch reports 0 (not -1) common hashes under legacy sizeOfNull") {
     val prev = spark.conf.getOption("spark.sql.ansi.enabled")
     spark.conf.set("spark.sql.ansi.enabled", "false")
