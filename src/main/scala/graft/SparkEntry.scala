@@ -2537,6 +2537,46 @@ sz AS (SELECT cluster_rep, count(*) AS n_docs FROM cl GROUP BY 1)
 SELECT best.cluster_rep, best.doc_id AS best_doc, sz.n_docs, best.q AS best_quality
 FROM best JOIN sz ON best.cluster_rep = sz.cluster_rep WHERE rn = 1 ORDER BY 1""")),
 
+    // leakage-proof split assignment: hash-split on the near-dup CLUSTER
+    // representative, not the doc id — every member of a near-dup cluster
+    // lands in the same train/val/test split by construction, closing the
+    // leakage channel q_split_leakage measures. One labels join on top of
+    // the warehouse-resident cluster table; the split stays a pure function
+    // of the rep id (stable when the corpus grows)
+    ("q_cluster_split", (s, dir) => {
+      val clusters = Dedup.nearDupClustersFromSignatures(docs(s, dir), "doc_id",
+        docSignatures(s, dir), 0.5, 16, 4)
+      clusters.withColumn("split",
+          when(graft.functions.Sampling.hashBucket(col("cluster_rep"), 100,
+            "csplit") < 90, "train")
+            .when(graft.functions.Sampling.hashBucket(col("cluster_rep"), 100,
+              "csplit") < 95, "val")
+            .otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_rep")).as("n_clusters"))
+        .orderBy("split")
+    },
+      Some("""WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 0)), i -> array_to_string(list_slice(l, i, i + 2), ' '))) AS shingle FROM t),
+xy AS (SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % 576460752303423487 AS x, CAST(concat('0x', substr(md5(shingle), 17, 15)) AS BIGINT) % 576460752303423487 AS y FROM sh),
+hs AS (SELECT doc_id, unnest(generate_series(0, 15)) AS h, x, y FROM xy),
+sig AS (SELECT doc_id, h, min((x + h * y) % 576460752303423487) AS minhash FROM hs GROUP BY 1,2),
+b AS (SELECT doc_id AS id, h // 4 AS band, md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY h)) AS bucket FROM sig GROUP BY 1,2),
+cand AS (SELECT DISTINCT x.id AS ia, y.id AS ib FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id),
+pe AS (SELECT c.ia, c.ib, CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS ej
+FROM cand c JOIN sig sa ON sa.doc_id = c.ia JOIN sig sb ON sb.doc_id = c.ib AND sb.h = sa.h GROUP BY 1,2),
+e AS (SELECT ia, ib FROM pe WHERE ej >= 0.5),
+sym2 AS (SELECT ia AS s, ib AS tt FROM e UNION SELECT ib, ia FROM e),
+reach(id, r) AS (SELECT doc_id, doc_id FROM documents UNION SELECT reach.id, s2.tt FROM reach JOIN sym2 s2 ON s2.s = reach.r),
+cl AS (SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY 1),
+sp AS (SELECT doc_id, cluster_rep,
+CASE WHEN CAST(concat('0x', substr(md5('csplit' || CAST(cluster_rep AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'train'
+WHEN CAST(concat('0x', substr(md5('csplit' || CAST(cluster_rep AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 95 THEN 'val'
+ELSE 'test' END AS split FROM cl)
+SELECT split, count(*) AS n_docs, CAST(count(DISTINCT cluster_rep) AS BIGINT) AS n_clusters
+FROM sp GROUP BY 1 ORDER BY 1""")),
+
     // deterministic per-(user, hour) rate limiting: keep the first k events
     // in (ts, event_id) order — flood control as a WindowGroupLimit plan
     ("q_rate_limit", (s, dir) =>
