@@ -2577,6 +2577,52 @@ ELSE 'test' END AS split FROM cl)
 SELECT split, count(*) AS n_docs, CAST(count(DISTINCT cluster_rep) AS BIGINT) AS n_clusters
 FROM sp GROUP BY 1 ORDER BY 1""")),
 
+    // the end-to-end curation pipeline in one plan: quality gate (lexical
+    // diversity) -> exact dedup (min-id per fingerprint) -> stable hash
+    // split -> per-(split, source) token-budget admission -> final
+    // training-slice accounting. Every stage is a pure relational
+    // transform, so the whole pipeline is ONE lazy plan: Catalyst fuses
+    // the gate into the scan, the dedup is one fp-keyed agg + join, the
+    // budget is one windowed cumsum — no materialization between stages
+    ("q_pipeline_e2e", (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"),
+          md5(lower(trim(col("text")))).as("fp"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          size(array_distinct(split(col("text"), " "))).cast("long")
+            .as("n_distinct"))
+        .withColumn("score_q",
+          expr("CAST(n_distinct * 1000000L DIV n_tokens AS BIGINT)"))
+        .filter(col("score_q") >= 200000)
+      val keep = d.groupBy("fp").agg(min("doc_id").as("doc_id"))
+      val uniq = d.join(keep, Seq("fp", "doc_id"))
+      val bk = graft.functions.Sampling.hashBucket(col("doc_id"), 100, "e2e")
+      val sp = uniq.withColumn("split",
+        when(bk < 90, "train").when(bk < 95, "val").otherwise("test"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("split", "source")
+        .orderBy(col("score_q").desc, col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      sp.withColumn("cum", sum("n_tokens").over(w))
+        .filter(col("cum") <= 500L)
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("kept_tokens"))
+        .orderBy("split", "source")
+    },
+      Some("""WITH d AS (SELECT doc_id, source, text, md5(lower(trim(text))) AS fp,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct FROM documents),
+q AS (SELECT *, CAST(n_distinct * 1000000 // n_tokens AS BIGINT) AS score_q FROM d
+  WHERE CAST(n_distinct * 1000000 // n_tokens AS BIGINT) >= 200000),
+keep AS (SELECT fp, min(doc_id) AS doc_id FROM q GROUP BY 1),
+u AS (SELECT q.* FROM q JOIN keep ON q.fp = keep.fp AND q.doc_id = keep.doc_id),
+sp AS (SELECT *, CASE WHEN bk < 90 THEN 'train' WHEN bk < 95 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT *, CAST(concat('0x', substr(md5('e2e' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bk FROM u)),
+c AS (SELECT split, source, doc_id, n_tokens,
+  CAST(sum(n_tokens) OVER (PARTITION BY split, source ORDER BY score_q DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM sp)
+SELECT split, source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
+FROM c WHERE cum <= 500 GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // deterministic per-(user, hour) rate limiting: keep the first k events
     // in (ts, event_id) order — flood control as a WindowGroupLimit plan
     ("q_rate_limit", (s, dir) =>
