@@ -2537,6 +2537,54 @@ sz AS (SELECT cluster_rep, count(*) AS n_docs FROM cl GROUP BY 1)
 SELECT best.cluster_rep, best.doc_id AS best_doc, sz.n_docs, best.q AS best_quality
 FROM best JOIN sz ON best.cluster_rep = sz.cluster_rep WHERE rn = 1 ORDER BY 1""")),
 
+    // rendezvous (highest-random-weight) sharding: each doc goes to the
+    // shard whose salted hash is lexicographic max — when the shard count
+    // changes S -> S+1 only ~1/(S+1) of docs move (vs ~all for mod
+    // bucketing), the consistent-placement property a growing corpus
+    // store needs; pure per-row arithmetic, one tiny rollup
+    ("q_hrw_shards", (s, dir) => {
+      val e = docs(s, dir).select(col("doc_id"),
+          explode(sequence(lit(0), lit(4))).as("shard"))
+        .withColumn("hk", md5(concat(col("shard").cast("string"), lit(":"),
+          col("doc_id").cast("string"))))
+      e.groupBy("doc_id").agg(expr("max_by(shard, hk)").cast("int").as("shard"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
+        .orderBy("shard")
+    },
+      Some("""WITH e AS (SELECT doc_id, unnest(generate_series(0, 4)) AS shard FROM documents),
+h AS (SELECT doc_id, shard, md5(CAST(shard AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS hk FROM e),
+a AS (SELECT doc_id, CAST(arg_max(shard, hk) AS INT) AS shard FROM h GROUP BY 1)
+SELECT shard, count(*) AS n_docs, min(doc_id) AS min_doc FROM a GROUP BY 1 ORDER BY 1""")),
+
+    // content-defined chunking: chunk boundaries where the rolling 3-gram
+    // hash's first hex digit is '0' (expected chunk ~16 tokens) — an
+    // insertion shifts only its own chunk's boundaries, not every later
+    // offset, which is what makes CDC segments dedup-friendly across doc
+    // revisions (fixed-stride chunking re-keys everything downstream of an
+    // edit); per-row codegen'd expressions, no shuffle
+    ("q_cdc_chunks", (s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      val windows = when(size(toks) >= 3,
+        transform(sequence(lit(1), size(toks) - lit(2)),
+          i => md5(array_join(slice(toks, i, lit(3)), " "))))
+        .otherwise(array().cast("array<string>"))
+      docs(s, dir).select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          (size(filter(windows, h => substring(h, 1, 1) === "0")) + 1)
+            .cast("long").as("n_chunks"))
+        .withColumn("avg_chunk_micro_tokens",
+          expr("CAST(n_tokens * 1000000L DIV n_chunks AS BIGINT)"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+w AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+  CASE WHEN len(l) >= 3 THEN list_transform(generate_series(1, len(l) - 2), i -> md5(array_to_string(list_slice(l, i, i + 2), ' '))) ELSE CAST([] AS VARCHAR[]) END AS ws FROM t),
+c AS (SELECT doc_id, n_tokens, CAST(len(list_filter(ws, h -> substr(h, 1, 1) = '0')) + 1 AS BIGINT) AS n_chunks FROM w)
+SELECT doc_id, n_tokens, n_chunks,
+CAST(n_tokens * 1000000 // n_chunks AS BIGINT) AS avg_chunk_micro_tokens
+FROM c ORDER BY 1""")),
+
     // leakage-proof split assignment: hash-split on the near-dup CLUSTER
     // representative, not the doc id — every member of a near-dup cluster
     // lands in the same train/val/test split by construction, closing the
