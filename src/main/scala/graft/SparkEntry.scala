@@ -2537,6 +2537,48 @@ sz AS (SELECT cluster_rep, count(*) AS n_docs FROM cl GROUP BY 1)
 SELECT best.cluster_rep, best.doc_id AS best_doc, sz.n_docs, best.q AS best_quality
 FROM best JOIN sz ON best.cluster_rep = sz.cluster_rep WHERE rn = 1 ORDER BY 1""")),
 
+    // multi-signal (ensemble) near-dup detection: a pair is flagged by the
+    // TEXT channel (MinHash est_jaccard >= 0.5), the EMBEDDING channel
+    // (banded sign-LSH cosine >= 0.4), or both — text dedup misses
+    // paraphrases, embedding dedup misses short-text noise; the full-outer
+    // join of the two (already bucketed, never all-pairs) candidate sets
+    // is the policy input for "drop only when both channels agree" vs
+    // "drop on any signal" curation
+    ("q_ensemble_pairs", (s, dir) => {
+      val tp = Dedup.minhashLshPairsFromSignatures(docSignatures(s, dir), 16, 4)
+        .filter(col("est_jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"), lit(true).as("text_dup"))
+      val ep = Similarity.cosineNearDupPairs(emb(s, dir), "vec_id",
+          "embedding", 0.4, 16, 4)
+        .select(col("id_a"), col("id_b"), lit(true).as("embed_dup"))
+      tp.join(ep, Seq("id_a", "id_b"), "full_outer")
+        .select(col("id_a"), col("id_b"),
+          coalesce(col("text_dup"), lit(false)).as("text_dup"),
+          coalesce(col("embed_dup"), lit(false)).as("embed_dup"))
+        .orderBy("id_a", "id_b")
+    },
+      Some(s"""$EMB_U,
+bk AS (SELECT vec_id, b.band, CAST(list_sum(list_transform(generate_series(1, 4), j -> CASE WHEN embedding[b.band * 4 + j] > 0 THEN CAST(power(2, j - 1) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket FROM embeddings, (SELECT unnest(generate_series(0, 15)) AS band) b),
+ecand AS (SELECT DISTINCT x.vec_id AS ia, y.vec_id AS ib FROM bk x JOIN bk y ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+dots AS (SELECT c.ia, c.ib, sum(a.x * b.x) AS d FROM ecand c JOIN u a ON a.vec_id = c.ia JOIN u b ON b.vec_id = c.ib AND b.i = a.i GROUP BY 1,2),
+norms AS (SELECT vec_id, sum(x * x) AS nn FROM u GROUP BY 1),
+ep AS (SELECT ia, ib FROM dots JOIN norms na ON na.vec_id = ia JOIN norms nb ON nb.vec_id = ib
+WHERE CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= 0.4),
+t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 0)), i -> array_to_string(list_slice(l, i, i + 2), ' '))) AS shingle FROM t),
+xy AS (SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % 576460752303423487 AS x, CAST(concat('0x', substr(md5(shingle), 17, 15)) AS BIGINT) % 576460752303423487 AS y FROM sh),
+hs AS (SELECT doc_id, unnest(generate_series(0, 15)) AS h, x, y FROM xy),
+sig AS (SELECT doc_id, h, min((x + h * y) % 576460752303423487) AS minhash FROM hs GROUP BY 1,2),
+sb AS (SELECT doc_id AS id, h // 4 AS band, md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY h)) AS bucket FROM sig GROUP BY 1,2),
+tcand AS (SELECT DISTINCT x.id AS ia, y.id AS ib FROM sb x JOIN sb y ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id),
+tp AS (SELECT c.ia, c.ib FROM tcand c JOIN sig sa ON sa.doc_id = c.ia JOIN sig sb2 ON sb2.doc_id = c.ib AND sb2.h = sa.h GROUP BY 1,2
+HAVING CAST(sum(CASE WHEN sa.minhash = sb2.minhash THEN 1 ELSE 0 END) AS DOUBLE) / count(*) >= 0.5),
+allp AS (SELECT ia, ib FROM tp UNION SELECT ia, ib FROM ep)
+SELECT a.ia AS id_a, a.ib AS id_b,
+EXISTS (SELECT 1 FROM tp WHERE tp.ia = a.ia AND tp.ib = a.ib) AS text_dup,
+EXISTS (SELECT 1 FROM ep WHERE ep.ia = a.ia AND ep.ib = a.ib) AS embed_dup
+FROM allp a ORDER BY 1, 2""")),
+
     // rendezvous (highest-random-weight) sharding: each doc goes to the
     // shard whose salted hash is lexicographic max — when the shard count
     // changes S -> S+1 only ~1/(S+1) of docs move (vs ~all for mod
