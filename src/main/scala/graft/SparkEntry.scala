@@ -2537,6 +2537,39 @@ sz AS (SELECT cluster_rep, count(*) AS n_docs FROM cl GROUP BY 1)
 SELECT best.cluster_rep, best.doc_id AS best_doc, sz.n_docs, best.q AS best_quality
 FROM best JOIN sz ON best.cluster_rep = sz.cluster_rep WHERE rn = 1 ORDER BY 1""")),
 
+    // blocking-recall audit: what fraction of the EXACT Jaccard >= 0.5
+    // pairs (jaccardPrefixPairs — exact at any threshold) does the banded
+    // MinHash-LSH candidate generation recover? The text-side analogue of
+    // q_ann_recall: index quality becomes a measured ppm, not a hope.
+    // Both sides are bucketed/prefix-filtered plans; the audit adds one
+    // semi join + two 1-row aggregates
+    ("q_blocking_recall", (s, dir) => {
+      val truth = Dedup.jaccardPrefixPairs(docs(s, dir), "doc_id", "text",
+        3, 0.5).select("id_a", "id_b")
+      val cand = Dedup.minhashLshPairsFromSignatures(docSignatures(s, dir),
+        16, 4).select("id_a", "id_b")
+      truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("n_found"))
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+        .selectExpr("n_truth", "n_found",
+          "CAST(n_found * 1000000 DIV n_truth AS BIGINT) AS recall_ppm")
+    },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 0)), i -> array_to_string(list_slice(l, i, i + 2), ' '))) AS shingle FROM t),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+it AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1,2),
+truth AS (SELECT ia, ib FROM it JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5),
+xy AS (SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % 576460752303423487 AS x, CAST(concat('0x', substr(md5(shingle), 17, 15)) AS BIGINT) % 576460752303423487 AS y FROM sh),
+hs AS (SELECT doc_id, unnest(generate_series(0, 15)) AS h, x, y FROM xy),
+sig AS (SELECT doc_id, h, min((x + h * y) % 576460752303423487) AS minhash FROM hs GROUP BY 1,2),
+b AS (SELECT doc_id AS id, h // 4 AS band, md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY h)) AS bucket FROM sig GROUP BY 1,2),
+cand AS (SELECT DISTINCT x.id AS ia, y.id AS ib FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id),
+f AS (SELECT count(*) AS n_found FROM truth JOIN cand USING (ia, ib)),
+n AS (SELECT count(*) AS n_truth FROM truth)
+SELECT n.n_truth, f.n_found, CAST(f.n_found * 1000000 // n.n_truth AS BIGINT) AS recall_ppm
+FROM n CROSS JOIN f""")),
+
     // multi-signal (ensemble) near-dup detection: a pair is flagged by the
     // TEXT channel (MinHash est_jaccard >= 0.5), the EMBEDDING channel
     // (banded sign-LSH cosine >= 0.4), or both — text dedup misses
