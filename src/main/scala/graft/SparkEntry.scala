@@ -2552,7 +2552,9 @@ FROM best JOIN sz ON best.cluster_rep = sz.cluster_rep WHERE rn = 1 ORDER BY 1""
         .agg(count(lit(1)).as("n_found"))
         .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
         .selectExpr("n_truth", "n_found",
-          "CAST(n_found * 1000000 DIV n_truth AS BIGINT) AS recall_ppm")
+          // nullif: a (future) testdata regen with zero true pairs must
+          // yield NULL recall, not a divide-by-zero error under ANSI
+          "CAST(n_found * 1000000 DIV nullif(n_truth, 0) AS BIGINT) AS recall_ppm")
     },
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
 sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 0)), i -> array_to_string(list_slice(l, i, i + 2), ' '))) AS shingle FROM t),
@@ -2567,7 +2569,7 @@ b AS (SELECT doc_id AS id, h // 4 AS band, md5(string_agg(CAST(minhash AS VARCHA
 cand AS (SELECT DISTINCT x.id AS ia, y.id AS ib FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id),
 f AS (SELECT count(*) AS n_found FROM truth JOIN cand USING (ia, ib)),
 n AS (SELECT count(*) AS n_truth FROM truth)
-SELECT n.n_truth, f.n_found, CAST(f.n_found * 1000000 // n.n_truth AS BIGINT) AS recall_ppm
+SELECT n.n_truth, f.n_found, CAST(f.n_found * 1000000 // nullif(n.n_truth, 0) AS BIGINT) AS recall_ppm
 FROM n CROSS JOIN f""")),
 
     // multi-signal (ensemble) near-dup detection: a pair is flagged by the
