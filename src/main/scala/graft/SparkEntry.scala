@@ -2537,6 +2537,40 @@ sz AS (SELECT cluster_rep, count(*) AS n_docs FROM cl GROUP BY 1)
 SELECT best.cluster_rep, best.doc_id AS best_doc, sz.n_docs, best.q AS best_quality
 FROM best JOIN sz ON best.cluster_rep = sz.cluster_rep WHERE rn = 1 ORDER BY 1""")),
 
+    // corpus self-similarity: mean pairwise 2-gram Jaccard (ppm) over a
+    // deterministic ~2% hash sample — the "is this corpus collapsing into
+    // template boilerplate" diversity snapshot. The quadratic pair space
+    // is DELIBERATELY sample-bounded (the cosineNearDupPairsExact
+    // discipline): ~n/53 docs -> (n/53)^2/2 pairs, a diagnostic constant,
+    // never the corpus pair space
+    ("q_self_similarity", (s, dir) => {
+      val sample = docs(s, dir).filter(col("doc_id") % 53 === 0)
+        .select(col("doc_id"), TextAnalysis.shingles(col("text"), 2).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val pairs = sample.as("a").join(sample.as("b"),
+          col("a.doc_id") < col("b.doc_id"))
+        .select(
+          size(array_intersect(col("a.sh"), col("b.sh"))).cast("long")
+            .as("inter"),
+          size(col("a.sh")).cast("long").as("sa"),
+          size(col("b.sh")).cast("long").as("sb"))
+        .selectExpr(
+          "CAST(inter * 1000000 DIV (sa + sb - inter) AS BIGINT) AS j_ppm")
+      pairs.agg(count(lit(1)).as("n_pairs"),
+          sum(col("j_ppm").cast("decimal(38,0)")).as("sj"))
+        .selectExpr("n_pairs",
+          "CAST(sj DIV nullif(n_pairs, 0) AS BIGINT) AS mean_jaccard_ppm")
+    },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents WHERE doc_id % 53 = 0),
+sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(l) - 1, 0)), i -> array_to_string(list_slice(l, i, i + 1), ' '))) AS sh FROM t),
+s2 AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+p AS (SELECT CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+  CAST(len(a.sh) AS BIGINT) AS sa, CAST(len(b.sh) AS BIGINT) AS sb
+  FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id),
+j AS (SELECT CAST(inter * 1000000 // (sa + sb - inter) AS BIGINT) AS j_ppm FROM p)
+SELECT count(*) AS n_pairs, CAST(CAST(sum(j_ppm) AS HUGEINT) // nullif(count(*), 0) AS BIGINT) AS mean_jaccard_ppm
+FROM j""")),
+
     // blocking-recall audit: what fraction of the EXACT Jaccard >= 0.5
     // pairs (jaccardPrefixPairs — exact at any threshold) does the banded
     // MinHash-LSH candidate generation recover? The text-side analogue of
