@@ -2574,13 +2574,17 @@ FROM j""")),
     // blocking-recall audit: what fraction of the EXACT Jaccard >= 0.5
     // pairs (jaccardPrefixPairs — exact at any threshold) does the banded
     // MinHash-LSH candidate generation recover? The text-side analogue of
-    // q_ann_recall: index quality becomes a measured ppm, not a hope.
-    // Both sides are bucketed/prefix-filtered plans; the audit adds one
-    // semi join + two 1-row aggregates
+    // q_ann_recall, and it follows the same cost discipline: the exact
+    // truth side runs on a deterministic 1/3 id sample (recall within the
+    // sample is an unbiased estimate of index recall), so the audit never
+    // pays the full-corpus exact join. Both channels are restricted to
+    // the SAME sample; one semi join + two 1-row aggregates on top
     ("q_blocking_recall", (s, dir) => {
-      val truth = Dedup.jaccardPrefixPairs(docs(s, dir), "doc_id", "text",
+      val truth = Dedup.jaccardPrefixPairs(
+        docs(s, dir).filter(col("doc_id") % 3 === 0), "doc_id", "text",
         3, 0.5).select("id_a", "id_b")
-      val cand = Dedup.minhashLshPairsFromSignatures(docSignatures(s, dir),
+      val cand = Dedup.minhashLshPairsFromSignatures(
+          docSignatures(s, dir).filter(col("id") % 3 === 0),
         16, 4).select("id_a", "id_b")
       truth.join(cand, Seq("id_a", "id_b"), "left_semi")
         .agg(count(lit(1)).as("n_found"))
@@ -2590,7 +2594,7 @@ FROM j""")),
           // yield NULL recall, not a divide-by-zero error under ANSI
           "CAST(n_found * 1000000 DIV nullif(n_truth, 0) AS BIGINT) AS recall_ppm")
     },
-      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents WHERE doc_id % 3 = 0),
 sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 0)), i -> array_to_string(list_slice(l, i, i + 2), ' '))) AS shingle FROM t),
 sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
 it AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1,2),
