@@ -2538,13 +2538,20 @@ SELECT best.cluster_rep, best.doc_id AS best_doc, sz.n_docs, best.q AS best_qual
 FROM best JOIN sz ON best.cluster_rep = sz.cluster_rep WHERE rn = 1 ORDER BY 1""")),
 
     // corpus self-similarity: mean pairwise 2-gram Jaccard (ppm) over a
-    // deterministic ~2% hash sample — the "is this corpus collapsing into
-    // template boilerplate" diversity snapshot. The quadratic pair space
-    // is DELIBERATELY sample-bounded (the cosineNearDupPairsExact
-    // discipline): ~n/53 docs -> (n/53)^2/2 pairs, a diagnostic constant,
-    // never the corpus pair space
+    // deterministic fixed-SIZE sample — the "is this corpus collapsing
+    // into template boilerplate" diversity snapshot. The sample is the k
+    // smallest md5(doc_id) (the KMV discipline from sourceOverlapSketch),
+    // so the pair space is O(k^2) CONSTANT in corpus size — a fraction
+    // sample (e.g. doc_id % 53) would keep the quadratic growing with the
+    // corpus. The top-k plans as TakeOrderedAndProject (map-side partial
+    // top-k, never a global sort); the k-row id set then broadcast-joins
+    // back to documents, so the wide text column is only read for k rows
     ("q_self_similarity", (s, dir) => {
-      val sample = docs(s, dir).filter(col("doc_id") % 53 === 0)
+      val k = 128
+      val ids = docs(s, dir)
+        .select(col("doc_id"), md5(col("doc_id").cast("string")).as("hk"))
+        .orderBy("hk", "doc_id").limit(k).select("doc_id")
+      val sample = docs(s, dir).join(broadcast(ids), "doc_id")
         .select(col("doc_id"), TextAnalysis.shingles(col("text"), 2).as("sh"))
         .filter(size(col("sh")) > 0)
       val pairs = sample.as("a").join(sample.as("b"),
@@ -2561,7 +2568,8 @@ FROM best JOIN sz ON best.cluster_rep = sz.cluster_rep WHERE rn = 1 ORDER BY 1""
         .selectExpr("n_pairs",
           "CAST(sj DIV nullif(n_pairs, 0) AS BIGINT) AS mean_jaccard_ppm")
     },
-      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents WHERE doc_id % 53 = 0),
+      Some("""WITH ids AS (SELECT doc_id FROM documents ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 128),
+t AS (SELECT d.doc_id, string_split(text, ' ') AS l FROM documents d JOIN ids USING (doc_id)),
 sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(l) - 1, 0)), i -> array_to_string(list_slice(l, i, i + 1), ' '))) AS sh FROM t),
 s2 AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
 p AS (SELECT CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
@@ -3058,7 +3066,7 @@ SELECT seed, CAST(max(d) AS BIGINT) AS ecc_lb, count(*) AS n_reached FROM md GRO
       Some(mstSql(12))),
 
     // ROLLUP aggregation with explicit grouping-level id
-    ("q_rollup", (s, dir) =>
+    ("q_rollup_nodes", (s, dir) =>
       graph(s, dir).nodes
         .rollup("c_mktsegment", "c_nationkey")
         .agg(sum(floor(col("c_acctbal") * 100).cast("long")).as("bal_cents"),
@@ -3290,7 +3298,7 @@ FROM documents GROUP BY ROLLUP(source, lang) ORDER BY gid, source, lang""")),
 
     // full cross-dimensional subtotals: CUBE(event_type, user bucket) with
     // decimal-exact value sums — same one-Expand plan shape as ROLLUP
-    ("q_cube", (s, dir) =>
+    ("q_cube_events", (s, dir) =>
       tbl(s, dir, "events")
         .select(col("event_type"), (col("user_id") % 4).as("ub"), col("value"))
         .cube("event_type", "ub")
@@ -5397,8 +5405,14 @@ CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value FROM events GROUP
     def next(): Int = c.incrementAndGet()
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    // A duplicate name would silently shadow an earlier definition when the
+    // tuple list collapses into a Map (it happened: round 8 shipped two dead
+    // ROLLUP/CUBE queries). Fail loudly instead.
+    val dups = defs.map(_._1).groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    require(dups.isEmpty, s"duplicate query names would shadow definitions: ${dups.mkString(", ")}")
     defs.map { case (n, q, _) => n -> q }.toMap
+  }
 
   def oracleSql: Map[String, String] =
     defs.collect { case (n, _, Some(sql)) => n -> sql }.toMap

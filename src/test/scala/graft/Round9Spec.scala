@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-9 work: query-bank duplicate-name guard (round 8 shipped two dead
+  * Map-key-shadowed definitions), fixed-size KMV sampling for the
+  * self-similarity snapshot.
+  */
+class Round9Spec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("query bank has no duplicate names; all four rollup/cube variants are live") {
+    // queries itself requires distinctness — calling it IS the guard; assert
+    // the previously-shadowed definitions are now executable entries.
+    val qs = SparkEntry.queries
+    for (n <- Seq("q_rollup", "q_rollup_nodes", "q_cube", "q_cube_events"))
+      assert(qs.contains(n), s"$n must be a live query")
+    // every oracle key must point at a live query
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
+  }
+
+  test("self-similarity sample is fixed-size (k smallest md5(doc_id)), not a fraction") {
+    // 400 docs; the snapshot must consider at most 128 of them regardless of
+    // corpus size, picked by the md5 order (deterministic across runs).
+    val docs = (0L until 400L).map(i => (i, s"w$i x$i y$i")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_selfsim").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("q_self_similarity")(spark, dir).collect().head
+    val nPairs = r.getAs[Long]("n_pairs")
+    assert(nPairs == 128L * 127 / 2,
+      s"pair space must be k*(k-1)/2 for k=128, got $nPairs")
+  }
+}
