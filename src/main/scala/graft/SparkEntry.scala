@@ -89,38 +89,10 @@ object SparkEntry {
   private val orcDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Allocate a scratch directory for the per-(JVM, sf dir) materialized
-    * caches. Location is deployment-configurable: `spark.graft.scratch` if
-    * set, else a `graft_scratch/` area under `spark.sql.warehouse.dir` —
-    * the cluster-visible warehouse — NEVER driver-local java.io.tmpdir,
-    * which executors on a real cluster cannot read. Every allocation is
-    * registered for recursive delete at JVM exit through the Hadoop
-    * FileSystem of its scheme, so repeated local runs do not leak
-    * directories.
+    * caches — see [[Scratch]] (shared with EventStream's stream staging).
     */
-  private def scratchDir(s: SparkSession, prefix: String): String = {
-    val base = s.conf.getOption("spark.graft.scratch")
-      .getOrElse(s.conf.get("spark.sql.warehouse.dir") + "/graft_scratch")
-    val out = s"$base/$prefix${java.util.UUID.randomUUID().toString.take(8)}"
-    ScratchCleanup.register(out, s.sparkContext.hadoopConfiguration)
-    out
-  }
-
-  private object ScratchCleanup {
-    private val registered =
-      scala.collection.concurrent.TrieMap.empty[String, org.apache.hadoop.conf.Configuration]
-    private lazy val hookInstalled: Unit =
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        registered.foreach { case (p, conf) =>
-          try {
-            val path = new org.apache.hadoop.fs.Path(p)
-            path.getFileSystem(conf).delete(path, true)
-          } catch { case _: Throwable => () }
-        }))
-    def register(path: String, conf: org.apache.hadoop.conf.Configuration): Unit = {
-      hookInstalled
-      registered.put(path, conf)
-    }
-  }
+  private def scratchDir(s: SparkSession, prefix: String): String =
+    Scratch.dir(s, prefix)
 
   /** Strong-component labels, cached per (JVM, sf dir) exactly like the
     * weak labels above — q_strong_components and q_condensation both

@@ -33,10 +33,6 @@ object Dedup {
       exactGroups(df, idCol, textCol).select(col("keep_id").as(idCol)),
       Seq(idCol), "left_semi")
 
-  /** MinHash signature rows: (id, h, minhash) for h in [0, numHashes).
-    * Hash family h(s) = md5(h || ':' || shingle); the signature entry is the
-    * lexicographic min digest — identical semantics in any engine with MD5.
-    */
   /** Modulus for the derived universal-hash family: 2^59 - 1, chosen so
     * that with numHashes <= 16 the worst-case accumulator
     * (M-1) + 15*(M-1) = 16*(M-1) < 2^63 never overflows a signed 64-bit
@@ -45,6 +41,23 @@ object Dedup {
     */
   val HashModulus: Long = 576460752303423487L
 
+  /** MinHash signature rows: (id, h, minhash) for h in [0, numHashes).
+    *
+    * Hash family: ONE md5 per shingle; member h is v_h = (x + h*y) mod
+    * [[HashModulus]], with (x, y) the digest's two 60-bit halves — a
+    * classic universal family, pairwise- (not fully-) independent across
+    * h, which is the standard MinHash trade (Indyk-style derived families)
+    * and a deliberate change from the pre-round-8 one-md5-per-h family.
+    *
+    * '''numHashes is capped at 16''' (throws above): h <= 15 is the
+    * largest coefficient that cannot overflow int64 under the 2^59-1
+    * modulus. The cap propagates to every consumer that takes a
+    * `numHashes` parameter (`lshBuckets`, `minhashLshPairs`,
+    * `dedupAgainstCorpus`, `incrementalSignatures`, ...). If a larger
+    * family is ever needed, derive further (x, y) pairs from additional
+    * md5 substrings or a second digest (e.g. md5(shingle || '#2')) rather
+    * than raising the coefficient.
+    */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 16, shingleLen: Int = 3): DataFrame = {
     require(numHashes <= 16,
@@ -72,7 +85,8 @@ object Dedup {
 
   /** LSH banding: (id, band, bucket) where bucket = md5 of the band's
     * concatenated signature rows. Docs sharing any (band,bucket) are
-    * candidate near-duplicates.
+    * candidate near-duplicates. numHashes <= 16 (see
+    * [[minhashSignatures]]).
     */
   def lshBuckets(df: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 16, bands: Int = 4, shingleLen: Int = 3): DataFrame =
@@ -99,6 +113,7 @@ object Dedup {
 
   /** Candidate near-dup pairs from LSH: ids sharing a (band,bucket), a < b,
     * with the estimated Jaccard = fraction of agreeing signature rows.
+    * numHashes <= 16 (see [[minhashSignatures]]).
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 16, bands: Int = 4,
@@ -137,6 +152,8 @@ object Dedup {
     * every join is broadcast-sized relative to the corpus. Emits pairs
     * with the estimated Jaccard (fraction of agreeing signature rows)
     * at or above `minAgree` — everything a keep/drop policy needs.
+    * numHashes <= 16 (see [[minhashSignatures]]) and must match the family
+    * `corpusSig` was built with.
     */
   def dedupAgainstCorpus(newDocs: DataFrame, idCol: String, textCol: String,
                          corpusSig: DataFrame, numHashes: Int = 16,
@@ -391,7 +408,9 @@ object Dedup {
     * cost of every MinHash consumer at 100 TB; a daily upsert touching
     * 0.1% of docs should cost 0.1% of a full pass, not re-derive the
     * warehouse signature table from scratch. Output is exactly
-    * `minhashSignatures` over the merged corpus.
+    * `minhashSignatures` over the merged corpus. numHashes <= 16 (see
+    * [[minhashSignatures]]) and must match the family `baseSig` was built
+    * with.
     */
   def incrementalSignatures(baseSig: DataFrame, changed: DataFrame,
                             idCol: String, textCol: String,
