@@ -1876,6 +1876,33 @@ CAST(CAST(qb AS DOUBLE) / 64 / 65025.0 AS REAL) AS f6,
 CAST(0.0 AS REAL) AS f7
 FROM s ORDER BY 1""")),
 
+    // the COMPRESSED-codec decode path, oracle-gated: deterministic PNGs
+    // (real zlib IDAT; ImageIO must inflate) whose decoded samples repeat
+    // the text bytes in R,G,B order, so channel means stay a closed form
+    // over the text — decoded=true in every row proves the real PNG branch
+    // ran (a decode failure would flip it false and empty the means,
+    // hash-mismatching loudly)
+    ("q_png_features", (s, dir) =>
+      Multimodal.decodePixels(Multimodal.fromTextPng(s, docs(s, dir), "doc_id", "text"))
+        .toDF()
+        .select(col("id"), col("width"), col("height"), col("channels"),
+          col("decoded"),
+          element_at(col("channel_mean"), 1).as("m_r"),
+          element_at(col("channel_mean"), 2).as("m_g"),
+          element_at(col("channel_mean"), 3).as("m_b"))
+        .orderBy("id"),
+      Some("""WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+p AS (SELECT doc_id, n, text, unnest(generate_series(0, 191)) AS i FROM t),
+b AS (SELECT doc_id, i % 3 AS chan, ascii(substr(text, CAST(i % n AS INT) + 1, 1)) AS v FROM p),
+s AS (SELECT doc_id,
+sum(CASE WHEN chan = 0 THEN v ELSE 0 END) AS sr, sum(CASE WHEN chan = 1 THEN v ELSE 0 END) AS sg, sum(CASE WHEN chan = 2 THEN v ELSE 0 END) AS sb
+FROM b GROUP BY 1)
+SELECT doc_id AS id, 8 AS width, 8 AS height, 3 AS channels, TRUE AS decoded,
+CAST(CAST(sr AS DOUBLE) / 64 / 255.0 AS REAL) AS m_r,
+CAST(CAST(sg AS DOUBLE) / 64 / 255.0 AS REAL) AS m_g,
+CAST(CAST(sb AS DOUBLE) / 64 / 255.0 AS REAL) AS m_b
+FROM s ORDER BY 1""")),
+
     // perceptual average-hash over REAL decoded pixels of the synthetic
     // BMPs: 8x8 image -> one luminance cell per pixel (299R+587G+114B),
     // bit set where the cell exceeds the integer grid mean; emitted as the

@@ -365,4 +365,68 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .map { case (id, bytes) => MediaRecord(id, syntheticBmp(bytes, w, h), "image/bmp") }
   }
+
+  /** Deterministic COMPRESSED PNG (`w` x `h`, 8-bit truecolor RGB, one zlib
+    * IDAT at a fixed deflate level) whose decoded samples cyclically repeat
+    * `payload`: image sample j (row-major, R,G,B order, filter bytes
+    * excluded — every scanline uses filter 0 "None") is payload(j % len),
+    * so sample j's channel is j % 3 (R=0, G=1, B=2) and every channel
+    * statistic stays a closed form over the payload bytes EXACTLY like
+    * [[syntheticBmp]] — while the decoder must run a real inflate, i.e.
+    * this exercises the compressed-codec ImageIO path the BMP fixture
+    * cannot. Built with JDK-only primitives (Deflater + CRC32); the
+    * compressed bytes are deterministic at the fixed level, and the
+    * oracle-relevant property (decoded pixels) is determined by the PNG
+    * contract regardless of encoder byte choices.
+    */
+  def syntheticPng(payload: Array[Byte], w: Int = 8, h: Int = 8): Array[Byte] = {
+    require(w > 0 && h > 0, "dimensions must be positive")
+    val n = payload.length
+    val raw = new Array[Byte](h * (1 + w * 3))
+    var k = 0; var j = 0; var y = 0
+    while (y < h) {
+      raw(k) = 0 // filter type None
+      k += 1
+      var i = 0
+      while (i < w * 3) {
+        raw(k) = if (n == 0) 0 else payload(j % n)
+        k += 1; j += 1; i += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater(6)
+    defl.setInput(raw); defl.finish()
+    val zbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!defl.finished()) zbuf.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      val d = new java.io.DataOutputStream(o)
+      d.writeInt(body.length)
+      val tb = tag.getBytes("US-ASCII")
+      d.write(tb); d.write(body)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(body)
+      d.writeInt(crc.getValue.toInt)
+      o.toByteArray
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte).put(2.toByte) // bit depth 8, color type 2 (truecolor)
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+      .array()
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", zbuf.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** [[fromTextBmp]]'s compressed sibling: one `syntheticPng` per row. */
+  def fromTextPng(spark: SparkSession, df: DataFrame, idCol: String,
+                  textCol: String, w: Int = 8, h: Int = 8): Dataset[MediaRecord] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), encode(col(textCol), "UTF-8"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) => MediaRecord(id, syntheticPng(bytes, w, h), "image/png") }
+  }
 }

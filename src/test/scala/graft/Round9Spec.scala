@@ -20,6 +20,26 @@ class Round9Spec extends AnyFunSuite with SparkFixture {
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
   }
 
+  test("syntheticPng is a real compressed PNG ImageIO decodes to the payload cycle") {
+    import graft.multimodal.Multimodal
+    val payload = Array[Byte](10, 20, 30)
+    val png = Multimodal.syntheticPng(payload)
+    // genuinely compressed: a zlib IDAT, not a stored BMP-style raster
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P')
+    val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(im != null, "JDK must decode the synthetic PNG")
+    assert(im.getWidth == 8 && im.getHeight == 8 && im.getRaster.getNumBands == 3)
+    // sample j = payload(j % 3): R=10, G=20, B=30 everywhere
+    val px = new Array[Int](3)
+    im.getRaster.getPixel(3, 5, px)
+    assert(px.toSeq == Seq(10, 20, 30))
+    val stats = Multimodal.decodePixels(
+      Seq(Multimodal.MediaRecord(1L, png, "image/png")).toDS()).collect().head
+    assert(stats.decoded && stats.channels == 3)
+    assert(stats.channel_mean.toSeq == Seq(
+      (10.0 / 255).toFloat, (20.0 / 255).toFloat, (30.0 / 255).toFloat))
+  }
+
   test("self-similarity sample is fixed-size (k smallest md5(doc_id)), not a fraction") {
     // 400 docs; the snapshot must consider at most 128 of them regardless of
     // corpus size, picked by the md5 order (deterministic across runs).

@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Generate the 10x scaling-measurement dataset (/tmp/sf1 by default).
+
+Replicates the sf0.1 bench tables 10x with id-shifted copies:
+- documents: copy 0 is verbatim; copies 1..9 append a per-copy token to the
+  text, so cross-copy pairs are NEAR-dups (the realistic dedup workload:
+  candidate spaces must grow linearly, never quadratically, as dup density
+  per doc is constant).
+- events: pure id shift (event_id, user_id) — the streaming-CC and sketch
+  workloads only need volume.
+- embeddings: copies get deterministic per-(vec_id, dim, copy) additive
+  noise (+-0.24 max), so copies are NOT trivially cosine-near — bucketed
+  ANN/near-dup candidate growth stays organic rather than manufactured.
+
+Driver-side tooling only (duckdb); the engine under test never imports it.
+Round 8 built the same dataset ad hoc and did not save the generator —
+this is the saved, re-runnable version (documents output is equivalent in
+shape; exact texts may differ from round 8's ad-hoc perturbation).
+
+Usage: python3 tools/gen10x.py [src_dir] [out_dir] [copies]
+"""
+import sys
+
+import duckdb
+
+src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+import os
+
+os.makedirs(out, exist_ok=True)
+con = duckdb.connect()
+con.sql("SET threads TO 16")
+
+con.sql(f"""
+COPY (
+  WITH c AS (SELECT unnest(generate_series(0, {copies - 1})) AS c),
+  m AS (SELECT max(doc_id) + 1 AS shift FROM '{src}/documents.parquet')
+  SELECT d.doc_id + c.c * m.shift AS doc_id,
+         CASE WHEN c.c = 0 THEN d.text ELSE d.text || ' zz' || c.c END AS text,
+         d.lang, d.source,
+         CASE WHEN c.c = 0 THEN d.n_chars
+              ELSE d.n_chars + 4 + CAST(c.c >= 10 AS BIGINT) END AS n_chars
+  FROM '{src}/documents.parquet' d, c, m
+) TO '{out}/documents.parquet' (FORMAT PARQUET)
+""")
+
+con.sql(f"""
+COPY (
+  WITH c AS (SELECT unnest(generate_series(0, {copies - 1})) AS c),
+  m AS (SELECT max(event_id) + 1 AS eshift, max(user_id) + 1 AS ushift
+        FROM '{src}/events.parquet')
+  SELECT e.event_id + c.c * m.eshift AS event_id, e.ts,
+         e.user_id + c.c * m.ushift AS user_id,
+         e.event_type, e.value, e.props
+  FROM '{src}/events.parquet' e, c, m
+) TO '{out}/events.parquet' (FORMAT PARQUET)
+""")
+
+con.sql(f"""
+COPY (
+  WITH c AS (SELECT unnest(generate_series(0, {copies - 1})) AS c),
+  m AS (SELECT max(vec_id) + 1 AS shift FROM '{src}/embeddings.parquet')
+  SELECT e.vec_id + c.c * m.shift AS vec_id,
+         CASE WHEN c.c = 0 THEN e.embedding
+              ELSE list_transform(list_zip(e.embedding,
+                     list_transform(generate_series(1, len(e.embedding)),
+                       i -> ((e.vec_id * 31 + i * 7 + c.c * 13) % 17 - 8) * 0.03)),
+                   p -> CAST(p[1] + p[2] AS FLOAT)) END AS embedding,
+         e.label
+  FROM '{src}/embeddings.parquet' e, c, m
+) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
+""")
+
+for t in ("documents", "events", "embeddings"):
+    n = con.sql(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
+    print(f"{t}: {n} rows")
