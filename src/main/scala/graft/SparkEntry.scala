@@ -2751,9 +2751,10 @@ FROM sp GROUP BY 1 ORDER BY 1""")),
     // diversity) -> exact dedup (min-id per fingerprint) -> stable hash
     // split -> per-(split, source) token-budget admission -> final
     // training-slice accounting. Every stage is a pure relational
-    // transform, so the whole pipeline is ONE lazy plan: Catalyst fuses
-    // the gate into the scan, the dedup is one fp-keyed agg + join, the
-    // budget is one windowed cumsum — no materialization between stages
+    // transform, so the whole pipeline is ONE lazy plan and a SINGLE scan
+    // of documents: Catalyst fuses the gate into the scan, the dedup is a
+    // window-min over fp, the budget is one windowed cumsum — no
+    // materialization between stages (single-scan pinned by Round9Spec)
     ("q_pipeline_e2e", (s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"),
           md5(lower(trim(col("text")))).as("fp"),
@@ -2763,8 +2764,14 @@ FROM sp GROUP BY 1 ORDER BY 1""")),
         .withColumn("score_q",
           expr("CAST(n_distinct * 1000000L DIV n_tokens AS BIGINT)"))
         .filter(col("score_q") >= 200000)
-      val keep = d.groupBy("fp").agg(min("doc_id").as("doc_id"))
-      val uniq = d.join(keep, Seq("fp", "doc_id"))
+      // exact dedup as a WINDOW-min, not groupBy+self-join: the join-back
+      // shape scans the corpus (and recomputes the gate + md5) twice and
+      // at real scale its keep table is corpus-sized — not broadcastable;
+      // the window keeps the pipeline a SINGLE pass over documents with
+      // one narrow shuffle of the projected columns (text already dropped)
+      val wfp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+      val uniq = d.withColumn("min_id", min("doc_id").over(wfp))
+        .filter(col("doc_id") === col("min_id")).drop("min_id")
       val bk = graft.functions.Sampling.hashBucket(col("doc_id"), 100, "e2e")
       val sp = uniq.withColumn("split",
         when(bk < 90, "train").when(bk < 95, "val").otherwise("test"))
@@ -2784,8 +2791,7 @@ FROM sp GROUP BY 1 ORDER BY 1""")),
   CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct FROM documents),
 q AS (SELECT *, CAST(n_distinct * 1000000 // n_tokens AS BIGINT) AS score_q FROM d
   WHERE CAST(n_distinct * 1000000 // n_tokens AS BIGINT) >= 200000),
-keep AS (SELECT fp, min(doc_id) AS doc_id FROM q GROUP BY 1),
-u AS (SELECT q.* FROM q JOIN keep ON q.fp = keep.fp AND q.doc_id = keep.doc_id),
+u AS (SELECT * EXCLUDE (min_id) FROM (SELECT q.*, min(doc_id) OVER (PARTITION BY fp) AS min_id FROM q) WHERE doc_id = min_id),
 sp AS (SELECT *, CASE WHEN bk < 90 THEN 'train' WHEN bk < 95 THEN 'val' ELSE 'test' END AS split
   FROM (SELECT *, CAST(concat('0x', substr(md5('e2e' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bk FROM u)),
 c AS (SELECT split, source, doc_id, n_tokens,

@@ -40,6 +40,22 @@ class Round9Spec extends AnyFunSuite with SparkFixture {
       (10.0 / 255).toFloat, (20.0 / 255).toFloat, (30.0 / 255).toFloat))
   }
 
+  test("q_pipeline_e2e is a single pass over documents (scan fusion pinned)") {
+    val df = SparkEntry.queries("q_pipeline_e2e")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    val census = Plans.scanCensus(plan)
+    assert(census.getOrElse("documents.parquet", 0) == 1,
+      s"pipeline must scan documents exactly once, census: $census\n$plan")
+    // the quality gate must be fused against the scan: a Filter node whose
+    // condition carries the gate threshold sits BELOW every shuffle (plan
+    // toString prints top-down, so deeper nodes have LARGER offsets)
+    val gateIdx = plan.indexOf("200000")
+    val lastExchangeIdx = plan.lastIndexOf("Exchange")
+    assert(gateIdx >= 0, "gate threshold must appear in the plan")
+    assert(lastExchangeIdx < 0 || gateIdx > lastExchangeIdx,
+      s"quality gate must filter below every shuffle\n$plan")
+  }
+
   test("self-similarity sample is fixed-size (k smallest md5(doc_id)), not a fraction") {
     // 400 docs; the snapshot must consider at most 128 of them regardless of
     // corpus size, picked by the md5 order (deterministic across runs).
