@@ -65,6 +65,27 @@ object SparkEntry {
     NetworkFrame(nodes, edges)
   }
 
+  /** The events multiplex: user -> hub (event_id % 211) edges layered by
+    * event type over a shared endpoint universe — the multilayer test
+    * graph. Node table = distinct endpoints (only derived if an operation
+    * actually touches nodes). Weight is the DECIMAL-cast event value, the
+    * exact-arithmetic discipline.
+    */
+  private def mlEvents(s: SparkSession, dir: String): MultilayerNetworkFrame = {
+    val e = tbl(s, dir, "events").select(
+      col("user_id").cast("long").as("source"),
+      (col("event_id") % 211).cast("long").as("target"),
+      col("event_type").as("layer"),
+      col("value").cast("decimal(20,6)").as("wd"))
+    val n = e.select(col("source").as("id"))
+      .union(e.select(col("target").as("id"))).distinct()
+    MultilayerNetworkFrame(NetworkFrame(n, e), "layer")
+  }
+
+  /** DuckDB prelude for the events multiplex (`mle`). */
+  private val ML_E =
+    """WITH mle AS (SELECT user_id AS source, event_id % 211 AS target, event_type AS layer, CAST(value AS DECIMAL(20,6)) AS wd FROM events)"""
+
   /** Sparse variant (every 10th order) — used for component / BFS / k-hop
     * queries so the graph has interesting structure.
     */
@@ -352,6 +373,59 @@ SELECT le.layer, ns.c_mktsegment AS source, nt.c_mktsegment AS target,
 CAST(sum(CAST(le.weight AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM le JOIN nodes ns ON le.source = ns.id JOIN nodes nt ON le.target = nt.id
 GROUP BY 1,2,3 ORDER BY 1,2,3""")),
+
+    // ---- multilayer surface (MultilayerNetworkFrame; reference's class is
+    // all-`pass`, multilayer.py:4-23). The events multiplex: users connect
+    // to synthetic hubs in per-event-type LAYERS — layer is an edge column,
+    // so every all-layer aggregate is one shuffle with layer as an extra
+    // key, never a per-layer driver loop.
+
+    // per-layer summary: edge count, exact weight sum, active node count
+    ("q_ml_summary", (s, dir) =>
+      mlEvents(s, dir).layerSummary(Some("wd"))
+        .select(col("layer"), col("n_edges"),
+          col("w_sum").cast("double").as("w_sum"), col("n_active_nodes"))
+        .orderBy("layer"),
+      Some(s"""$ML_E, b AS (SELECT layer, count(*) AS n_edges, CAST(sum(wd) AS DOUBLE) AS w_sum FROM mle GROUP BY 1),
+a AS (SELECT layer, count(*) AS n_active_nodes FROM (SELECT DISTINCT layer, source AS id FROM mle UNION SELECT DISTINCT layer, target FROM mle) GROUP BY 1)
+SELECT b.layer, n_edges, w_sum, n_active_nodes FROM b JOIN a USING (layer) ORDER BY 1""")),
+
+    // multiplex node activity: layers a node is active in + total incidence
+    ("q_ml_activity", (s, dir) =>
+      mlEvents(s, dir).nodeActivity().orderBy("id"),
+      Some(s"""$ML_E, i AS (SELECT layer, source AS id FROM mle UNION ALL SELECT layer, target FROM mle)
+SELECT id, CAST(count(DISTINCT layer) AS BIGINT) AS n_layers, count(*) AS n_incident
+FROM i GROUP BY 1 ORDER BY 1""")),
+
+    // pairwise layer edge-overlap matrix: distinct (source,target) keys
+    // shared by each layer pair — the join key is the edge key over
+    // layer-DEDUPED edge sets, never a pair-of-edges space
+    ("q_ml_overlap", (s, dir) =>
+      mlEvents(s, dir).layerOverlap().orderBy("layer_a", "layer_b"),
+      Some(s"""$ML_E, k AS (SELECT DISTINCT layer, source, target FROM mle)
+SELECT a.layer AS layer_a, b.layer AS layer_b, count(*) AS n_shared_edges
+FROM k a JOIN k b ON a.source = b.source AND a.target = b.target AND a.layer < b.layer
+GROUP BY 1,2 ORDER BY 1,2""")),
+
+    // layer-parameterized induction: queryNodes re-induces ONCE for all
+    // layers (induction is layer-agnostic semi joins; the layer column
+    // rides along), then per-(layer, node) degrees in one grouped agg
+    ("q_ml_degrees", (s, dir) => {
+      val g = graph(s, dir)
+      MultilayerNetworkFrame(g.copy(edges =
+          g.edges.withColumn("layer", col("edge_id") % 3)))
+        .queryNodes("c_acctbal > 0")
+        .degreesByLayer()
+        .orderBy("layer", "id")
+    },
+      Some(s"""$G, n2 AS (SELECT id FROM nodes WHERE c_acctbal > 0),
+le AS (SELECT e.edge_id % 3 AS layer, e.source, e.target FROM edges e JOIN n2 s ON e.source = s.id JOIN n2 t ON e.target = t.id),
+o AS (SELECT layer, source AS id, count(*) AS od FROM le GROUP BY 1,2),
+i AS (SELECT layer, target AS id, count(*) AS idg FROM le GROUP BY 1,2)
+SELECT COALESCE(o.layer, i.layer) AS layer, COALESCE(o.id, i.id) AS id,
+CAST(COALESCE(od, 0) AS BIGINT) AS out_degree, CAST(COALESCE(idg, 0) AS BIGINT) AS in_degree,
+CAST(COALESCE(od, 0) + COALESCE(idg, 0) AS BIGINT) AS degree
+FROM o FULL JOIN i ON o.layer = i.layer AND o.id = i.id ORDER BY 1, 2""")),
 
     ("q_size_edges", (s, dir) =>
       graph(s, dir).groupbyNodes("c_mktsegment").sizeEdges("size")

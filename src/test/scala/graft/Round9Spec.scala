@@ -56,6 +56,35 @@ class Round9Spec extends AnyFunSuite with SparkFixture {
       s"quality gate must filter below every shuffle\n$plan")
   }
 
+  test("MultilayerNetworkFrame: single-layer view, flatten, and layered effective edges agree") {
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq(
+      (1L, 2L, "a", 10L), (1L, 2L, "a", 5L), (1L, 2L, "b", 7L),
+      (2L, 3L, "b", 2L), (3L, 1L, "a", 1L)
+    ).toDF("source", "target", "layer", "w")
+    val ml = MultilayerNetworkFrame(NetworkFrame(nodes, edges))
+    // single-layer view is a pure edge filter
+    assert(ml.layer("a").edges.count() == 3)
+    // layered effective edges: (a,1,2)=15, (b,1,2)=7, (b,2,3)=2, (a,3,1)=1
+    val eff = ml.effectiveEdgesByLayer(Some("w")).collect()
+      .map(r => ((r.getString(0), r.getLong(1), r.getLong(2)), r.getLong(3))).toMap
+    assert(eff == Map(("a", 1L, 2L) -> 15L, ("b", 1L, 2L) -> 7L,
+      ("b", 2L, 3L) -> 2L, ("a", 3L, 1L) -> 1L))
+    // flatten ignores layers: (1,2)=22
+    val flat = ml.aggregateLayers(Some("w")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(flat((1L, 2L)) == 22L)
+    // activity: node 1 active in both layers, node 3 in... a only? 3 is in
+    // (2,3,b) as target and (3,1,a) as source -> both layers
+    val act = ml.nodeActivity().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(act(1L) == 2L && act(2L) == 2L && act(3L) == 2L)
+    // overlap: key (1,2) present in a and b -> one shared edge
+    val ov = ml.layerOverlap().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(ov == Map(("a", "b") -> 1L))
+  }
+
   test("self-similarity sample is fixed-size (k smallest md5(doc_id)), not a fraction") {
     // 400 docs; the snapshot must consider at most 128 of them regardless of
     // corpus size, picked by the md5 order (deterministic across runs).
