@@ -2624,8 +2624,14 @@ FROM best JOIN sz ON best.cluster_rep = sz.cluster_rep WHERE rn = 1 ORDER BY 1""
       val ids = docs(s, dir)
         .select(col("doc_id"), md5(col("doc_id").cast("string")).as("hk"))
         .orderBy("hk", "doc_id").limit(k).select("doc_id")
+      // checkpoint the k-row sample BEFORE the emptiness filter: without
+      // the barrier Catalyst pushes size(shingles(text)) > 0 below the
+      // broadcast join and evaluates the full shingle expression over the
+      // whole corpus (measured 8x at 10x data); checkpointed, the shingle
+      // work is k rows and both pair sides reuse one materialization
       val sample = docs(s, dir).join(broadcast(ids), "doc_id")
         .select(col("doc_id"), TextAnalysis.shingles(col("text"), 2).as("sh"))
+        .localCheckpointCapped()
         .filter(size(col("sh")) > 0)
       val pairs = sample.as("a").join(sample.as("b"),
           col("a.doc_id") < col("b.doc_id"))

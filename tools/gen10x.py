@@ -11,6 +11,11 @@ Replicates the sf0.1 bench tables 10x with id-shifted copies:
 - embeddings: copies get deterministic per-(vec_id, dim, copy) additive
   noise (+-0.24 max), so copies are NOT trivially cosine-near — bucketed
   ANN/near-dup candidate growth stays organic rather than manufactured.
+  The noise mixes through a LARGE modulus before the final % 17: a direct
+  (a*v + b*i + c) % 17 form makes the whole noise VECTOR depend on v only
+  through v mod 17, i.e. 17 giant classes sharing one large noise vector —
+  manufactured near-dup clusters that blow up any pair space quadratically
+  (observed: 62x at 10x on the ensemble near-dup query).
 
 Driver-side tooling only (duckdb); the engine under test never imports it.
 Round 8 built the same dataset ad hoc and did not save the generator —
@@ -66,7 +71,7 @@ COPY (
          CASE WHEN c.c = 0 THEN e.embedding
               ELSE list_transform(list_zip(e.embedding,
                      list_transform(generate_series(1, len(e.embedding)),
-                       i -> ((e.vec_id * 31 + i * 7 + c.c * 13) % 17 - 8) * 0.03)),
+                       i -> (((e.vec_id * 1103515245 + i * 12345 + c.c * 987654321) % 2147483647) % 17 - 8) * 0.03)),
                    p -> CAST(p[1] + p[2] AS FLOAT)) END AS embedding,
          e.label
   FROM '{src}/embeddings.parquet' e, c, m
