@@ -1436,6 +1436,123 @@ object GraphAlgorithms {
       .agg(count(lit(1)).as("core_deg"))
   }
 
+  /** Densest-subgraph greedy peeling trace, the 2(1+eps)-approximation of
+    * Bahmani/Kumar/Vazirani ("Densest Subgraph in Streaming and MapReduce",
+    * PVLDB 5(5), 2012): each round removes every node whose induced degree
+    * is at most (1+eps) times the surviving average degree. With eps = 1/2
+    * the peel test `d <= 3m/n` becomes `2*d*n <= 3*sum_d` (sum_d = 2m) —
+    * pure integer arithmetic, so an unrolled-CTE oracle replays it bit for
+    * bit. Each round removes >= 1/3 of surviving nodes, so O(log n) rounds
+    * empty any graph; the fixed `rounds` keeps the output a pure function
+    * of the input. Returns one row per round with the PRE-peel subgraph
+    * stats (round, n_nodes, n_edges, density_ppm = 1e6 * m/n floored); the
+    * densest approximate prefix is the max-density row. Per round: one
+    * degree aggregation + two semi-joins + a 1-row stats aggregate joined
+    * back by crossJoin (1-row broadcast) — the kCore cost envelope, so the
+    * 100 TB story is identical: label-table-sized shuffles, O(log n)
+    * rounds, lineage cut per round.
+    */
+  def densestSubgraphTrace(nf: NetworkFrame, rounds: Int = 8): DataFrame = withoutConstraintPropagation(nf.edges) {
+    val sym = nf.symmetrizedEdges
+      .select(col("source"), col("target"))
+      .filter(col("source") =!= col("target")).distinct()
+      .localCheckpointCapped()
+    var surviving = nf.nodes.select("id").localCheckpointCapped()
+    var trace: DataFrame = null
+    for (r <- 0 until rounds) {
+      val degNZ = induce(sym, surviving)
+        .groupBy(col("source").as("id")).agg(count(lit(1)).as("d"))
+      val deg = surviving.join(degNZ, Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("d"), lit(0L)).as("d"))
+        .localCheckpointCapped()
+      val stats = deg.agg(count(lit(1)).as("n"),
+          coalesce(sum(col("d")), lit(0L)).as("sum_d"))
+        .localCheckpointCapped()
+      val row = stats.select(lit(r.toLong).as("round"),
+        col("n").as("n_nodes"),
+        expr("sum_d div 2").as("n_edges"),
+        when(col("n") > 0, expr("(sum_d * 500000) div n"))
+          .otherwise(lit(0L)).as("density_ppm"))
+      trace = if (trace == null) row else trace.union(row)
+      surviving = deg.crossJoin(stats)
+        .filter(col("d") * col("n") * 2 > col("sum_d") * 3)
+        .select("id").localCheckpointCapped()
+    }
+    trace
+  }
+
+  /** One multilevel coarsening step by heavy-edge-style matching (the
+    * contraction phase of Karypis/Kumar's multilevel partitioning, SIAM J.
+    * Sci. Comput. 20(1), 1998): contract every matched pair from
+    * [[maximalMatching]] into a super-node labeled by the pair's min id,
+    * then re-aggregate all original edges between distinct super-nodes
+    * (parallel edges merge, intra-pair edges vanish). Output:
+    * (super_a < super_b, n_merged, total_weight) with the weight summed in
+    * DECIMAL (order-independent, so exact at any parallelism). Cost beyond
+    * the matching fixpoint: two broadcast-or-shuffle joins mapping
+    * endpoints + one aggregation — the node map is node-table-sized, never
+    * edge-table-sized, so the step scales exactly like one CC round. A
+    * full multilevel stack is this operator iterated to fixpoint.
+    */
+  def coarsenByMatching(nf: NetworkFrame, rounds: Int = 6,
+                        weightCol: String = "weight"): DataFrame = {
+    val mates = maximalMatching(nf, rounds)
+      .select(col("id"),
+        least(col("id"), coalesce(col("partner"), col("id"))).as("snode"))
+      .localCheckpointCapped() // node-sized map, referenced by both endpoints
+    nf.edges
+      .select(col("source"), col("target"),
+        col(weightCol).cast("decimal(18,2)").as("__w"))
+      .join(mates.select(col("id").as("source"), col("snode").as("ssuper")),
+        Seq("source"))
+      .join(mates.select(col("id").as("target"), col("snode").as("tsuper")),
+        Seq("target"))
+      .filter(col("ssuper") =!= col("tsuper"))
+      .groupBy(least(col("ssuper"), col("tsuper")).as("super_a"),
+        greatest(col("ssuper"), col("tsuper")).as("super_b"))
+      .agg(count(lit(1)).as("n_merged"),
+        sum(col("__w")).cast("double").as("total_weight"))
+  }
+
+  /** node2vec second-order transition table (Grover/Leskovec, KDD 2016):
+    * for every walk state (prev -> cur) and every neighbor `next` of
+    * `cur`, the biased unnormalized weight alpha is 1/p when next = prev
+    * (return), 1 when next is also a neighbor of prev (BFS-ish), 1/q
+    * otherwise (DFS-ish). Weights are pre-scaled integers (`wReturn`,
+    * `wCommon`, `wFar` = 4/p, 4, 4/q at the default p=4, q=2), and the
+    * per-state probability is the floored ppm rational w/sum(w) — exact,
+    * replayable in any engine. The wedge space grows as sum(deg(cur)^2),
+    * so `hubCap` drops high-degree centers (their transition rows are
+    * near-uniform and are the ones a sampler would approximate anyway) —
+    * the same discipline as the capped k-hop operator. One self-join on
+    * `cur`, one membership left-join on (prev, next), one aggregation.
+    */
+  def node2vecTransitions(nf: NetworkFrame, hubCap: Int = 4,
+                          wReturn: Long = 1L, wCommon: Long = 4L,
+                          wFar: Long = 2L): DataFrame = {
+    val sym = nf.symmetrizedEdges
+      .select(col("source"), col("target"))
+      .filter(col("source") =!= col("target")).distinct()
+      .localCheckpointCapped()
+    val curOk = sym.groupBy(col("source").as("id")).agg(count(lit(1)).as("d"))
+      .filter(col("d") <= hubCap).select("id")
+    val e1 = sym.join(curOk.withColumnRenamed("id", "target"), Seq("target"), "left_semi")
+      .select(col("source").as("prev"), col("target").as("cur"))
+    val e2 = sym.select(col("source").as("cur"), col("target").as("next"))
+    val weighted = e1.join(e2, Seq("cur"))
+      .join(sym.select(col("source").as("prev"), col("target").as("next"),
+        lit(1).as("__adj")), Seq("prev", "next"), "left_outer")
+      .select(col("prev"), col("cur"), col("next"),
+        when(col("next") === col("prev"), wReturn)
+          .when(col("__adj").isNotNull, wCommon)
+          .otherwise(wFar).as("w_q"))
+    val sums = weighted.groupBy(col("prev"), col("cur"))
+      .agg(sum(col("w_q")).as("sw"))
+    weighted.join(sums, Seq("prev", "cur"))
+      .select(col("prev"), col("cur"), col("next"), col("w_q"),
+        expr("w_q * 1000000 div sw").as("prob_ppm"))
+  }
+
   /** HITS hubs/authorities (Kleinberg), integer-exact: each iteration sums
     * hub mass into authorities along in-edges, then authority mass into
     * hubs along out-edges, with every pass max-normalized back to the 1e6

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.{Curation, Dedup, Similarity, TextAnalysis}
+import graft.functions.{Analytics, Curation, DataProfile, Dedup, Similarity, TextAnalysis}
 import graft.multimodal.Multimodal
 import graft.streaming.EventStream
 import org.apache.spark.sql.graftext.CappedCheckpoint._
@@ -4747,7 +4747,153 @@ WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.3 ORDER BY 1, 2""")),
     ("q_mmr", (s, dir) =>
       Similarity.mmrSelect(emb(s, dir), "vec_id", "embedding", 0L, 50, 5)
         .orderBy("pick"),
-      Some(mmrSql(0L, 50, 5)))
+      Some(mmrSql(0L, 50, 5))),
+
+    // ============ batch R9: densest subgraph, skyline, image near-dup,
+    // ============ association / privacy profiling
+
+    // Bahmani et al. greedy-peel densest-subgraph trace: per-round
+    // (pre-peel) subgraph stats; peel test 2*d*n <= 3*sum_d is integer-
+    // exact, replayed by an unrolled-CTE oracle
+    ("q_densest", (s, dir) =>
+      GraphAlgorithms.densestSubgraphTrace(sparse(s, dir), rounds = 6)
+        .orderBy("round"),
+      Some(densestSql(6))),
+
+    // 2-D Pareto frontier over part (minimize retail price, maximize
+    // size): bin-pruned order statistic on the Spark side, textbook
+    // NOT EXISTS dominance on the oracle side — same set either way
+    ("q_skyline", (s, dir) =>
+      Analytics.paretoSkyline2D(
+          tbl(s, dir, "part").select("p_partkey", "p_retailprice", "p_size"),
+          "p_retailprice", "p_size")
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, p_retailprice, p_size FROM part a
+WHERE NOT EXISTS (SELECT 1 FROM part b
+  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+ORDER BY 1""")),
+
+    // image near-duplicates by multi-index Hamming search over perceptual
+    // hashes (pigeonhole banding: dist <= 6 < 8 bands forces an exact
+    // band match); the oracle recomputes every pHash bit in closed form
+    // from the BMP-generating text bytes and scans all pairs
+    ("q_phash_pairs", (s, dir) =>
+      Multimodal.hammingNearDupPairs(
+          Multimodal.perceptualHash(
+            Multimodal.fromTextBmp(s, docs(s, dir), "doc_id", "text")).toDF(),
+          maxDist = 6, bands = 8)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+p AS (SELECT doc_id, n, text, unnest(generate_series(0, 63)) AS px FROM t),
+b AS (SELECT doc_id, px,
+ascii(substr(text, CAST((px * 3 + 2) % n AS INT) + 1, 1)) AS vr,
+ascii(substr(text, CAST((px * 3 + 1) % n AS INT) + 1, 1)) AS vg,
+ascii(substr(text, CAST((px * 3 + 0) % n AS INT) + 1, 1)) AS vb FROM p),
+l AS (SELECT doc_id, px, 299 * vr + 587 * vg + 114 * vb AS lum FROM b),
+g AS (SELECT doc_id, sum(lum) // 64 AS gmean FROM l GROUP BY 1),
+bits AS (SELECT l.doc_id, (7 - (px // 8)) * 8 + (px % 8) AS bit,
+CASE WHEN lum > gmean THEN 1 ELSE 0 END AS s FROM l JOIN g ON g.doc_id = l.doc_id),
+ph AS (SELECT doc_id, CAST(sum(s * (CASE WHEN bit = 63 THEN -9223372036854775808 ELSE (1::BIGINT << bit) END)) AS BIGINT) AS phash FROM bits GROUP BY 1)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 6 ORDER BY 1, 2""")),
+
+    // chi-squared independence test source x lang over documents —
+    // per-cell floored scaled rationals in DECIMAL(38,0) / HUGEINT, the
+    // final Cramer's V the only (correctly rounded) floating step
+    ("q_chi2", (s, dir) =>
+      DataProfile.chiSquaredAssociation(docs(s, dir), "source", "lang"),
+      Some("""WITH cells AS (SELECT source AS x, lang AS y, count(*) AS o FROM documents GROUP BY 1, 2),
+mx AS (SELECT x, sum(o) AS cx FROM cells GROUP BY 1),
+my AS (SELECT y, sum(o) AS cy FROM cells GROUP BY 1),
+tot AS (SELECT sum(o) AS n, count(DISTINCT x) AS r, count(DISTINCT y) AS c FROM cells),
+grid AS (SELECT cx, cy, coalesce(o, 0) AS o FROM mx CROSS JOIN my LEFT JOIN cells ON cells.x = mx.x AND cells.y = my.y),
+terms AS (SELECT ((CAST(o AS HUGEINT) * n - CAST(cx AS HUGEINT) * cy) * (CAST(o AS HUGEINT) * n - CAST(cx AS HUGEINT) * cy) * 1000000)
+  // (CAST(cx AS HUGEINT) * cy * n) AS tq FROM grid, tot),
+chi AS (SELECT CAST(sum(tq) AS BIGINT) AS chi2_q FROM terms)
+SELECT n, r, c, (r - 1) * (c - 1) AS dof, chi2_q,
+sqrt(CAST(chi2_q AS DOUBLE) / 1000000.0 / CAST(n * least(r, c) - n AS DOUBLE)) AS cramers_v
+FROM chi, tot""")),
+
+    // k-anonymity / l-diversity audit over customer quasi-identifiers
+    // (nation, segment, account-balance band): one grouped agg over the
+    // corpus, audit summary over the group table
+    ("q_k_anon", (s, dir) =>
+      DataProfile.kAnonymityAudit(
+          tbl(s, dir, "customer")
+            .withColumn("bal_bin", floor(col("c_acctbal") / 1000.0d)),
+          Seq("c_nationkey", "c_mktsegment", "bal_bin"),
+          "c_acctbal", k = 5, l = 2),
+      Some("""WITH g AS (SELECT c_nationkey, c_mktsegment, floor(c_acctbal / 1000.0) AS bal_bin,
+count(*) AS sz, count(DISTINCT c_acctbal) AS ldiv FROM customer GROUP BY 1, 2, 3)
+SELECT CAST(sum(sz) AS BIGINT) AS n_rows, count(*) AS n_groups,
+CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT) AS risk_groups,
+CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS risk_rows,
+CAST(min(sz) AS BIGINT) AS min_group,
+CAST(sum(CASE WHEN ldiv < 2 THEN 1 ELSE 0 END) AS BIGINT) AS low_diversity_groups
+FROM g""")),
+
+    // METIS-style coarsening step: contract the maximal matching, re-
+    // aggregate inter-super-node edges with DECIMAL weights — the oracle
+    // replays the matching chain then contracts identically
+    ("q_coarsen", (s, dir) =>
+      GraphAlgorithms.coarsenByMatching(sparse(s, dir), rounds = 6)
+        .orderBy("super_a", "super_b"),
+      Some(s"""${matchBody(6)},
+sup AS (SELECT n.id, least(n.id, coalesce(p.partner, n.id)) AS snode FROM nodes n LEFT JOIN allp p ON p.id = n.id),
+wedges AS (SELECT o_custkey AS source, o_orderkey % (SELECT count(*) FROM customer) AS target, o_totalprice AS w FROM orders WHERE o_orderkey % 10 = 0)
+SELECT least(a.snode, b.snode) AS super_a, greatest(a.snode, b.snode) AS super_b,
+count(*) AS n_merged, CAST(sum(CAST(e.w AS DECIMAL(18,2))) AS DOUBLE) AS total_weight
+FROM wedges e JOIN sup a ON a.id = e.source JOIN sup b ON b.id = e.target
+WHERE a.snode <> b.snode GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // node2vec biased second-order transitions (p=4, q=2 as scaled integer
+    // alphas 1/4/2), hub-capped wedge centers, floored-ppm probabilities
+    ("q_node2vec", (s, dir) =>
+      GraphAlgorithms.node2vecTransitions(sparse(s, dir), hubCap = 4)
+        .orderBy("prev", "cur", "next"),
+      Some(s"""$G, sy2 AS (SELECT DISTINCT source, target FROM sym WHERE source <> target),
+deg AS (SELECT source AS id, count(*) AS d FROM sy2 GROUP BY 1),
+cok AS (SELECT id FROM deg WHERE d <= 4),
+e1 AS (SELECT source AS prev, target AS cur FROM sy2 WHERE target IN (SELECT id FROM cok)),
+w AS (SELECT e1.prev, e1.cur, e2.target AS next,
+CASE WHEN e2.target = e1.prev THEN 1 WHEN pn.source IS NOT NULL THEN 4 ELSE 2 END AS w_q
+FROM e1 JOIN sy2 e2 ON e2.source = e1.cur
+LEFT JOIN sy2 pn ON pn.source = e1.prev AND pn.target = e2.target),
+sm AS (SELECT prev, cur, sum(w_q) AS sw FROM w GROUP BY 1, 2)
+SELECT w.prev, w.cur, w.next, CAST(w.w_q AS BIGINT) AS w_q,
+CAST(w.w_q * 1000000 // sm.sw AS BIGINT) AS prob_ppm
+FROM w JOIN sm ON sm.prev = w.prev AND sm.cur = w.cur ORDER BY 1, 2, 3""")),
+
+    // data-quality audit: referential integrity, key uniqueness, null and
+    // domain checks as one long-form result — each check a pushed-down
+    // narrow scan, unioned
+    ("q_dq_checks", (s, dir) => {
+      val c = tbl(s, dir, "customer"); val o = tbl(s, dir, "orders")
+      val li = tbl(s, dir, "lineitem")
+      def chk(name: String, d: DataFrame): DataFrame =
+        d.agg(count(lit(1)).as("n_bad")).select(lit(name).as("check_name"), col("n_bad"))
+      chk("customer_dup_key",
+          c.groupBy("c_custkey").agg(count(lit(1)).as("n")).filter(col("n") > 1))
+        .union(chk("lineitem_missing_order",
+          li.join(o.select(col("o_orderkey").as("__ok")),
+            col("l_orderkey") === col("__ok"), "left_anti")))
+        .union(chk("orders_missing_customer",
+          o.join(c.select(col("c_custkey").as("__ck")),
+            col("o_custkey") === col("__ck"), "left_anti")))
+        .union( // the two scalar checks fuse into ONE orders scan
+          o.agg(sum(when(col("o_totalprice") < 0, 1L).otherwise(0L)).as("neg"),
+              sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("nul"))
+            .selectExpr("stack(2, 'orders_negative_total', neg, 'orders_null_custkey', nul) AS (check_name, n_bad)"))
+        .orderBy("check_name")
+    },
+      Some("""SELECT 'customer_dup_key' AS check_name, CAST((SELECT count(*) FROM (SELECT c_custkey FROM customer GROUP BY 1 HAVING count(*) > 1)) AS BIGINT) AS n_bad
+UNION ALL SELECT 'lineitem_missing_order', (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+UNION ALL SELECT 'orders_missing_customer', (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+UNION ALL SELECT 'orders_negative_total', (SELECT count(*) FROM orders WHERE o_totalprice < 0)
+UNION ALL SELECT 'orders_null_custkey', (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+ORDER BY 1"""))
   )
 
   /** Unrolled MMR oracle: relevance pool, pool-pairwise quantized cosines,
@@ -5283,6 +5429,30 @@ sy AS MATERIALIZED (SELECT source, target FROM (SELECT source, target FROM se UN
 r0 AS MATERIALIZED (SELECT id FROM nodes),
 $steps
 SELECT source AS id, count(*) AS core_deg FROM sy WHERE source IN (SELECT id FROM r$rounds) AND target IN (SELECT id FROM r$rounds) GROUP BY 1 ORDER BY 1"""
+  }
+
+  /** Unrolled densest-subgraph peel oracle: per round, per-node induced
+    * degree (0 for isolated survivors), 1-row (n, sum_d) stats, then the
+    * integer peel `2*d*n > 3*sum_d` — mirrors
+    * GraphAlgorithms.densestSubgraphTrace round for round; the trace row
+    * for round i-1 reads s$i (stats BEFORE that round's peel).
+    */
+  private def densestSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""dd$i AS MATERIALIZED (SELECT source AS id, count(*) AS d FROM sy WHERE source IN (SELECT id FROM r${i - 1}) AND target IN (SELECT id FROM r${i - 1}) GROUP BY 1),
+d$i AS MATERIALIZED (SELECT r.id, coalesce(dd.d, 0) AS d FROM r${i - 1} r LEFT JOIN dd$i dd ON dd.id = r.id),
+s$i AS MATERIALIZED (SELECT count(*) AS n, coalesce(sum(d), 0) AS sum_d FROM d$i),
+r$i AS MATERIALIZED (SELECT d$i.id FROM d$i, s$i WHERE 2 * d$i.d * s$i.n > 3 * s$i.sum_d)"""
+    }.mkString(",\n")
+    val trace = (1 to rounds).map { i =>
+      s"SELECT CAST(${i - 1} AS BIGINT) AS round, CAST(n AS BIGINT) AS n_nodes, CAST(sum_d // 2 AS BIGINT) AS n_edges, CAST(CASE WHEN n > 0 THEN (sum_d * 500000) // n ELSE 0 END AS BIGINT) AS density_ppm FROM s$i"
+    }.mkString("\nUNION ALL ")
+    s"""WITH nodes AS MATERIALIZED (SELECT c_custkey AS id FROM customer),
+se AS MATERIALIZED (SELECT o_custkey AS source, o_orderkey % (SELECT count(*) FROM customer) AS target FROM orders WHERE o_orderkey % 10 = 0),
+sy AS MATERIALIZED (SELECT source, target FROM (SELECT source, target FROM se UNION SELECT target, source FROM se) WHERE source <> target),
+r0 AS MATERIALIZED (SELECT id FROM nodes),
+$steps
+SELECT * FROM ($trace) ORDER BY round"""
   }
 
   /** Unrolled label-propagation oracle: per round, m{i} counts neighbor

@@ -429,4 +429,47 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .map { case (id, bytes) => MediaRecord(id, syntheticPng(bytes, w, h), "image/png") }
   }
+
+  /** Image near-duplicate pairs by multi-index Hamming search over
+    * [[perceptualHash]] values (the pigeonhole trick of Norouzi/Punjani/
+    * Fleet, "Fast Search in Hamming Space with Multi-Index Hashing", CVPR
+    * 2012): split each 64-bit hash into `bands` disjoint substrings; two
+    * hashes within Hamming distance `maxDist` < `bands` must agree exactly
+    * on at least one substring, so an equi-join on (band index, band value)
+    * finds every qualifying pair without the all-pairs product. Candidates
+    * then verify with a codegen'd `bit_count(xor)`. Emits
+    * (id_a < id_b, hamming) for verified pairs.
+    *
+    * Scale shape: the corpus explodes to `bands` rows per image, shuffles
+    * once on the band key, and the join output is bucket-bounded (near-dup
+    * candidates), never quadratic in the corpus — the image analogue of the
+    * SimHash band join on text.
+    */
+  def hammingNearDupPairs(phashes: DataFrame, maxDist: Int = 6,
+                          bands: Int = 8): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0,
+      s"bands must divide 64 (got $bands)")
+    require(maxDist < bands,
+      s"pigeonhole guarantee needs maxDist < bands (got $maxDist >= $bands)")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    // materialize the (id, phash) table before the self-join: without it
+    // each join side replays the upstream image decode — at scale that is
+    // two full decode passes instead of one
+    val ph = phashes.filter(col("decoded")).select("id", "phash")
+      .localCheckpointCapped()
+    val banded = ph
+      .select(col("id"), col("phash"),
+        explode(array((0 until bands).map(lit): _*)).as("band"))
+      .withColumn("bv",
+        expr(s"shiftrightunsigned(phash, band * $width)").bitwiseAND(lit(mask)))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
+      .distinct() // a pair may agree on several bands
+      .filter(col("hamming") <= maxDist)
+  }
 }

@@ -96,4 +96,149 @@ class Round9Spec extends AnyFunSuite with SparkFixture {
     assert(nPairs == 128L * 127 / 2,
       s"pair space must be k*(k-1)/2 for k=128, got $nPairs")
   }
+
+  test("paretoSkyline2D matches the brute-force dominance definition") {
+    // deterministic pseudo-random points, with planted duplicates and ties
+    val pts = (0 until 500).map { i =>
+      (i.toLong, (i * 37 % 211).toDouble, i * 53 % 97)
+    } ++ Seq((900L, 0.0, 96), (901L, 0.0, 96)) // duplicate frontier points
+    val df = pts.toDF("id", "cost", "gain")
+    val got = graft.functions.Analytics.paretoSkyline2D(df, "cost", "gain")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val want = pts.filter { case (_, c, g) =>
+      !pts.exists { case (_, c2, g2) =>
+        c2 <= c && g2 >= g && (c2 < c || g2 > g)
+      }
+    }.map(_._1).toSet
+    assert(got == want)
+    assert(got.contains(900L) && got.contains(901L),
+      "exact duplicates are mutually non-dominating and must both survive")
+    // bins=1 disables pruning but must not change the result
+    val got1 = graft.functions.Analytics.paretoSkyline2D(df, "cost", "gain", bins = 1)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got1 == want)
+  }
+
+  test("densestSubgraphTrace peels pendants before the planted clique") {
+    // a 6-clique (density 2.5) with a 20-node pendant path hanging off it
+    val clique = for (a <- 0L until 6L; b <- 0L until 6L if a < b) yield (a, b)
+    val path = (5L until 25L).map(i => (i, i + 1))
+    val edges = (clique ++ path).toDF("source", "target")
+    val nodes = (0L until 26L).map(Tuple1(_)).toDF("id")
+    val tr = GraphAlgorithms.densestSubgraphTrace(
+        NetworkFrame(nodes, edges, directed = false), rounds = 5)
+      .orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(tr.head == ((0L, 26L, 35L, 35L * 1000000 / 26)),
+      s"round 0 must report the full graph, got ${tr.head}")
+    // node counts never increase, and some round isolates a subgraph at
+    // least as dense as the clique (the 2(1+eps) guarantee is much weaker,
+    // but greedy peel finds the planted clique exactly here)
+    assert(tr.map(_._2).sliding(2).forall(w => w(1) <= w(0)))
+    assert(tr.exists(t => t._4 == 2500000L && t._2 == 6L),
+      s"peel must isolate the 6-clique (density 2.5), got ${tr.toSeq}")
+  }
+
+  test("hammingNearDupPairs finds exactly the brute-force close pairs") {
+    // hashes planted at controlled distances, including the sign bit
+    val base = 0x0123456789abcdefL
+    val hs = Seq(
+      0L -> base, 1L -> base, // dist 0
+      2L -> (base ^ 0x7L), // dist 3 from base
+      3L -> (base ^ (1L << 63) ^ (1L << 31) ^ 1L), // dist 3, sign bit flipped
+      4L -> (base ^ 0x00ff00ff00ff00ffL), // far away
+      5L -> ~base) // dist 64
+    val df = hs.map { case (i, h) => (i, true, h) }.toDF("id", "decoded", "phash")
+    val got = graft.multimodal.Multimodal.hammingNearDupPairs(df, maxDist = 6, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = (for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 6
+    } yield (a, b, d)).toSet
+    assert(got == want)
+    assert(want.contains((0L, 3L, 3)), "sign-bit flips must still pair")
+    // undecoded rows never pair
+    val df2 = df.union(Seq((6L, false, base)).toDF("id", "decoded", "phash"))
+    val got2 = graft.multimodal.Multimodal.hammingNearDupPairs(df2, 6, 8)
+      .filter(col("id_b") === 6L).count()
+    assert(got2 == 0L)
+  }
+
+  test("chiSquaredAssociation: zero under independence, Cramer's V = 1 when determined") {
+    // product distribution: perfectly independent -> every O == E -> chi2 0
+    val ind = for (x <- 1 to 4; y <- 1 to 3; _ <- 1 to 5) yield (s"x$x", s"y$y")
+    val r1 = graft.functions.DataProfile
+      .chiSquaredAssociation(ind.toDF("a", "b"), "a", "b").collect().head
+    assert(r1.getAs[Long]("chi2_q") == 0L && r1.getAs[Double]("cramers_v") == 0.0)
+    // y fully determined by x -> V = 1 (chi2 = n * (min(r,c) - 1))
+    val det = for (x <- 1 to 3; _ <- 1 to 7) yield (s"x$x", s"y$x")
+    val r2 = graft.functions.DataProfile
+      .chiSquaredAssociation(det.toDF("a", "b"), "a", "b").collect().head
+    // each of the r*c cells floors away < 1e-6 of scaled chi2
+    assert(math.abs(r2.getAs[Double]("cramers_v") - 1.0) < 1e-6,
+      s"determined column must give V=1, got ${r2.getAs[Double]("cramers_v")}")
+    assert(r2.getAs[Long]("dof") == 4L)
+  }
+
+  test("kAnonymityAudit counts risk groups, rows, and low-diversity groups") {
+    val rows = Seq(
+      ("a", 1, 10.0), ("a", 1, 11.0), ("a", 1, 10.0), // group size 3, ldiv 2
+      ("b", 1, 20.0), ("b", 1, 20.0),                 // size 2, ldiv 1
+      ("c", 2, 30.0))                                 // size 1, ldiv 1
+      .toDF("q1", "q2", "s")
+    val r = graft.functions.DataProfile
+      .kAnonymityAudit(rows, Seq("q1", "q2"), "s", k = 3, l = 2)
+      .collect().head
+    assert(r.getAs[Long]("n_rows") == 6L)
+    assert(r.getAs[Long]("n_groups") == 3L)
+    assert(r.getAs[Long]("risk_groups") == 2L) // sizes 2 and 1 are < 3
+    assert(r.getAs[Long]("risk_rows") == 3L)
+    assert(r.getAs[Long]("min_group") == 1L)
+    assert(r.getAs[Long]("low_diversity_groups") == 2L) // ldiv 1 groups
+  }
+
+  test("coarsenByMatching contracts matched pairs and merges parallel edges") {
+    // path 1-2-3-4: greedy min-target matching pairs (1,2) and (3,4);
+    // edge 2-3 becomes the single inter-super edge (1,3) with its weight
+    val nodes = (1L to 4L).map(Tuple1(_)).toDF("id")
+    val edges = Seq((1L, 2L, 10.0), (2L, 3L, 20.0), (3L, 4L, 30.0))
+      .toDF("source", "target", "weight")
+    val got = GraphAlgorithms.coarsenByMatching(
+        NetworkFrame(nodes, edges, directed = false), rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 3L, 1L, 20.0)),
+      s"expected one contracted edge (1,3,1,20.0), got ${got.toSeq}")
+    // a triangle with a parallel edge: (1,2) matched -> both 1-3 and 2-3
+    // collapse onto super pair (1,3) with counts and weights merged
+    val n2 = (1L to 3L).map(Tuple1(_)).toDF("id")
+    val e2 = Seq((1L, 2L, 1.0), (1L, 3L, 2.0), (2L, 3L, 4.0))
+      .toDF("source", "target", "weight")
+    val got2 = GraphAlgorithms.coarsenByMatching(
+        NetworkFrame(n2, e2, directed = false), rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got2.toSeq == Seq((1L, 3L, 2L, 6.0)))
+  }
+
+  test("node2vecTransitions: exact alphas and floored-ppm normalization") {
+    // triangle 1-2-3 plus pendant 4 on node 3
+    val nodes = (1L to 4L).map(Tuple1(_)).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("source", "target")
+    val t = GraphAlgorithms.node2vecTransitions(
+        NetworkFrame(nodes, edges, directed = false), hubCap = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    // state (1 -> 2): neighbors of 2 are {1, 3}; back to 1 = return (1),
+    // 3 is adjacent to 1 = common (4); sum 5
+    assert(t((1L, 2L, 1L)) == ((1L, 200000L)))
+    assert(t((1L, 2L, 3L)) == ((4L, 800000L)))
+    // state (2 -> 3): neighbors of 3 = {1, 2, 4}; 2 return (1), 1 common
+    // (4), 4 far (2); sum 7 — floored ppm
+    assert(t((2L, 3L, 2L)) == ((1L, 1000000L / 7)))
+    assert(t((2L, 3L, 1L)) == ((4L, 4000000L / 7)))
+    assert(t((2L, 3L, 4L)) == ((2L, 2000000L / 7)))
+    // pendant state (4 -> 3, next=4) is pure return among {1,2,4}
+    assert(t((4L, 3L, 4L)) == ((1L, 200000L)))
+  }
 }

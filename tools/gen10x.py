@@ -78,6 +78,44 @@ COPY (
 ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
 """)
 
-for t in ("documents", "events", "embeddings"):
+# graph-side tables (round 8 measured these at 10x with an ad-hoc dataset;
+# saved here): pure id shifts keep the customer-order graph's degree
+# structure per copy while the `o_orderkey % n_customer` target derivation
+# re-mixes cross-copy, so the 10x graph is organically connected rather
+# than 10 disjoint replicas.
+con.sql(f"""
+COPY (
+  WITH c AS (SELECT unnest(generate_series(0, {copies - 1})) AS c),
+  m AS (SELECT max(c_custkey) + 1 AS shift FROM '{src}/customer.parquet')
+  SELECT k.c_custkey + c.c * m.shift AS c_custkey,
+         'Customer#' || lpad(CAST(k.c_custkey + c.c * m.shift AS VARCHAR), 9, '0') AS c_name,
+         k.c_nationkey, k.c_acctbal, k.c_mktsegment
+  FROM '{src}/customer.parquet' k, c, m
+) TO '{out}/customer.parquet' (FORMAT PARQUET)
+""")
+
+con.sql(f"""
+COPY (
+  WITH c AS (SELECT unnest(generate_series(0, {copies - 1})) AS c),
+  m AS (SELECT max(o_orderkey) + 1 AS oshift FROM '{src}/orders.parquet'),
+  mc AS (SELECT max(c_custkey) + 1 AS cshift FROM '{src}/customer.parquet')
+  SELECT o.o_orderkey + c.c * m.oshift AS o_orderkey,
+         o.o_custkey + c.c * mc.cshift AS o_custkey,
+         o.* EXCLUDE (o_orderkey, o_custkey)
+  FROM '{src}/orders.parquet' o, c, m, mc
+) TO '{out}/orders.parquet' (FORMAT PARQUET)
+""")
+
+con.sql(f"""
+COPY (
+  WITH c AS (SELECT unnest(generate_series(0, {copies - 1})) AS c),
+  m AS (SELECT max(p_partkey) + 1 AS shift FROM '{src}/part.parquet')
+  SELECT p.p_partkey + c.c * m.shift AS p_partkey,
+         p.* EXCLUDE (p_partkey)
+  FROM '{src}/part.parquet' p, c, m
+) TO '{out}/part.parquet' (FORMAT PARQUET)
+""")
+
+for t in ("documents", "events", "embeddings", "customer", "orders", "part"):
     n = con.sql(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
     print(f"{t}: {n} rows")
