@@ -2708,8 +2708,11 @@ FROM n CROSS JOIN f""")),
       val tp = Dedup.minhashLshPairsFromSignatures(docSignatures(s, dir), 16, 4)
         .filter(col("est_jaccard") >= 0.5)
         .select(col("id_a"), col("id_b"), lit(true).as("text_dup"))
-      val ep = Similarity.cosineNearDupPairs(emb(s, dir), "vec_id",
-          "embedding", 0.4, 16, 4)
+      // cell-scoped (sqrt(n) KMV-seeded cells), not sign-LSH: the banded-
+      // LSH channel keeps a constant fraction of the pair space and
+      // measured 72x at 10x corpus; cells bound candidates at n^1.5
+      val ep = Similarity.cellScopedNearDupPairs(emb(s, dir), "vec_id",
+          "embedding", 0.4)
         .select(col("id_a"), col("id_b"), lit(true).as("embed_dup"))
       tp.join(ep, Seq("id_a", "id_b"), "full_outer")
         .select(col("id_a"), col("id_b"),
@@ -2718,11 +2721,16 @@ FROM n CROSS JOIN f""")),
         .orderBy("id_a", "id_b")
     },
       Some(s"""$EMB_U,
-bk AS (SELECT vec_id, b.band, CAST(list_sum(list_transform(generate_series(1, 4), j -> CASE WHEN embedding[b.band * 4 + j] > 0 THEN CAST(power(2, j - 1) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket FROM embeddings, (SELECT unnest(generate_series(0, 15)) AS band) b),
-ecand AS (SELECT DISTINCT x.vec_id AS ia, y.vec_id AS ib FROM bk x JOIN bk y ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
-dots AS (SELECT c.ia, c.ib, sum(a.x * b.x) AS d FROM ecand c JOIN u a ON a.vec_id = c.ia JOIN u b ON b.vec_id = c.ib AND b.i = a.i GROUP BY 1,2),
-norms AS (SELECT vec_id, sum(x * x) AS nn FROM u GROUP BY 1),
-ep AS (SELECT ia, ib FROM dots JOIN norms na ON na.vec_id = ia JOIN norms nb ON nb.vec_id = ib
+nr AS (SELECT vec_id, sum(x * x) AS nn FROM u GROUP BY 1),
+cnt AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings),
+sr AS (SELECT vec_id, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM embeddings),
+seeds AS (SELECT vec_id AS sid FROM sr, cnt WHERE rn <= k),
+sd AS (SELECT a.vec_id AS id, s.vec_id AS sid, sum(a.x * s.x) AS d FROM u a JOIN u s ON s.i = a.i WHERE s.vec_id IN (SELECT sid FROM seeds) GROUP BY 1, 2),
+asgx AS (SELECT id, sid, CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(ns.nn AS DOUBLE))) AS csim FROM sd JOIN nr na ON na.vec_id = id JOIN nr ns ON ns.vec_id = sid),
+asg AS (SELECT id, sid FROM (SELECT id, sid, row_number() OVER (PARTITION BY id ORDER BY csim DESC, sid) AS rn FROM asgx) WHERE rn = 1),
+ecand AS (SELECT a.id AS ia, b.id AS ib FROM asg a JOIN asg b ON a.sid = b.sid AND a.id < b.id),
+dots AS (SELECT c.ia, c.ib, sum(x1.x * x2.x) AS d FROM ecand c JOIN u x1 ON x1.vec_id = c.ia JOIN u x2 ON x2.vec_id = c.ib AND x2.i = x1.i GROUP BY 1, 2),
+ep AS (SELECT ia, ib FROM dots JOIN nr na ON na.vec_id = ia JOIN nr nb ON nb.vec_id = ib
 WHERE CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= 0.4),
 t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
 sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 0)), i -> array_to_string(list_slice(l, i, i + 2), ' '))) AS shingle FROM t),
@@ -4704,13 +4712,19 @@ FROM lex FULL JOIN qual USING (id) ORDER BY rrf_q DESC, id""")),
     // weak components over the similarity graph, keep-one-per-cluster by
     // squared norm (tie: min id) — the curation gate over embeddings
     ("q_semdedup", (s, dir) =>
-      Similarity.semanticDedup(emb(s, dir), "vec_id", "embedding", 0.4, 16, 4)
+      Similarity.semanticDedup(emb(s, dir), "vec_id", "embedding", 0.4,
+          cellScoped = true)
         .orderBy("id"),
       Some(s"""${EMB_U.replace("WITH u", "WITH RECURSIVE u")},
-bk AS (SELECT vec_id, b.band, CAST(list_sum(list_transform(generate_series(1, 4), j -> CASE WHEN embedding[b.band * 4 + j] > 0 THEN CAST(power(2, j - 1) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket FROM embeddings, (SELECT unnest(generate_series(0, 15)) AS band) b),
-cand AS (SELECT DISTINCT x.vec_id AS ia, y.vec_id AS ib FROM bk x JOIN bk y ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
-dots AS (SELECT c.ia, c.ib, sum(a.x * b.x) AS d FROM cand c JOIN u a ON a.vec_id = c.ia JOIN u b ON b.vec_id = c.ib AND b.i = a.i GROUP BY 1,2),
 norms AS (SELECT vec_id, sum(x * x) AS nn FROM u GROUP BY 1),
+cnt AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings),
+sr AS (SELECT vec_id, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM embeddings),
+seeds AS (SELECT vec_id AS sid FROM sr, cnt WHERE rn <= k),
+sd AS (SELECT a.vec_id AS id, s.vec_id AS sid, sum(a.x * s.x) AS d FROM u a JOIN u s ON s.i = a.i WHERE s.vec_id IN (SELECT sid FROM seeds) GROUP BY 1, 2),
+asgx AS (SELECT id, sid, CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(ns.nn AS DOUBLE))) AS csim FROM sd JOIN norms na ON na.vec_id = id JOIN norms ns ON ns.vec_id = sid),
+asg AS (SELECT id, sid FROM (SELECT id, sid, row_number() OVER (PARTITION BY id ORDER BY csim DESC, sid) AS rn FROM asgx) WHERE rn = 1),
+cand AS (SELECT a.id AS ia, b.id AS ib FROM asg a JOIN asg b ON a.sid = b.sid AND a.id < b.id),
+dots AS (SELECT c.ia, c.ib, sum(x1.x * x2.x) AS d FROM cand c JOIN u x1 ON x1.vec_id = c.ia JOIN u x2 ON x2.vec_id = c.ib AND x2.i = x1.i GROUP BY 1,2),
 e AS (SELECT ia, ib FROM dots JOIN norms na ON na.vec_id = ia JOIN norms nb ON nb.vec_id = ib
 WHERE CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= 0.4),
 sym2 AS (SELECT ia AS s, ib AS tt FROM e UNION SELECT ib, ia FROM e),
@@ -4794,10 +4808,19 @@ l AS (SELECT doc_id, px, 299 * vr + 587 * vg + 114 * vb AS lum FROM b),
 g AS (SELECT doc_id, sum(lum) // 64 AS gmean FROM l GROUP BY 1),
 bits AS (SELECT l.doc_id, (7 - (px // 8)) * 8 + (px % 8) AS bit,
 CASE WHEN lum > gmean THEN 1 ELSE 0 END AS s FROM l JOIN g ON g.doc_id = l.doc_id),
-ph AS (SELECT doc_id, CAST(sum(s * (CASE WHEN bit = 63 THEN -9223372036854775808 ELSE (1::BIGINT << bit) END)) AS BIGINT) AS phash FROM bits GROUP BY 1)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
-FROM ph a JOIN ph b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.phash, b.phash)) <= 6 ORDER BY 1, 2""")),
+ph AS (SELECT doc_id, CAST(sum(s * (CASE WHEN bit = 63 THEN -9223372036854775808 ELSE (1::BIGINT << bit) END)) AS BIGINT) AS phash FROM bits GROUP BY 1),
+hx AS (SELECT doc_id, phash, lpad(hex(phash), 16, '0') AS h FROM ph),
+famp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0 AS hamming FROM hx a JOIN hx b ON a.h = b.h AND a.doc_id < b.doc_id),
+reps AS (SELECT h, min(doc_id) AS rid, min(phash) AS p FROM hx GROUP BY 1),
+bd AS (SELECT h, p, rid, bb.band, substr(h, bb.band * 2 + 1, 16 - bb.band * 2) || substr(h, 1, bb.band * 2) AS rk FROM reps, (SELECT unnest(generate_series(0, 7)) AS band) bb),
+bd2 AS (SELECT h, p, rid, band, rk, substr(rk, 1, 2) AS bv, row_number() OVER (PARTITION BY band, substr(rk, 1, 2) ORDER BY rk, rid) AS rn FROM bd),
+rp AS (SELECT DISTINCT least(x.h, y.h) AS ha, greatest(x.h, y.h) AS hb, bit_count(xor(x.p, y.p)) AS hamming
+FROM bd2 x JOIN bd2 y ON x.band = y.band AND x.bv = y.bv AND y.rn - x.rn BETWEEN 1 AND 16
+WHERE bit_count(xor(x.p, y.p)) <= 6),
+crossp AS (SELECT least(fa.doc_id, fb.doc_id) AS id_a, greatest(fa.doc_id, fb.doc_id) AS id_b, rp.hamming
+FROM rp JOIN hx fa ON fa.h = rp.ha JOIN hx fb ON fb.h = rp.hb)
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+FROM (SELECT * FROM famp UNION ALL SELECT * FROM crossp) ORDER BY 1, 2""")),
 
     // chi-squared independence test source x lang over documents —
     // per-cell floored scaled rationals in DECIMAL(38,0) / HUGEINT, the
@@ -4893,7 +4916,67 @@ UNION ALL SELECT 'lineitem_missing_order', (SELECT count(*) FROM lineitem WHERE 
 UNION ALL SELECT 'orders_missing_customer', (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
 UNION ALL SELECT 'orders_negative_total', (SELECT count(*) FROM orders WHERE o_totalprice < 0)
 UNION ALL SELECT 'orders_null_custkey', (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
-ORDER BY 1"""))
+ORDER BY 1""")),
+
+    // greedy maximum-coverage document selection (Nemhauser et al. 1978):
+    // the k-step submodular greedy trajectory, every step replayed by the
+    // unrolled oracle (argmax tie-break = min doc id)
+    ("q_max_coverage", (s, dir) =>
+      // trigram coverage units: the synthetic vocabulary is small enough
+      // that one document covers every unigram, which would end the greedy
+      // after a single pick
+      Curation.maxCoverageSelect(docs(s, dir), "doc_id", "text",
+        k = 5, shingleLen = 3)
+        .orderBy("pick"),
+      Some(maxCovSql(5))),
+
+    // temporal train/embargo/test split (the purged-with-embargo split of
+    // financial ML, de Prado 2018): boundaries at 70% / 75% of the exact
+    // nanosecond time range, all integer arithmetic — the temporal
+    // counterpart of the hash/cluster leakage splits
+    ("q_temporal_split", (s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val t = ev.select(tsNanos(ev).as("tn"))
+      val b = t.agg(min("tn").as("lo"), max("tn").as("hi"))
+      t.crossJoin(broadcast(b))
+        .withColumn("split",
+          when(col("tn") < col("lo") + expr("(hi - lo) * 7 div 10"), "train")
+            .when(col("tn") < col("lo") + expr("(hi - lo) * 3 div 4"), "embargo")
+            .otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_events"),
+          min("tn").as("min_tn"), max("tn").as("max_tn"))
+        .orderBy("split")
+    },
+      Some("""WITH t AS (SELECT epoch_ns(ts) AS tn FROM events),
+b AS (SELECT min(tn) AS lo, max(tn) AS hi FROM t),
+s AS (SELECT tn, CASE WHEN tn < lo + (hi - lo) * 7 // 10 THEN 'train'
+WHEN tn < lo + (hi - lo) * 3 // 4 THEN 'embargo' ELSE 'test' END AS split FROM t, b)
+SELECT split, count(*) AS n_events, CAST(min(tn) AS BIGINT) AS min_tn,
+CAST(max(tn) AS BIGINT) AS max_tn FROM s GROUP BY 1 ORDER BY 1""")),
+
+    // cell-scoped embedding near-dup: sqrt(n) KMV-seeded cells, exact
+    // in-cell verification — the sub-quadratic (n^1.5 by construction)
+    // sibling of q_embed_neardup's sign-LSH channel; the oracle replays
+    // seed choice, assignment argmax, and verification exactly
+    ("q_cell_neardup", (s, dir) =>
+      Similarity.cellScopedNearDupPairs(emb(s, dir), "vec_id", "embedding", 0.4)
+        .orderBy("id_a", "id_b"),
+      Some(s"""$EMB_U,
+nr AS (SELECT vec_id, sum(x * x) AS nn FROM u GROUP BY 1),
+cnt AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings),
+sr AS (SELECT vec_id, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM embeddings),
+seeds AS (SELECT vec_id AS sid FROM sr, cnt WHERE rn <= k),
+sd AS (SELECT a.vec_id AS id, s.vec_id AS sid, sum(a.x * s.x) AS d FROM u a JOIN u s ON s.i = a.i WHERE s.vec_id IN (SELECT sid FROM seeds) GROUP BY 1, 2),
+asgx AS (SELECT id, sid, CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(ns.nn AS DOUBLE))) AS csim FROM sd JOIN nr na ON na.vec_id = id JOIN nr ns ON ns.vec_id = sid),
+asg AS (SELECT id, sid FROM (SELECT id, sid, row_number() OVER (PARTITION BY id ORDER BY csim DESC, sid) AS rn FROM asgx) WHERE rn = 1),
+ecand AS (SELECT a.id AS ia, b.id AS ib FROM asg a JOIN asg b ON a.sid = b.sid AND a.id < b.id),
+dots AS (SELECT c.ia, c.ib, sum(x1.x * x2.x) AS d FROM ecand c JOIN u x1 ON x1.vec_id = c.ia JOIN u x2 ON x2.vec_id = c.ib AND x2.i = x1.i GROUP BY 1, 2)
+SELECT ia AS id_a, ib AS id_b,
+round(CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))), 6) AS sim
+FROM dots JOIN nr na ON na.vec_id = ia JOIN nr nb ON nb.vec_id = ib
+WHERE CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= 0.4
+ORDER BY 1, 2"""))
   )
 
   /** Unrolled MMR oracle: relevance pool, pool-pairwise quantized cosines,
@@ -4919,6 +5002,30 @@ sel1 AS (SELECT id, rel_q, 1 AS pick FROM pool ORDER BY rel_q DESC, id LIMIT 1),
 all1 AS (SELECT id, rel_q, pick FROM sel1),
 $steps
 SELECT id, rel_q, CAST(pick AS INT) AS pick FROM all$k ORDER BY pick"""
+  }
+
+  /** Unrolled greedy max-coverage oracle: step 1 is the global distinct-
+    * token argmax; each later step counts gains over tokens not yet
+    * covered and re-argmaxes (ties: min id) — mirrors
+    * Curation.maxCoverageSelect step for step; a picked document has no
+    * remaining tokens, so it can never win twice.
+    */
+  private def maxCovSql(k: Int): String = {
+    val steps = (2 to k).map { i =>
+      val p = i - 1
+      s"""rem$i AS MATERIALIZED (SELECT id, tok FROM tok WHERE tok NOT IN (SELECT tok FROM cov$p)),
+sel$i AS MATERIALIZED (SELECT id, count(*) AS gain FROM rem$i GROUP BY 1 ORDER BY gain DESC, id LIMIT 1),
+cov$i AS MATERIALIZED (SELECT tok FROM cov$p UNION SELECT tok FROM tok WHERE id IN (SELECT id FROM sel$i))"""
+    }.mkString(",\n")
+    val unions = (1 to k).map(i => s"SELECT $i AS pick, id, gain FROM sel$i")
+      .mkString(" UNION ALL ")
+    s"""WITH tok AS MATERIALIZED (SELECT DISTINCT doc_id AS id, t AS tok FROM (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 0)), i -> array_to_string(list_slice(l, i, i + 2), ' '))) AS t FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)) WHERE len(t) > 0),
+sel1 AS MATERIALIZED (SELECT id, count(*) AS gain FROM tok GROUP BY 1 ORDER BY gain DESC, id LIMIT 1),
+cov1 AS MATERIALIZED (SELECT DISTINCT tok FROM tok WHERE id IN (SELECT id FROM sel1)),
+$steps
+SELECT CAST(pick AS INT) AS pick, id, gain,
+CAST(sum(gain) OVER (ORDER BY pick) AS BIGINT) AS covered
+FROM ($unions) ORDER BY pick"""
   }
 
   /** Shared BM25 oracle body: rational-k1/b scoring over the fixed query

@@ -163,4 +163,64 @@ object Curation {
       .agg(sum(abs(col("grp_ppm") - col("corpus_ppm"))).as("sum_abs"))
       .selectExpr(groupCol, "CAST(sum_abs div 2 AS BIGINT) AS tv_ppm")
   }
+
+  /** Greedy maximum-coverage document selection — the (1 - 1/e)-optimal
+    * submodular greedy (Nemhauser/Wolsey/Fisher, Math. Prog. 14, 1978),
+    * the standard data-subset-selection baseline: k rounds, each picking
+    * the document that covers the most not-yet-covered distinct tokens
+    * (ties: min id). Returns the greedy trajectory
+    * (pick, id, gain, covered = running total), so an unrolled-CTE oracle
+    * replays every step.
+    *
+    * Cost: one tokenize pass builds the distinct (id, token) postings
+    * (checkpointed); each round is one anti-join of postings against the
+    * covered-token table + one count aggregation + a 1-row argmax collect
+    * (driver-bounded, the MMR/BPE greedy-trajectory discipline). The
+    * covered table grows by at most one document's vocabulary per round —
+    * k is a serving-size constant, so total work is k postings-sized
+    * passes, never a pair space.
+    */
+  def maxCoverageSelect(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 5, shingleLen: Int = 1): DataFrame = {
+    import org.apache.spark.sql.graftext.CappedCheckpoint._
+    require(k >= 1, "select at least one document")
+    require(shingleLen >= 1, "shingleLen must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // coverage unit: word shingleLen-grams (1 = unigrams; larger grams give
+    // a universe that grows with the corpus instead of saturating at a
+    // small vocabulary). TextAnalysis.shingles carries the
+    // descending-sequence guard for short documents.
+    val unit =
+      if (shingleLen == 1) explode(split(col("__t"), " "))
+      else explode(TextAnalysis.shingles(col("__t"), shingleLen))
+    val postings = df
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("__t"))
+      .select(col("id"), unit.as("tok"))
+      .filter(length(col("tok")) > 0)
+      .distinct().localCheckpointCapped()
+    var covered: DataFrame = null
+    var total = 0L
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+    var p = 1
+    var exhausted = false
+    while (p <= k && !exhausted) {
+      val remaining =
+        if (covered == null) postings
+        else postings.join(covered, Seq("tok"), "left_anti")
+      val top = remaining.groupBy("id").agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("id")).limit(1).collect()
+      if (top.isEmpty || top(0).getLong(1) == 0L) exhausted = true
+      else {
+        val id = top(0).getLong(0); val gain = top(0).getLong(1)
+        total += gain
+        picks += ((p, id, gain, total))
+        val newCov = postings.filter(col("id") === id).select("tok")
+        covered = (if (covered == null) newCov else covered.union(newCov))
+          .distinct().localCheckpointCapped()
+        p += 1
+      }
+    }
+    picks.toSeq.toDF("pick", "id", "gain", "covered")
+  }
 }

@@ -430,46 +430,76 @@ object Multimodal {
       .map { case (id, bytes) => MediaRecord(id, syntheticPng(bytes, w, h), "image/png") }
   }
 
-  /** Image near-duplicate pairs by multi-index Hamming search over
-    * [[perceptualHash]] values (the pigeonhole trick of Norouzi/Punjani/
-    * Fleet, "Fast Search in Hamming Space with Multi-Index Hashing", CVPR
-    * 2012): split each 64-bit hash into `bands` disjoint substrings; two
-    * hashes within Hamming distance `maxDist` < `bands` must agree exactly
-    * on at least one substring, so an equi-join on (band index, band value)
-    * finds every qualifying pair without the all-pairs product. Candidates
-    * then verify with a codegen'd `bit_count(xor)`. Emits
-    * (id_a < id_b, hamming) for verified pairs.
+  /** Image near-duplicate pairs over [[perceptualHash]] values, the batch
+    * form of Manku/Jain/Sarma's sorted-fingerprint-table dedup (WWW 2007)
+    * crossed with multi-index banding (Norouzi et al., CVPR 2012):
     *
-    * Scale shape: the corpus explodes to `bands` rows per image, shuffles
-    * once on the band key, and the join output is bucket-bounded (near-dup
-    * candidates), never quadratic in the corpus — the image analogue of the
-    * SimHash band join on text.
+    *  1. '''Identical-hash families collapse first.''' Equal pHashes join
+    *     on the exact hash — candidates == results (distance-0 pairs), so
+    *     this stage is output-bounded no matter how hot a duplicate family
+    *     is. The band join then runs over DISTINCT hashes only (measured
+    *     on the 10x corpus: 50k images, 6.2k distinct hashes).
+    *  2. '''Banded + rotation-sorted windows for 1..maxDist.''' Each
+    *     distinct hash lands in `bands` buckets keyed by one width-bit
+    *     substring; within a bucket, members sort by the hash ROTATED so
+    *     that bucket's substring leads (Manku's permuted tables — each
+    *     band explores a different neighbor ordering), and only pairs
+    *     within `window` ranks are candidates. Candidate volume is
+    *     distinct_hashes * bands * window — LINEAR, unlike the plain band
+    *     join whose constant bucket count (2^width per band) keeps a
+    *     constant FRACTION of the pair space and measured 58x slower at
+    *     10x corpus.
+    *
+    * Verified pairs (codegen'd bit_count(xor) <= maxDist) expand back to
+    * member pairs — again output-bounded. Rank-window candidates trade the
+    * pigeonhole completeness guarantee for bounded work (the SNM
+    * discipline): a qualifying pair is found unless > `window`-1 other
+    * distinct hashes sort between its rotations in every band. Rotations
+    * are hex-string surgery (hex char = 4 bits), so the sort order is the
+    * same unsigned order in any engine; `width` must be a multiple of 4.
     */
   def hammingNearDupPairs(phashes: DataFrame, maxDist: Int = 6,
-                          bands: Int = 8): DataFrame = {
+                          bands: Int = 8, window: Int = 16): DataFrame = {
     require(bands >= 1 && 64 % bands == 0,
       s"bands must divide 64 (got $bands)")
-    require(maxDist < bands,
-      s"pigeonhole guarantee needs maxDist < bands (got $maxDist >= $bands)")
-    val width = 64 / bands
-    val mask = if (width == 64) -1L else (1L << width) - 1L
-    // materialize the (id, phash) table before the self-join: without it
-    // each join side replays the upstream image decode — at scale that is
-    // two full decode passes instead of one
+    require((64 / bands) % 4 == 0,
+      s"band width must be whole hex chars (bands=$bands gives ${64 / bands} bits)")
+    require(window >= 1, "window must be >= 1")
+    val hexChars = (64 / bands) / 4
+    // materialize the (id, phash) table: everything below reuses it, and
+    // without the checkpoint each reference replays the image decode
     val ph = phashes.filter(col("decoded")).select("id", "phash")
       .localCheckpointCapped()
-    val banded = ph
-      .select(col("id"), col("phash"),
-        explode(array((0 until bands).map(lit): _*)).as("band"))
-      .withColumn("bv",
-        expr(s"shiftrightunsigned(phash, band * $width)").bitwiseAND(lit(mask)))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.id") < col("b.id"))
+    val fam = ph.withColumn("h", lpad(hex(col("phash")), 16, "0"))
+    val famPairs = fam.as("a")
+      .join(fam.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
-      .distinct() // a pair may agree on several bands
+        lit(0).as("hamming"))
+    val reps = fam.groupBy(col("h"))
+      .agg(min(col("id")).as("rid"), min(col("phash")).as("p"))
+    val banded = reps
+      .select(col("h"), col("p"), col("rid"),
+        explode(array((0 until bands).map(lit): _*)).as("band"))
+      .withColumn("rk", expr(
+        s"concat(substring(h, band * $hexChars + 1, 16 - band * $hexChars), substring(h, 1, band * $hexChars))"))
+      .withColumn("bv", expr(s"substring(rk, 1, $hexChars)"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bv").orderBy(col("rk"), col("rid"))))
+    val repPairs = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          (col("y.rn") - col("x.rn")).between(1, window))
+      .select(least(col("x.h"), col("y.h")).as("ha"),
+        greatest(col("x.h"), col("y.h")).as("hb"),
+        bit_count(col("x.p").bitwiseXOR(col("y.p"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
+      .distinct() // a pair may fall in the window of several bands
+    val cross = repPairs
+      .join(fam.select(col("h").as("ha"), col("id").as("ia")), Seq("ha"))
+      .join(fam.select(col("h").as("hb"), col("id").as("ib")), Seq("hb"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("hamming"))
+    famPairs.union(cross)
   }
 }

@@ -241,4 +241,48 @@ class Round9Spec extends AnyFunSuite with SparkFixture {
     // pendant state (4 -> 3, next=4) is pure return among {1,2,4}
     assert(t((4L, 3L, 4L)) == ((1L, 200000L)))
   }
+
+  test("maxCoverageSelect follows the greedy trajectory and stops when covered") {
+    val docs = Seq((1L, "a b c d"), (2L, "c d e"), (3L, "e f"), (4L, "a b"))
+      .toDF("doc_id", "text")
+    val got = graft.functions.Curation.maxCoverageSelect(docs, "doc_id", "text", k = 5)
+      .orderBy("pick").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // pick 1: doc 1 covers {a,b,c,d} (gain 4); pick 2: doc 3 adds {e,f}
+    // (gain 2, beats doc 2's {e}); then every token is covered -> stop
+    assert(got.toSeq == Seq((1, 1L, 4L, 4L), (2, 3L, 2L, 6L)))
+    // argmax ties break to the smaller id; duplicate-token docs gain once
+    val tie = Seq((7L, "x y"), (5L, "y x x")).toDF("doc_id", "text")
+    val got2 = graft.functions.Curation.maxCoverageSelect(tie, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got2.toSeq == Seq((1, 5L, 2L, 2L)))
+  }
+
+  test("cellScopedNearDupPairs: subset of exact pairs, finds co-cell near-dups") {
+    // 60 vectors in 3 well-separated directions with small deterministic
+    // jitter: in-direction cosines ~1, cross-direction ~0
+    val vecs = (0 until 60).map { i =>
+      val g = i % 3
+      val base = Array.fill(8)(0.0f)
+      base(g * 2) = 1.0f
+      base(g * 2 + 1) = 0.1f + (i % 7) * 0.02f // jitter within the group
+      (i.toLong, base.toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = graft.functions.Similarity
+      .cellScopedNearDupPairs(df, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = graft.functions.Similarity
+      .cosineNearDupPairsExact(df, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exact), "cell-scoped must never invent pairs")
+    assert(got.nonEmpty, "tight co-directional vectors must pair")
+    // every found pair is within one group (cross-group cosine ~0)
+    assert(got.forall { case (a, b) => a % 3 == b % 3 })
+    // determinism: same input -> same pairs (seed choice is md5-ordered)
+    val again = graft.functions.Similarity
+      .cellScopedNearDupPairs(df, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == got)
+  }
 }
