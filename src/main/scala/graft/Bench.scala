@@ -22,10 +22,23 @@ object Bench {
     // first timed query otherwise carries ~5-10s of warmup (measured), which
     // lands on whichever query the Map iterates first and reads as a fake
     // regression of that query
+    // Between-query hygiene. Async unpersist is NOT enough: leftover
+    // checkpoint blocks + their uncollected heap garbage race the next
+    // query's materialization, and the degradation is progressive —
+    // measured on the 10x corpus, an identical postings checkpoint ran
+    // 24 s in a clean JVM, 291 s after one prior async-unpersisted run,
+    // 87 s with blocking unpersist alone, and 23 s with blocking
+    // unpersist + an explicit gc. This is what produced the historical
+    // "shared-run contention" outliers on string-heavy queries (they ran
+    // late in the 290-query session); bench hygiene, not production code.
+    def reclaim(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      System.gc()
+    }
     selected.headOption.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      reclaim()
       System.err.println(f"[bench] warmup ($name) done ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     val results = selected.map { case (name, fn) =>
@@ -33,9 +46,7 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-24s $sec%8.2f s")
-      // free this query's localCheckpoint blocks so storage memory does not
-      // accumulate (and degrade later queries) across the 50+-query run
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      reclaim()
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

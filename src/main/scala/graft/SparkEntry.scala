@@ -4976,7 +4976,52 @@ SELECT ia AS id_a, ib AS id_b,
 round(CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))), 6) AS sim
 FROM dots JOIN nr na ON na.vec_id = ia JOIN nr nb ON nb.vec_id = ib
 WHERE CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= 0.4
-ORDER BY 1, 2"""))
+ORDER BY 1, 2""")),
+
+    // DPO/RLHF-style preference-pair assembly: within each near-dup
+    // cluster, the best-quality member becomes `chosen` and every other
+    // member a `rejected` counterpart with its quality margin — the
+    // standard recipe for turning dedup clusters into preference data.
+    // Composes the LSH cluster machinery with the keep-best ranking; the
+    // pair space is cluster-internal (one row per non-best member), never
+    // cross-cluster
+    ("q_pref_pairs", (s, dir) => {
+      val clusters = Dedup.nearDupClustersFromSignatures(docs(s, dir), "doc_id",
+        docSignatures(s, dir), 0.5, 16, 4)
+      val quality = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("q"))
+      val j = clusters.join(quality, Seq("doc_id"))
+      val best = j.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("cluster_rep").orderBy(desc("q"), asc("doc_id"))))
+        .filter(col("rn") === 1)
+        .select(col("cluster_rep"), col("doc_id").as("chosen_id"),
+          col("q").as("qc"))
+      j.join(best, Seq("cluster_rep"))
+        .filter(col("doc_id") =!= col("chosen_id"))
+        .select(col("cluster_rep"), col("chosen_id"),
+          col("doc_id").as("rejected_id"), (col("qc") - col("q")).as("margin"))
+        .orderBy("cluster_rep", "rejected_id")
+    },
+      Some("""WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 0)), i -> array_to_string(list_slice(l, i, i + 2), ' '))) AS shingle FROM t),
+xy AS (SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % 576460752303423487 AS x, CAST(concat('0x', substr(md5(shingle), 17, 15)) AS BIGINT) % 576460752303423487 AS y FROM sh),
+hs AS (SELECT doc_id, unnest(generate_series(0, 15)) AS h, x, y FROM xy),
+sig AS (SELECT doc_id, h, min((x + h * y) % 576460752303423487) AS minhash FROM hs GROUP BY 1,2),
+b AS (SELECT doc_id AS id, h // 4 AS band, md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY h)) AS bucket FROM sig GROUP BY 1,2),
+cand AS (SELECT DISTINCT x.id AS ia, y.id AS ib FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id),
+pe AS (SELECT c.ia, c.ib, CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS ej
+FROM cand c JOIN sig sa ON sa.doc_id = c.ia JOIN sig sb ON sb.doc_id = c.ib AND sb.h = sa.h GROUP BY 1,2),
+e AS (SELECT ia, ib FROM pe WHERE ej >= 0.5),
+sym2 AS (SELECT ia AS s, ib AS tt FROM e UNION SELECT ib, ia FROM e),
+reach(id, r) AS (SELECT doc_id, doc_id FROM documents UNION SELECT reach.id, s2.tt FROM reach JOIN sym2 s2 ON s2.s = reach.r),
+cl AS (SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY 1),
+ql AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS q FROM documents),
+j AS (SELECT cl.doc_id, cl.cluster_rep, ql.q FROM cl JOIN ql ON ql.doc_id = cl.doc_id),
+best AS (SELECT cluster_rep, doc_id AS chosen_id, q AS qc FROM (SELECT cluster_rep, doc_id, q, row_number() OVER (PARTITION BY cluster_rep ORDER BY q DESC, doc_id) AS rn FROM j) WHERE rn = 1)
+SELECT j.cluster_rep, best.chosen_id, j.doc_id AS rejected_id, best.qc - j.q AS margin
+FROM j JOIN best ON best.cluster_rep = j.cluster_rep
+WHERE j.doc_id <> best.chosen_id ORDER BY 1, 3"""))
   )
 
   /** Unrolled MMR oracle: relevance pool, pool-pairwise quantized cosines,

@@ -30,7 +30,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.toString.take(500)}")
       }
       // free accumulated localCheckpoint blocks between queries
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // blocking + gc: async unpersist leaves blocks/garbage that race the
+      // next query's checkpoints and degrade it progressively (see the
+      // measured note in Bench.reclaim)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -199,6 +199,10 @@ object Curation {
       .select(col("id"), unit.as("tok"))
       .filter(length(col("tok")) > 0)
       .distinct().localCheckpointCapped()
+    // the covered-token set is at most k document vocabularies — tiny — so
+    // it BROADCASTS and each round is one map-side anti-join pass over the
+    // (checkpointed once) postings table plus a map-combined count
+    // aggregation; only the small covered set is re-checkpointed per round
     var covered: DataFrame = null
     var total = 0L
     val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
@@ -207,7 +211,7 @@ object Curation {
     while (p <= k && !exhausted) {
       val remaining =
         if (covered == null) postings
-        else postings.join(covered, Seq("tok"), "left_anti")
+        else postings.join(broadcast(covered), Seq("tok"), "left_anti")
       val top = remaining.groupBy("id").agg(count(lit(1)).as("gain"))
         .orderBy(col("gain").desc, col("id")).limit(1).collect()
       if (top.isEmpty || top(0).getLong(1) == 0L) exhausted = true

@@ -90,4 +90,44 @@ class DeterminismSpec extends AnyFunSuite with SparkFixture {
     }
     assert(run(2, 1) == run(9, 4))
   }
+
+  test("round-9 operators are layout-independent") {
+    import graft.functions.{Analytics, Curation, DataProfile, Similarity}
+    val vecs = (1L to 24L).map { i =>
+      (i, Array.tabulate(8)(d => ((i * 7 + d * 3) % 11 - 5).toFloat / 5f))
+    }.toDF("vec_id", "embedding")
+    val pts = (0L until 60L).map(i => (i, (i * 37 % 41).toDouble, (i * 53 % 29).toInt))
+      .toDF("id", "cost", "gain")
+    def run(shuffle: Int, parts: Int) = underLayout(shuffle) {
+      val d = docs.repartition(parts)
+      val v = vecs.repartition(parts)
+      val p = pts.repartition(parts)
+      (collectCanon(Similarity.cellScopedNearDupPairs(v, "vec_id", "embedding", 0.3)),
+        collectCanon(Analytics.paretoSkyline2D(p, "cost", "gain", bins = 4)),
+        collectCanon(Curation.maxCoverageSelect(d, "doc_id", "text", k = 3)),
+        collectCanon(DataProfile.chiSquaredAssociation(d, "src", "text")))
+    }
+    val a = run(2, 1)
+    val b = run(13, 7)
+    assert(a == b)
+    assert(a._1.nonEmpty && a._2.nonEmpty && a._3.nonEmpty)
+  }
+
+  test("round-9 graph operators are layout-independent") {
+    def nf(parts: Int) = {
+      val nodes = (0L to 11L).map(i => Tuple1(i)).toDF("id").repartition(parts)
+      val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 4L), (4L, 5L),
+          (5L, 3L), (6L, 7L), (8L, 9L), (0L, 3L), (2L, 4L), (10L, 11L))
+        .map { case (s, t) => (s, t, (s * 3 + t).toDouble) }
+        .toDF("source", "target", "weight").repartition(parts)
+      NetworkFrame(nodes, edges, directed = false)
+    }
+    def run(shuffle: Int, parts: Int) = underLayout(shuffle) {
+      val g = nf(parts)
+      (collectCanon(GraphAlgorithms.densestSubgraphTrace(g, rounds = 4)),
+        collectCanon(GraphAlgorithms.coarsenByMatching(g, rounds = 4)),
+        collectCanon(GraphAlgorithms.node2vecTransitions(g, hubCap = 4)))
+    }
+    assert(run(2, 1) == run(11, 5))
+  }
 }
