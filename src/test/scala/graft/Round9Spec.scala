@@ -258,6 +258,30 @@ class Round9Spec extends AnyFunSuite with SparkFixture {
     assert(got2.toSeq == Seq((1, 5L, 2L, 2L)))
   }
 
+  test("round-9 pair operators never plan a Cartesian product") {
+    val vecs = (1L to 30L).map { i =>
+      (i, Array.tabulate(8)(d => ((i * 7 + d * 3) % 11 - 5).toFloat / 5f))
+    }.toDF("vec_id", "embedding")
+    val cellPlan = graft.functions.Similarity
+      .cellScopedNearDupPairs(vecs, "vec_id", "embedding", 0.3)
+      .queryExecution.executedPlan.toString
+    assert(!cellPlan.contains("CartesianProduct"),
+      "cell-scoped pair join must be an equi-join on the cell key")
+    val hs = (1L to 20L).map(i => (i, true, i * 0x9e3779b97f4a7c15L))
+    val phPlan = graft.multimodal.Multimodal
+      .hammingNearDupPairs(hs.toDF("id", "decoded", "phash"))
+      .queryExecution.executedPlan.toString
+    assert(!phPlan.contains("CartesianProduct"),
+      "pHash candidates must come from band-bucket equi-joins + rank windows")
+    val pts = (0L until 40L).map(i => (i, (i * 37 % 41).toDouble, (i * 53 % 29).toInt))
+      .toDF("id", "cost", "gain")
+    val skyPlan = graft.functions.Analytics
+      .paretoSkyline2D(pts, "cost", "gain")
+      .queryExecution.executedPlan.toString
+    assert(!skyPlan.contains("CartesianProduct"),
+      "skyline must stay an order statistic, not a dominance pair join")
+  }
+
   test("cellScopedNearDupPairs: subset of exact pairs, finds co-cell near-dups") {
     // 60 vectors in 3 well-separated directions with small deterministic
     // jitter: in-direction cosines ~1, cross-direction ~0

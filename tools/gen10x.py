@@ -3,9 +3,15 @@
 
 Replicates the sf0.1 bench tables 10x with id-shifted copies:
 - documents: copy 0 is verbatim; copies 1..9 append a per-copy token to the
-  text, so cross-copy pairs are NEAR-dups (the realistic dedup workload:
-  candidate spaces must grow linearly, never quadratically, as dup density
-  per doc is constant).
+  text, so cross-copy pairs are NEAR-dups. CAVEAT (measured, round 9):
+  the suffix perturbation leaves cross-copy trigram Jaccard at ~0.96, so
+  every doc sits in a 10-member above-threshold family — per-doc dup
+  density is multiplied by the copy count, and the TRUE pair output of
+  dedup queries grows ~(copies choose 2) per family (~3 orders of
+  magnitude here). Scaling ratios for pair-emitting dedup queries on this
+  corpus therefore measure output growth, not corpus growth; compare
+  runtimes against result counts (see SCALE.md round-9 re-measurement)
+  or strengthen the perturbation if family-free scaling is wanted.
 - events: pure id shift (event_id, user_id) — the streaming-CC and sketch
   workloads only need volume.
 - embeddings: copies get deterministic per-(vec_id, dim, copy) additive
