@@ -75,8 +75,12 @@ object DataProfile {
       .select(col("n"), col("r"), col("c"),
         ((col("r") - 1) * (col("c") - 1)).as("dof"),
         col("chi2_q"),
-        sqrt(col("chi2_q").cast("double") / 1000000.0d /
-          (col("n") * least(col("r"), col("c")) - col("n")).cast("double"))
+        // single-category input: dof = 0, chi2 = 0, and the V denominator
+        // n*(min(r,c)-1) is 0 — define V = 0 rather than NaN (engines
+        // disagree on 0/0)
+        when(col("n") * least(col("r"), col("c")) - col("n") === 0, lit(0.0d))
+          .otherwise(sqrt(col("chi2_q").cast("double") / 1000000.0d /
+            (col("n") * least(col("r"), col("c")) - col("n")).cast("double")))
           .as("cramers_v"))
   }
 

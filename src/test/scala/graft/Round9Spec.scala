@@ -178,6 +178,11 @@ class Round9Spec extends AnyFunSuite with SparkFixture {
     assert(math.abs(r2.getAs[Double]("cramers_v") - 1.0) < 1e-6,
       s"determined column must give V=1, got ${r2.getAs[Double]("cramers_v")}")
     assert(r2.getAs[Long]("dof") == 4L)
+    // degenerate single-category input: dof 0, V defined as 0 (not NaN)
+    val one = Seq(("x", "p"), ("x", "q"), ("x", "q")).toDF("a", "b")
+    val r3 = graft.functions.DataProfile
+      .chiSquaredAssociation(one, "a", "b").collect().head
+    assert(r3.getAs[Long]("dof") == 0L && r3.getAs[Double]("cramers_v") == 0.0)
   }
 
   test("kAnonymityAudit counts risk groups, rows, and low-diversity groups") {
