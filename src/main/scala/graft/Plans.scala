@@ -12,7 +12,9 @@ import org.apache.spark.sql.SparkSession
   */
 object Plans {
   val flagship = Seq("q_pipeline_e2e", "q_self_similarity", "q_ensemble_pairs",
-    "q_blocking_recall", "q1_pricing")
+    "q_blocking_recall", "q1_pricing",
+    // round-9 scale-path flagships
+    "q_cell_neardup", "q_phash_pairs", "q_skyline", "q_max_coverage")
 
   /** Count parquet-scan leaves per base table (by file location) in a
     * physical plan. Works on `executedPlan.toString`, where each FileScan

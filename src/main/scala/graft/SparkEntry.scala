@@ -1264,7 +1264,12 @@ SELECT doc_id AS id, n_toks, score_q, score_q >= 0 AS keep FROM sc ORDER BY 1"""
     // ====================== similarity search extensions ======================
 
     // banded sign-LSH candidate generation (16 bands x 4 bits), exact cosine
-    // on candidates only — no all-pairs nested-loop join in the plan
+    // on candidates only — no all-pairs nested-loop join in the plan.
+    // ROLE: the recall-first variant, kept alongside its exact sibling so
+    // the LSH-vs-exact recall gap stays measurable; a constant band
+    // geometry keeps a constant FRACTION of the pair space (measured 72x
+    // at 10x corpus — SCALE.md round 9), so the unbounded-corpus path is
+    // q_cell_neardup, which q_ensemble_pairs and q_semdedup now use
     ("q_embed_neardup", (s, dir) =>
       Similarity.cosineNearDupPairs(emb(s, dir), "vec_id", "embedding", 0.4, 16, 4)
         .orderBy("id_a", "id_b"),
