@@ -2727,13 +2727,7 @@ FROM n CROSS JOIN f""")),
     },
       Some(s"""$EMB_U,
 nr AS (SELECT vec_id, sum(x * x) AS nn FROM u GROUP BY 1),
-cnt AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings),
-sr AS (SELECT vec_id, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM embeddings),
-seeds AS (SELECT vec_id AS sid FROM sr, cnt WHERE rn <= k),
-sd AS (SELECT a.vec_id AS id, s.vec_id AS sid, sum(a.x * s.x) AS d FROM u a JOIN u s ON s.i = a.i WHERE s.vec_id IN (SELECT sid FROM seeds) GROUP BY 1, 2),
-asgx AS (SELECT id, sid, CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(ns.nn AS DOUBLE))) AS csim FROM sd JOIN nr na ON na.vec_id = id JOIN nr ns ON ns.vec_id = sid),
-asg AS (SELECT id, sid FROM (SELECT id, sid, row_number() OVER (PARTITION BY id ORDER BY csim DESC, sid) AS rn FROM asgx) WHERE rn = 1),
-ecand AS (SELECT a.id AS ia, b.id AS ib FROM asg a JOIN asg b ON a.sid = b.sid AND a.id < b.id),
+${cellCtes()},
 dots AS (SELECT c.ia, c.ib, sum(x1.x * x2.x) AS d FROM ecand c JOIN u x1 ON x1.vec_id = c.ia JOIN u x2 ON x2.vec_id = c.ib AND x2.i = x1.i GROUP BY 1, 2),
 ep AS (SELECT ia, ib FROM dots JOIN nr na ON na.vec_id = ia JOIN nr nb ON nb.vec_id = ib
 WHERE CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= 0.4),
@@ -4721,23 +4715,17 @@ FROM lex FULL JOIN qual USING (id) ORDER BY rrf_q DESC, id""")),
           cellScoped = true)
         .orderBy("id"),
       Some(s"""${EMB_U.replace("WITH u", "WITH RECURSIVE u")},
-norms AS (SELECT vec_id, sum(x * x) AS nn FROM u GROUP BY 1),
-cnt AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings),
-sr AS (SELECT vec_id, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM embeddings),
-seeds AS (SELECT vec_id AS sid FROM sr, cnt WHERE rn <= k),
-sd AS (SELECT a.vec_id AS id, s.vec_id AS sid, sum(a.x * s.x) AS d FROM u a JOIN u s ON s.i = a.i WHERE s.vec_id IN (SELECT sid FROM seeds) GROUP BY 1, 2),
-asgx AS (SELECT id, sid, CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(ns.nn AS DOUBLE))) AS csim FROM sd JOIN norms na ON na.vec_id = id JOIN norms ns ON ns.vec_id = sid),
-asg AS (SELECT id, sid FROM (SELECT id, sid, row_number() OVER (PARTITION BY id ORDER BY csim DESC, sid) AS rn FROM asgx) WHERE rn = 1),
-cand AS (SELECT a.id AS ia, b.id AS ib FROM asg a JOIN asg b ON a.sid = b.sid AND a.id < b.id),
-dots AS (SELECT c.ia, c.ib, sum(x1.x * x2.x) AS d FROM cand c JOIN u x1 ON x1.vec_id = c.ia JOIN u x2 ON x2.vec_id = c.ib AND x2.i = x1.i GROUP BY 1,2),
-e AS (SELECT ia, ib FROM dots JOIN norms na ON na.vec_id = ia JOIN norms nb ON nb.vec_id = ib
+nr AS (SELECT vec_id, sum(x * x) AS nn FROM u GROUP BY 1),
+${cellCtes()},
+dots AS (SELECT c.ia, c.ib, sum(x1.x * x2.x) AS d FROM ecand c JOIN u x1 ON x1.vec_id = c.ia JOIN u x2 ON x2.vec_id = c.ib AND x2.i = x1.i GROUP BY 1,2),
+e AS (SELECT ia, ib FROM dots JOIN nr na ON na.vec_id = ia JOIN nr nb ON nb.vec_id = ib
 WHERE CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= 0.4),
 sym2 AS (SELECT ia AS s, ib AS tt FROM e UNION SELECT ib, ia FROM e),
 reach(id, r) AS (SELECT vec_id, vec_id FROM embeddings UNION SELECT reach.id, s2.tt FROM reach JOIN sym2 s2 ON s2.s = reach.r),
 lab AS (SELECT id, min(r) AS cluster_rep FROM reach GROUP BY 1)
 SELECT lab.id, cluster_rep, CAST(nn AS BIGINT) AS n2,
 row_number() OVER (PARTITION BY cluster_rep ORDER BY nn DESC, lab.id) = 1 AS keep
-FROM lab JOIN norms n ON n.vec_id = lab.id ORDER BY 1""")),
+FROM lab JOIN nr n ON n.vec_id = lab.id ORDER BY 1""")),
 
     // sorted-neighborhood dedup: one global (64-char text prefix, id)
     // sort, each doc compared to its 10 rank-successors only (candidates
@@ -4969,19 +4957,43 @@ CAST(max(tn) AS BIGINT) AS max_tn FROM s GROUP BY 1 ORDER BY 1""")),
         .orderBy("id_a", "id_b"),
       Some(s"""$EMB_U,
 nr AS (SELECT vec_id, sum(x * x) AS nn FROM u GROUP BY 1),
-cnt AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings),
-sr AS (SELECT vec_id, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM embeddings),
-seeds AS (SELECT vec_id AS sid FROM sr, cnt WHERE rn <= k),
-sd AS (SELECT a.vec_id AS id, s.vec_id AS sid, sum(a.x * s.x) AS d FROM u a JOIN u s ON s.i = a.i WHERE s.vec_id IN (SELECT sid FROM seeds) GROUP BY 1, 2),
-asgx AS (SELECT id, sid, CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(ns.nn AS DOUBLE))) AS csim FROM sd JOIN nr na ON na.vec_id = id JOIN nr ns ON ns.vec_id = sid),
-asg AS (SELECT id, sid FROM (SELECT id, sid, row_number() OVER (PARTITION BY id ORDER BY csim DESC, sid) AS rn FROM asgx) WHERE rn = 1),
-ecand AS (SELECT a.id AS ia, b.id AS ib FROM asg a JOIN asg b ON a.sid = b.sid AND a.id < b.id),
+${cellCtes()},
 dots AS (SELECT c.ia, c.ib, sum(x1.x * x2.x) AS d FROM ecand c JOIN u x1 ON x1.vec_id = c.ia JOIN u x2 ON x2.vec_id = c.ib AND x2.i = x1.i GROUP BY 1, 2)
 SELECT ia AS id_a, ib AS id_b,
 round(CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))), 6) AS sim
 FROM dots JOIN nr na ON na.vec_id = ia JOIN nr nb ON nb.vec_id = ib
 WHERE CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= 0.4
 ORDER BY 1, 2""")),
+
+    // recall audit for the cell-scoped channel: found / exact pairs at
+    // cosine >= 0.4 — the embedding analogue of q_blocking_recall, keeping
+    // the n^1.5 channel's recall tradeoff measured and gated rather than
+    // asserted (exact side is all-pairs, affordable at bench scales; at
+    // 100 TB the audit runs on a KMV-bounded sample like q_blocking_recall)
+    ("q_cell_recall", (s, dir) => {
+      val exact = Similarity.cosineNearDupPairsExact(emb(s, dir), "vec_id",
+        "embedding", 0.4).select("id_a", "id_b")
+      val cell = Similarity.cellScopedNearDupPairs(emb(s, dir), "vec_id",
+        "embedding", 0.4).select("id_a", "id_b")
+      val found = exact.join(cell, Seq("id_a", "id_b"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .select(col("n_exact"), col("n_found"),
+          when(col("n_exact") > 0, expr("n_found * 1000000 div n_exact"))
+            .otherwise(0L).as("recall_ppm"))
+    },
+      Some(s"""$EMB_U,
+nr AS (SELECT vec_id, sum(x * x) AS nn FROM u GROUP BY 1),
+edots AS (SELECT a.vec_id AS ia, b.vec_id AS ib, sum(a.x * b.x) AS d FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2),
+ex AS (SELECT ia, ib FROM edots JOIN nr na ON na.vec_id = ia JOIN nr nb ON nb.vec_id = ib
+WHERE CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= 0.4),
+${cellCtes()},
+cdots AS (SELECT c.ia, c.ib, sum(x1.x * x2.x) AS d FROM ecand c JOIN u x1 ON x1.vec_id = c.ia JOIN u x2 ON x2.vec_id = c.ib AND x2.i = x1.i GROUP BY 1, 2),
+cp AS (SELECT ia, ib FROM cdots JOIN nr na ON na.vec_id = ia JOIN nr nb ON nb.vec_id = ib
+WHERE CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= 0.4),
+fnd AS (SELECT ex.ia, ex.ib FROM ex JOIN cp ON cp.ia = ex.ia AND cp.ib = ex.ib)
+SELECT (SELECT count(*) FROM ex) AS n_exact, (SELECT count(*) FROM fnd) AS n_found,
+CASE WHEN (SELECT count(*) FROM ex) > 0 THEN (SELECT count(*) FROM fnd) * 1000000 // (SELECT count(*) FROM ex) ELSE 0 END AS recall_ppm""")),
 
     // DPO/RLHF-style preference-pair assembly: within each near-dup
     // cluster, the best-quality member becomes `chosen` and every other
@@ -5804,6 +5816,20 @@ FROM tf, mf ORDER BY 1"""
   /** Embedding unnest prelude shared by the similarity oracles. */
   private val EMB_U =
     """WITH u AS (SELECT vec_id, s.i, CAST(floor(CAST(embedding[s.i] AS DOUBLE) * 10000000) AS BIGINT) AS x FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) s)"""
+
+  /** Shared cell-scoped candidate CTEs (requires the `u` prelude and an
+    * `nr(vec_id, nn)` norms CTE): ceil(sqrt(n)) KMV seeds, probe-nearest
+    * assignment, distinct in-cell pairs as `ecand(ia, ib)` — mirrors
+    * Similarity.cellScopedNearDupPairs seed for seed, tie for tie.
+    */
+  private def cellCtes(probe: Int = 2): String =
+    s"""cnt AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings),
+sr AS (SELECT vec_id, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM embeddings),
+seeds AS (SELECT vec_id AS sid FROM sr, cnt WHERE rn <= k),
+sd AS (SELECT a.vec_id AS id, s.vec_id AS sid, sum(a.x * s.x) AS d FROM u a JOIN u s ON s.i = a.i WHERE s.vec_id IN (SELECT sid FROM seeds) GROUP BY 1, 2),
+asgx AS (SELECT id, sid, CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(ns.nn AS DOUBLE))) AS csim FROM sd JOIN nr na ON na.vec_id = id JOIN nr ns ON ns.vec_id = sid),
+asg AS (SELECT id, sid FROM (SELECT id, sid, row_number() OVER (PARTITION BY id ORDER BY csim DESC, sid) AS rn FROM asgx) WHERE rn <= $probe),
+ecand AS (SELECT DISTINCT a.id AS ia, b.id AS ib FROM asg a JOIN asg b ON a.sid = b.sid AND a.id < b.id)"""
 
   private val ALL_MARKERS = TextAnalysis.langMarkers.flatMap(_._2)
     .map(m => s"'$m'").mkString(",")
