@@ -4815,22 +4815,31 @@ FROM rp JOIN hx fa ON fa.h = rp.ha JOIN hx fb ON fb.h = rp.hb)
 SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
 FROM (SELECT * FROM famp UNION ALL SELECT * FROM crossp) ORDER BY 1, 2""")),
 
-    // chi-squared independence test source x lang over documents —
-    // per-cell floored scaled rationals in DECIMAL(38,0) / HUGEINT, the
-    // final Cramer's V the only (correctly rounded) floating step
+    // chi-squared independence test source x lang over documents — the
+    // sum(O^2*n/(cx*cy)) - n identity over OBSERVED cells only (zero cells
+    // contribute nothing, so no r x c grid), per-cell floored scaled
+    // rationals in DECIMAL(38,0) / HUGEINT, and Cramer's V as exact
+    // integral ppm via corrected integer sqrt — no raw double anywhere in
+    // the output (round 9's only hash flake was this query's double V)
     ("q_chi2", (s, dir) =>
       DataProfile.chiSquaredAssociation(docs(s, dir), "source", "lang"),
       Some("""WITH cells AS (SELECT source AS x, lang AS y, count(*) AS o FROM documents GROUP BY 1, 2),
 mx AS (SELECT x, sum(o) AS cx FROM cells GROUP BY 1),
 my AS (SELECT y, sum(o) AS cy FROM cells GROUP BY 1),
 tot AS (SELECT sum(o) AS n, count(DISTINCT x) AS r, count(DISTINCT y) AS c FROM cells),
-grid AS (SELECT cx, cy, coalesce(o, 0) AS o FROM mx CROSS JOIN my LEFT JOIN cells ON cells.x = mx.x AND cells.y = my.y),
-terms AS (SELECT ((CAST(o AS HUGEINT) * n - CAST(cx AS HUGEINT) * cy) * (CAST(o AS HUGEINT) * n - CAST(cx AS HUGEINT) * cy) * 1000000)
-  // (CAST(cx AS HUGEINT) * cy * n) AS tq FROM grid, tot),
-chi AS (SELECT CAST(sum(tq) AS BIGINT) AS chi2_q FROM terms)
-SELECT n, r, c, (r - 1) * (c - 1) AS dof, chi2_q,
-sqrt(CAST(chi2_q AS DOUBLE) / 1000000.0 / CAST(n * least(r, c) - n AS DOUBLE)) AS cramers_v
-FROM chi, tot""")),
+terms AS (SELECT (CAST(o AS HUGEINT) * o * n * 1000000) // (CAST(cx AS HUGEINT) * cy) AS tq
+  FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot),
+chi AS (SELECT CAST(sum(tq) - (SELECT CAST(n AS HUGEINT) * 1000000 FROM tot) AS BIGINT) AS chi2_q FROM terms),
+v AS (SELECT n, r, c, (r - 1) * (c - 1) AS dof, chi2_q, n * least(r, c) - n AS vden,
+  CAST((CAST(greatest(chi2_q, 0) AS HUGEINT) * 1000000) // greatest(n * least(r, c) - n, 1) AS BIGINT) AS vsq
+  FROM chi, tot),
+s AS (SELECT *, CAST(floor(sqrt(CAST(vsq AS DOUBLE))) AS BIGINT) AS s0 FROM v)
+SELECT n, r, c, dof, chi2_q,
+CASE WHEN vden = 0 THEN 0
+     WHEN (s0 + 1) * (s0 + 1) <= vsq THEN s0 + 1
+     WHEN s0 * s0 > vsq THEN s0 - 1
+     ELSE s0 END AS cramers_v_ppm
+FROM s""")),
 
     // k-anonymity / l-diversity audit over customer quasi-identifiers
     // (nation, segment, account-balance band): one grouped agg over the

@@ -37,22 +37,31 @@ object DataProfile {
   }
 
   /** Pearson chi-squared test of independence between two categorical
-    * columns, with every arithmetic step exact: the statistic
-    * sum((O - E)^2 / E) over ALL r x c cells (zero-observed cells included
-    * — omitting them understates the statistic) is accumulated as the
-    * per-cell floored scaled rational `((O*n - cx*cy)^2 * 1e6) div
-    * (cx*cy*n)` in DECIMAL(38,0), bit-replayable by a HUGEINT oracle; the
-    * only floating step is the final Cramer's V, one IEEE (correctly
-    * rounded) division chain + sqrt over the exact integers. Plan: one
-    * cell aggregation over the corpus, then marginal/total aggregates on
-    * the (r x c)-row cell table — the full contingency grid is a broadcast
-    * cross of the two marginal tables, bounded by category cardinality,
-    * never by corpus size. Output one row:
-    * (n, r, c, dof, chi2_q, cramers_v).
+    * columns, with every arithmetic step exact INCLUDING the final Cramer's
+    * V (no raw doubles in the output — a double column is the one thing a
+    * cross-engine hash gate can disagree on). The statistic uses the
+    * algebraic identity sum((O-E)^2/E) = sum(O^2 * n / (cx*cy)) - n, so
+    * (a) zero-observed cells contribute nothing and the r x c grid never
+    * materializes — only observed cells join their marginals — and (b) the
+    * per-cell accumulator O^2*n*1e6 stays within DECIMAL(38,0) out to
+    * ~4.6e10 rows (the previous (O*n - cx*cy)^2 form overflowed at ~1e8).
+    * Overflow past that bound fails loudly (raise_error) instead of
+    * NULL-dropping cells and silently understating chi2. Each cell's term
+    * is the floored scaled rational `(O^2 * n * 1e6) div (cx*cy)`,
+    * bit-replayable by a HUGEINT oracle; chi2_q = sum(term) - n*1e6 (exact
+    * under perfect independence, within r*c millionths otherwise).
+    * Cramer's V is emitted as exact integral ppm: the corrected integer
+    * sqrt of `(max(chi2_q,0) * 1e6) div (n*min(r,c) - n)` — floor(sqrt)
+    * over an integer <= 1e12 (exactly representable in double; one
+    * conditional +/-1 correction makes it exact floor-sqrt in any engine).
+    * Single-category input (dof = 0, V denominator 0) defines V = 0.
+    * Plan: one corpus aggregation, then marginal/total aggregates on the
+    * observed-cell table (category-bounded, never corpus-bounded).
+    * Output one row: (n, r, c, dof, chi2_q, cramers_v_ppm).
     */
   def chiSquaredAssociation(df: DataFrame, colX: String, colY: String): DataFrame = {
     val dec = "decimal(38,0)"
-    // the (r x c)-row cell table feeds four downstream aggregates; without
+    // the observed-cell table feeds four downstream aggregates; without
     // materialization each one would replay the corpus scan (measured: 5
     // scans), so checkpoint it — one corpus pass total
     val cells = df.groupBy(col(colX).as("__x"), col(colY).as("__y"))
@@ -62,26 +71,32 @@ object DataProfile {
     val my = cells.groupBy(col("__y")).agg(sum(col("o")).as("cy"))
     val tot = cells.agg(sum(col("o")).as("n"),
       countDistinct(col("__x")).as("r"), countDistinct(col("__y")).as("c"))
-    val grid = broadcast(mx).crossJoin(broadcast(my)) // r x c rows, category-bounded
-      .join(cells, Seq("__x", "__y"), "left_outer")
-      .select(col("cx"), col("cy"), coalesce(col("o"), lit(0L)).as("o"))
-    val terms = grid.crossJoin(broadcast(tot))
-      .select(((col("o").cast(dec) * col("n") - col("cx").cast(dec) * col("cy"))
-        * (col("o").cast(dec) * col("n") - col("cx").cast(dec) * col("cy"))
-        * lit(1000000L)).as("num"),
-        (col("cx").cast(dec) * col("cy") * col("n")).as("den"))
-      .select(expr("num div den").as("term_q"))
-    terms.agg(sum(col("term_q")).as("chi2_q")).crossJoin(tot)
-      .select(col("n"), col("r"), col("c"),
-        ((col("r") - 1) * (col("c") - 1)).as("dof"),
-        col("chi2_q"),
-        // single-category input: dof = 0, chi2 = 0, and the V denominator
-        // n*(min(r,c)-1) is 0 — define V = 0 rather than NaN (engines
-        // disagree on 0/0)
-        when(col("n") * least(col("r"), col("c")) - col("n") === 0, lit(0.0d))
-          .otherwise(sqrt(col("chi2_q").cast("double") / 1000000.0d /
-            (col("n") * least(col("r"), col("c")) - col("n")).cast("double")))
-          .as("cramers_v"))
+    val terms = cells
+      .join(broadcast(mx), Seq("__x")).join(broadcast(my), Seq("__y"))
+      .crossJoin(broadcast(tot))
+      .select(expr(s"(CAST(o AS $dec) * o * n * 1000000) div (CAST(cx AS $dec) * cy)")
+        .as("term_q"))
+      // non-ANSI DECIMAL overflow becomes NULL and sum() would silently
+      // drop the cell: fail loudly at the documented ~4.6e10-row bound
+      .select(when(col("term_q").isNull, raise_error(lit(
+          "chiSquaredAssociation: DECIMAL(38,0) term overflow (corpus beyond ~4.6e10 rows)")))
+        .otherwise(col("term_q")).as("term_q"))
+    terms.agg(sum(col("term_q")).as("tsum")).crossJoin(tot)
+      .selectExpr("n", "r", "c", "(r - 1) * (c - 1) AS dof",
+        s"CAST(tsum - CAST(n AS $dec) * 1000000 AS BIGINT) AS chi2_q")
+      // corrected integer sqrt: vsq <= 1e12 is exact in double, so
+      // floor(sqrt(double)) is off by at most one — fix by comparison
+      .selectExpr("n", "r", "c", "dof", "chi2_q",
+        "n * least(r, c) - n AS vden",
+        s"CAST((CAST(greatest(chi2_q, 0) AS $dec) * 1000000) div " +
+          "greatest(n * least(r, c) - n, 1) AS BIGINT) AS vsq")
+      .selectExpr("n", "r", "c", "dof", "chi2_q", "vden", "vsq",
+        "CAST(floor(sqrt(CAST(vsq AS DOUBLE))) AS BIGINT) AS s0")
+      .selectExpr("n", "r", "c", "dof", "chi2_q",
+        """CASE WHEN vden = 0 THEN 0L
+                WHEN (s0 + 1) * (s0 + 1) <= vsq THEN s0 + 1
+                WHEN s0 * s0 > vsq THEN s0 - 1
+                ELSE s0 END AS cramers_v_ppm""")
   }
 
   /** k-anonymity / l-diversity audit over a set of quasi-identifier

@@ -169,20 +169,23 @@ class Round9Spec extends AnyFunSuite with SparkFixture {
     val ind = for (x <- 1 to 4; y <- 1 to 3; _ <- 1 to 5) yield (s"x$x", s"y$y")
     val r1 = graft.functions.DataProfile
       .chiSquaredAssociation(ind.toDF("a", "b"), "a", "b").collect().head
-    assert(r1.getAs[Long]("chi2_q") == 0L && r1.getAs[Double]("cramers_v") == 0.0)
-    // y fully determined by x -> V = 1 (chi2 = n * (min(r,c) - 1))
+    // sum(O^2*n/(cx*cy)) is exact under independence (O*n = cx*cy), so
+    // chi2_q is exactly 0, no floor slack
+    assert(r1.getAs[Long]("chi2_q") == 0L && r1.getAs[Long]("cramers_v_ppm") == 0L)
+    // y fully determined by x -> V = 1 (chi2 = n * (min(r,c) - 1)); the
+    // diagonal terms are exact (O = cx = cy), so the ppm V is exactly 1e6
     val det = for (x <- 1 to 3; _ <- 1 to 7) yield (s"x$x", s"y$x")
     val r2 = graft.functions.DataProfile
       .chiSquaredAssociation(det.toDF("a", "b"), "a", "b").collect().head
-    // each of the r*c cells floors away < 1e-6 of scaled chi2
-    assert(math.abs(r2.getAs[Double]("cramers_v") - 1.0) < 1e-6,
-      s"determined column must give V=1, got ${r2.getAs[Double]("cramers_v")}")
+    assert(r2.getAs[Long]("cramers_v_ppm") == 1000000L,
+      s"determined column must give V_ppm=1e6, got ${r2.getAs[Long]("cramers_v_ppm")}")
     assert(r2.getAs[Long]("dof") == 4L)
-    // degenerate single-category input: dof 0, V defined as 0 (not NaN)
+    // degenerate single-category input: dof 0, V defined as 0 (not NaN) —
+    // the guard the oracle SQL mirrors with its own CASE WHEN vden = 0
     val one = Seq(("x", "p"), ("x", "q"), ("x", "q")).toDF("a", "b")
     val r3 = graft.functions.DataProfile
       .chiSquaredAssociation(one, "a", "b").collect().head
-    assert(r3.getAs[Long]("dof") == 0L && r3.getAs[Double]("cramers_v") == 0.0)
+    assert(r3.getAs[Long]("dof") == 0L && r3.getAs[Long]("cramers_v_ppm") == 0L)
   }
 
   test("kAnonymityAudit counts risk groups, rows, and low-diversity groups") {
