@@ -4823,7 +4823,8 @@ FROM (SELECT * FROM famp UNION ALL SELECT * FROM crossp) ORDER BY 1, 2""")),
     // the output (round 9's only hash flake was this query's double V)
     ("q_chi2", (s, dir) =>
       DataProfile.chiSquaredAssociation(docs(s, dir), "source", "lang"),
-      Some("""WITH cells AS (SELECT source AS x, lang AS y, count(*) AS o FROM documents GROUP BY 1, 2),
+      Some("""WITH cells AS (SELECT source AS x, lang AS y, count(*) AS o FROM documents
+  WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2),
 mx AS (SELECT x, sum(o) AS cx FROM cells GROUP BY 1),
 my AS (SELECT y, sum(o) AS cy FROM cells GROUP BY 1),
 tot AS (SELECT sum(o) AS n, count(DISTINCT x) AS r, count(DISTINCT y) AS c FROM cells),
@@ -4834,11 +4835,11 @@ v AS (SELECT n, r, c, (r - 1) * (c - 1) AS dof, chi2_q, n * least(r, c) - n AS v
   CAST((CAST(greatest(chi2_q, 0) AS HUGEINT) * 1000000) // greatest(n * least(r, c) - n, 1) AS BIGINT) AS vsq
   FROM chi, tot),
 s AS (SELECT *, CAST(floor(sqrt(CAST(vsq AS DOUBLE))) AS BIGINT) AS s0 FROM v)
-SELECT n, r, c, dof, chi2_q,
-CASE WHEN vden = 0 THEN 0
+SELECT CAST(n AS BIGINT) AS n, r, c, dof, chi2_q,
+CAST(CASE WHEN vden = 0 THEN 0
      WHEN (s0 + 1) * (s0 + 1) <= vsq THEN s0 + 1
      WHEN s0 * s0 > vsq THEN s0 - 1
-     ELSE s0 END AS cramers_v_ppm
+     ELSE s0 END AS BIGINT) AS cramers_v_ppm
 FROM s""")),
 
     // k-anonymity / l-diversity audit over customer quasi-identifiers

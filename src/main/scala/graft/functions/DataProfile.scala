@@ -55,6 +55,10 @@ object DataProfile {
     * over an integer <= 1e12 (exactly representable in double; one
     * conditional +/-1 correction makes it exact floor-sqrt in any engine).
     * Single-category input (dof = 0, V denominator 0) defines V = 0.
+    * NULL-keyed rows are excluded up front: a NULL category would survive
+    * the groupBy but silently drop from the marginal equi-joins (NULL never
+    * equals NULL) while still counting in n, skewing chi2 negative — the
+    * test is defined over rows where both categories are present.
     * Plan: one corpus aggregation, then marginal/total aggregates on the
     * observed-cell table (category-bounded, never corpus-bounded).
     * Output one row: (n, r, c, dof, chi2_q, cramers_v_ppm).
@@ -64,7 +68,9 @@ object DataProfile {
     // the observed-cell table feeds four downstream aggregates; without
     // materialization each one would replay the corpus scan (measured: 5
     // scans), so checkpoint it — one corpus pass total
-    val cells = df.groupBy(col(colX).as("__x"), col(colY).as("__y"))
+    val cells = df
+      .filter(col(colX).isNotNull && col(colY).isNotNull)
+      .groupBy(col(colX).as("__x"), col(colY).as("__y"))
       .agg(count(lit(1)).as("o"))
       .localCheckpointCapped()
     val mx = cells.groupBy(col("__x")).agg(sum(col("o")).as("cx"))
@@ -81,7 +87,11 @@ object DataProfile {
       .select(when(col("term_q").isNull, raise_error(lit(
           "chiSquaredAssociation: DECIMAL(38,0) term overflow (corpus beyond ~4.6e10 rows)")))
         .otherwise(col("term_q")).as("term_q"))
-    terms.agg(sum(col("term_q")).as("tsum")).crossJoin(tot)
+    // term_q itself is BIGINT (integral div), but summing BIGINTs wraps
+    // silently in non-ANSI mode once n*min(r,c) > 9.2e12 — well under the
+    // per-term 4.6e10-row bound whenever min(r,c) > ~200. Sum in
+    // DECIMAL(38,0) (exact, matches the HUGEINT-summing oracle).
+    terms.agg(sum(col("term_q").cast(dec)).as("tsum")).crossJoin(tot)
       .selectExpr("n", "r", "c", "(r - 1) * (c - 1) AS dof",
         s"CAST(tsum - CAST(n AS $dec) * 1000000 AS BIGINT) AS chi2_q")
       // corrected integer sqrt: vsq <= 1e12 is exact in double, so
