@@ -1264,23 +1264,69 @@ SELECT doc_id AS id, n_toks, score_q, score_q >= 0 AS keep FROM sc ORDER BY 1"""
     // ====================== similarity search extensions ======================
 
     // banded sign-LSH candidate generation (16 bands x 4 bits), exact cosine
-    // on candidates only — no all-pairs nested-loop join in the plan.
-    // ROLE: the recall-first variant, kept alongside its exact sibling so
-    // the LSH-vs-exact recall gap stays measurable; a constant band
-    // geometry keeps a constant FRACTION of the pair space (measured 72x
-    // at 10x corpus — SCALE.md round 9), so the unbounded-corpus path is
-    // q_cell_neardup, which q_ensemble_pairs and q_semdedup now use
+    // on candidates only — no all-pairs nested-loop join in the plan, and
+    // (round 12) a sorted-neighborhood window INSIDE each bucket: members
+    // rank by a per-band deterministic shuffle (md5(band:id)) and only
+    // pairs within 8 rank positions are candidates, so the candidate set
+    // is <= bands * window * n — LINEAR, where the unwindowed constant
+    // geometry kept a constant fraction of n^2 (measured 72x at 10x
+    // corpus — SCALE.md round 9). Truncation is audited by
+    // q_lsh_bucket_audit and the realized recall gated by q_lsh_recall;
+    // q_cell_neardup remains the moderate-threshold production channel
     ("q_embed_neardup", (s, dir) =>
       Similarity.cosineNearDupPairs(emb(s, dir), "vec_id", "embedding", 0.4, 16, 4)
         .orderBy("id_a", "id_b"),
       Some(s"""$EMB_U,
-bk AS (SELECT vec_id, b.band, CAST(list_sum(list_transform(generate_series(1, 4), j -> CASE WHEN embedding[b.band * 4 + j] > 0 THEN CAST(power(2, j - 1) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket FROM embeddings, (SELECT unnest(generate_series(0, 15)) AS band) b),
-cand AS (SELECT DISTINCT x.vec_id AS ia, y.vec_id AS ib FROM bk x JOIN bk y ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+$LSH_RK,
+cand AS (SELECT DISTINCT least(x.vec_id, y.vec_id) AS ia, greatest(x.vec_id, y.vec_id) AS ib FROM rkb x JOIN rkb y ON x.band = y.band AND x.bucket = y.bucket AND y.rk > x.rk AND y.rk <= x.rk + 8),
 dots AS (SELECT c.ia, c.ib, sum(a.x * b.x) AS d FROM cand c JOIN u a ON a.vec_id = c.ia JOIN u b ON b.vec_id = c.ib AND b.i = a.i GROUP BY 1,2),
 norms AS (SELECT vec_id, sum(x * x) AS nn FROM u GROUP BY 1)
 SELECT ia AS id_a, ib AS id_b, round(CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))), 6) AS sim
 FROM dots JOIN norms na ON na.vec_id = ia JOIN norms nb ON nb.vec_id = ib
 WHERE CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= 0.4 ORDER BY 1,2""")),
+
+    // truncation ledger for the windowed LSH channel: per band, how many
+    // buckets exceed the window (their pairs are rank-bounded, not
+    // exhaustive) and how many rows sit in them — keeps the linear
+    // candidate bound honest instead of silently lossy
+    ("q_lsh_bucket_audit", (s, dir) =>
+      Similarity.signLshBucketAudit(emb(s, dir), "vec_id", "embedding", 16, 4, 8)
+        .orderBy("band"),
+      Some(s"""WITH $LSH_BK,
+bs AS (SELECT band, bucket, count(*) AS bsz FROM bk GROUP BY 1, 2)
+SELECT band, count(*) AS n_buckets, max(bsz) AS max_bucket,
+CAST(sum(CASE WHEN bsz > 9 THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+CAST(sum(CASE WHEN bsz > 9 THEN bsz ELSE 0 END) AS BIGINT) AS rows_in_truncated
+FROM bs GROUP BY 1 ORDER BY 1""")),
+
+    // realized recall of the windowed LSH channel vs the exact pair set at
+    // cosine >= 0.4 — the q_cell_recall pattern applied to the sign-LSH
+    // channel, so the window bound's recall price is measured and gated
+    ("q_lsh_recall", (s, dir) => {
+      val exact = Similarity.cosineNearDupPairsExact(emb(s, dir), "vec_id",
+        "embedding", 0.4).select("id_a", "id_b")
+      val lsh = Similarity.cosineNearDupPairs(emb(s, dir), "vec_id",
+        "embedding", 0.4, 16, 4).select("id_a", "id_b")
+      val found = exact.join(lsh, Seq("id_a", "id_b"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .select(col("n_exact"), col("n_found"),
+          when(col("n_exact") > 0, expr("n_found * 1000000 div n_exact"))
+            .otherwise(0L).as("recall_ppm"))
+    },
+      Some(s"""$EMB_U,
+nr AS (SELECT vec_id, sum(x * x) AS nn FROM u GROUP BY 1),
+edots AS (SELECT a.vec_id AS ia, b.vec_id AS ib, sum(a.x * b.x) AS d FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2),
+ex AS (SELECT ia, ib FROM edots JOIN nr na ON na.vec_id = ia JOIN nr nb ON nb.vec_id = ib
+WHERE CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= 0.4),
+$LSH_RK,
+lcand AS (SELECT DISTINCT least(x.vec_id, y.vec_id) AS ia, greatest(x.vec_id, y.vec_id) AS ib FROM rkb x JOIN rkb y ON x.band = y.band AND x.bucket = y.bucket AND y.rk > x.rk AND y.rk <= x.rk + 8),
+ldots AS (SELECT c.ia, c.ib, sum(a.x * b.x) AS d FROM lcand c JOIN u a ON a.vec_id = c.ia JOIN u b ON b.vec_id = c.ib AND b.i = a.i GROUP BY 1, 2),
+lp AS (SELECT ia, ib FROM ldots JOIN nr na ON na.vec_id = ia JOIN nr nb ON nb.vec_id = ib
+WHERE CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= 0.4),
+fnd AS (SELECT ex.ia, ex.ib FROM ex JOIN lp ON lp.ia = ex.ia AND lp.ib = ex.ib)
+SELECT (SELECT count(*) FROM ex) AS n_exact, (SELECT count(*) FROM fnd) AS n_found,
+CASE WHEN (SELECT count(*) FROM ex) > 0 THEN (SELECT count(*) FROM fnd) * 1000000 // (SELECT count(*) FROM ex) ELSE 0 END AS recall_ppm""")),
 
     // exhaustive all-pairs baseline kept verifiable at small SF
     ("q_embed_neardup_exact", (s, dir) =>
@@ -2726,25 +2772,43 @@ FROM n CROSS JOIN f""")),
         .orderBy("id_a", "id_b")
     },
       Some(s"""$EMB_U,
-nr AS (SELECT vec_id, sum(x * x) AS nn FROM u GROUP BY 1),
-${cellCtes()},
-dots AS (SELECT c.ia, c.ib, sum(x1.x * x2.x) AS d FROM ecand c JOIN u x1 ON x1.vec_id = c.ia JOIN u x2 ON x2.vec_id = c.ib AND x2.i = x1.i GROUP BY 1, 2),
-ep AS (SELECT ia, ib FROM dots JOIN nr na ON na.vec_id = ia JOIN nr nb ON nb.vec_id = ib
-WHERE CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= 0.4),
-t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 0)), i -> array_to_string(list_slice(l, i, i + 2), ' '))) AS shingle FROM t),
-xy AS (SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % 576460752303423487 AS x, CAST(concat('0x', substr(md5(shingle), 17, 15)) AS BIGINT) % 576460752303423487 AS y FROM sh),
-hs AS (SELECT doc_id, unnest(generate_series(0, 15)) AS h, x, y FROM xy),
-sig AS (SELECT doc_id, h, min((x + h * y) % 576460752303423487) AS minhash FROM hs GROUP BY 1,2),
-sb AS (SELECT doc_id AS id, h // 4 AS band, md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY h)) AS bucket FROM sig GROUP BY 1,2),
-tcand AS (SELECT DISTINCT x.id AS ia, y.id AS ib FROM sb x JOIN sb y ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id),
-tp AS (SELECT c.ia, c.ib FROM tcand c JOIN sig sa ON sa.doc_id = c.ia JOIN sig sb2 ON sb2.doc_id = c.ib AND sb2.h = sa.h GROUP BY 1,2
-HAVING CAST(sum(CASE WHEN sa.minhash = sb2.minhash THEN 1 ELSE 0 END) AS DOUBLE) / count(*) >= 0.5),
-allp AS (SELECT ia, ib FROM tp UNION SELECT ia, ib FROM ep)
+$ENSEMBLE_CTES
 SELECT a.ia AS id_a, a.ib AS id_b,
 EXISTS (SELECT 1 FROM tp WHERE tp.ia = a.ia AND tp.ib = a.ib) AS text_dup,
 EXISTS (SELECT 1 FROM ep WHERE ep.ia = a.ia AND ep.ib = a.ib) AS embed_dup
 FROM allp a ORDER BY 1, 2""")),
+
+    // per-channel evidence ledger for the ensemble: pairs found by the
+    // text channel only / the embedding channel only / both — the
+    // auditable split that tells a curation policy how much each channel
+    // contributes and how often they corroborate; all-integer one-rower
+    ("q_ensemble_channels", (s, dir) => {
+      val tp = Dedup.minhashLshPairsFromSignatures(docSignatures(s, dir), 16, 4)
+        .filter(col("est_jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"), lit(true).as("text_dup"))
+      val ep = Similarity.cellScopedNearDupPairs(emb(s, dir), "vec_id",
+          "embedding", 0.4)
+        .select(col("id_a"), col("id_b"), lit(true).as("embed_dup"))
+      tp.join(ep, Seq("id_a", "id_b"), "full_outer")
+        .select(coalesce(col("text_dup"), lit(false)).as("t"),
+          coalesce(col("embed_dup"), lit(false)).as("e"))
+        .agg(
+          sum(when(col("t") && !col("e"), 1L).otherwise(0L)).as("n_text_only"),
+          sum(when(!col("t") && col("e"), 1L).otherwise(0L)).as("n_embed_only"),
+          sum(when(col("t") && col("e"), 1L).otherwise(0L)).as("n_both"),
+          count(lit(1)).as("n_total"))
+    },
+      Some(s"""$EMB_U,
+$ENSEMBLE_CTES
+SELECT
+CAST(sum(CASE WHEN td AND NOT ed THEN 1 ELSE 0 END) AS BIGINT) AS n_text_only,
+CAST(sum(CASE WHEN ed AND NOT td THEN 1 ELSE 0 END) AS BIGINT) AS n_embed_only,
+CAST(sum(CASE WHEN td AND ed THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+count(*) AS n_total
+FROM (SELECT
+EXISTS (SELECT 1 FROM tp WHERE tp.ia = a.ia AND tp.ib = a.ib) AS td,
+EXISTS (SELECT 1 FROM ep WHERE ep.ia = a.ia AND ep.ib = a.ib) AS ed
+FROM allp a)""")),
 
     // rendezvous (highest-random-weight) sharding: each doc goes to the
     // shard whose salted hash is lexicographic max — when the shard count
@@ -3256,11 +3320,41 @@ tk AS (SELECT qa, cb, sv FROM rk WHERE rn <= 5)
 SELECT t.qa AS vec_a, t.cb AS vec_b, CAST(floor(t.sv * 1000000) AS BIGINT) AS cos_q
 FROM tk t JOIN tk r ON r.qa = t.cb AND r.cb = t.qa WHERE t.qa < t.cb ORDER BY 1, 2""")),
 
-    // semantic document clustering: weak components over the mutual-KNN
-    // cosine graph — the "group near-identical embedding neighborhoods"
-    // pass between near-dup detection and mixing; reuses the banded KNN
-    // construction + the pointer-doubled component fixpoint
+    // semantic document clustering — THE PRODUCTION PATH: weak components
+    // over the IVF mutual-kNN graph. Candidates come from each vector's
+    // nprobe nearest KMV cells (~sqrt(n) cells, probe-1 functional
+    // membership; the cell equi-join — NO id-inequality-only join in the
+    // plan), so graph construction is O(n * nprobe * cell) ~ n^1.5 vs the
+    // exact scorer's n^2. Exact variant kept as q_doc_clusters_exact; the
+    // IVF recall price is measured by q_doc_clusters_recall, not assumed.
     ("q_doc_clusters", (s, dir) => {
+      val e = emb(s, dir)
+      val cells = Similarity.kmvCellAssign(e, "vec_id", "embedding", probe = 1)
+        .select(col("id").as("vec_id"), col("cell"))
+      val knn = Similarity.mutualKnnGraphIvf(e.join(cells, Seq("vec_id")),
+          "vec_id", "embedding", "cell", k = 5, nprobe = 4)
+        .select(col("vec_a").as("source"), col("vec_b").as("target"))
+      val lab = GraphAlgorithms.componentLabels(
+        NetworkFrame(e.select(col("vec_id").as("id")), knn))
+      lab.join(lab.groupBy("component").agg(count(lit(1)).as("cluster_size")),
+          Seq("component"))
+        .select(col("id").as("vec_id"), col("component").as("cluster"),
+          col("cluster_size"))
+        .orderBy("vec_id")
+    },
+      Some(s"""${EMB_U.replace("WITH u", "WITH RECURSIVE u")},
+nr AS (SELECT vec_id, sum(x * x) AS nn FROM u GROUP BY 1),
+${ivfMutualCtes(5, 4)},
+sym2 AS (SELECT source, target FROM me UNION SELECT target, source FROM me),
+reach(id, r) AS (SELECT vec_id, vec_id FROM embeddings UNION SELECT reach.id, s.target FROM reach JOIN sym2 s ON s.source = reach.r),
+lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY 1),
+sz AS (SELECT cluster, count(*) AS n FROM lab GROUP BY 1)
+SELECT lab.id AS vec_id, lab.cluster, CAST(sz.n AS BIGINT) AS cluster_size
+FROM lab JOIN sz USING (cluster) ORDER BY 1""")),
+
+    // exact-scorer variant of the clustering — correctness baseline and
+    // the recall denominator; all-pairs, small-SF duty only
+    ("q_doc_clusters_exact", (s, dir) => {
       val e = emb(s, dir)
       val knn = Similarity.mutualKnnGraph(e, "vec_id", "embedding", 5)
         .select(col("vec_a").as("source"), col("vec_b").as("target"))
@@ -3287,6 +3381,39 @@ lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY 1),
 sz AS (SELECT cluster, count(*) AS n FROM lab GROUP BY 1)
 SELECT lab.id AS vec_id, lab.cluster, CAST(sz.n AS BIGINT) AS cluster_size
 FROM lab JOIN sz USING (cluster) ORDER BY 1""")),
+
+    // mutual-edge recall of the IVF graph vs the exact graph — the audit
+    // that prices the probe bound (the q_cell_recall pattern applied to
+    // the clustering channel); all-integer output
+    ("q_doc_clusters_recall", (s, dir) => {
+      val e = emb(s, dir)
+      val cells = Similarity.kmvCellAssign(e, "vec_id", "embedding", probe = 1)
+        .select(col("id").as("vec_id"), col("cell"))
+      val ivf = Similarity.mutualKnnGraphIvf(e.join(cells, Seq("vec_id")),
+          "vec_id", "embedding", "cell", k = 5, nprobe = 4)
+        .select("vec_a", "vec_b")
+      val exact = Similarity.mutualKnnGraph(e, "vec_id", "embedding", 5)
+        .select("vec_a", "vec_b")
+      val found = exact.join(ivf, Seq("vec_a", "vec_b"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .select(col("n_exact"), col("n_found"),
+          when(col("n_exact") > 0, expr("n_found * 1000000 div n_exact"))
+            .otherwise(0L).as("recall_ppm"))
+    },
+      Some(s"""$EMB_U,
+nr AS (SELECT vec_id, sum(x * x) AS nn FROM u GROUP BY 1),
+${ivfMutualCtes(5, 4)},
+xdq AS (SELECT a.vec_id AS qa, b.vec_id AS cb, sum(a.x * b.x) AS d
+FROM u a JOIN u b ON a.i = b.i AND a.vec_id <> b.vec_id GROUP BY 1, 2),
+xsims AS (SELECT qa, cb, CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS sv
+FROM xdq JOIN nr na ON na.vec_id = qa JOIN nr nb ON nb.vec_id = cb),
+xrk AS (SELECT qa, cb, row_number() OVER (PARTITION BY qa ORDER BY sv DESC, cb) AS rn FROM xsims),
+xtk AS (SELECT qa, cb FROM xrk WHERE rn <= 5),
+xme AS (SELECT t.qa AS ea, t.cb AS eb FROM xtk t JOIN xtk r ON r.qa = t.cb AND r.cb = t.qa WHERE t.qa < t.cb),
+fnd AS (SELECT x.ea, x.eb FROM xme x JOIN me m ON m.source = x.ea AND m.target = x.eb)
+SELECT (SELECT count(*) FROM xme) AS n_exact, (SELECT count(*) FROM fnd) AS n_found,
+CASE WHEN (SELECT count(*) FROM xme) > 0 THEN (SELECT count(*) FROM fnd) * 1000000 // (SELECT count(*) FROM xme) ELSE 0 END AS recall_ppm""")),
 
     // top session paths: batch sessionization (30-min inactivity gap) +
     // total-order event-type path strings, counted corpus-wide — the
@@ -5827,12 +5954,28 @@ FROM tf, mf ORDER BY 1"""
   private val EMB_U =
     """WITH u AS (SELECT vec_id, s.i, CAST(floor(CAST(embedding[s.i] AS DOUBLE) * 10000000) AS BIGINT) AS x FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) s)"""
 
+  /** Sign-LSH band buckets (16 bands x 4 bits) — mirrors
+    * Similarity.signLshBandBuckets bit for bit: band b's bucket packs the
+    * signs of embedding dims b*4+1..b*4+4 (1-indexed) as bits 0..3.
+    */
+  private val LSH_BK =
+    """bk AS (SELECT vec_id, b.band, CAST(list_sum(list_transform(generate_series(1, 4), j -> CASE WHEN embedding[b.band * 4 + j] > 0 THEN CAST(power(2, j - 1) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket FROM embeddings, (SELECT unnest(generate_series(0, 15)) AS band) b)"""
+
+  /** LSH_BK plus the per-band deterministic shuffle rank `rkb(vec_id, band,
+    * bucket, rk)` — rank within (band, bucket) by (md5('band:id'), id),
+    * mirroring Similarity.lshRanked's window ordering exactly (Spark and
+    * DuckDB both emit lowercase-hex md5 over the same UTF-8 text).
+    */
+  private val LSH_RK =
+    s"""$LSH_BK,
+rkb AS (SELECT vec_id, band, bucket, row_number() OVER (PARTITION BY band, bucket ORDER BY md5(CAST(band AS VARCHAR) || ':' || CAST(vec_id AS VARCHAR)), vec_id) AS rk FROM bk)"""
+
   /** Shared cell-scoped candidate CTEs (requires the `u` prelude and an
     * `nr(vec_id, nn)` norms CTE): ceil(sqrt(n)) KMV seeds, probe-nearest
     * assignment, distinct in-cell pairs as `ecand(ia, ib)` — mirrors
     * Similarity.cellScopedNearDupPairs seed for seed, tie for tie.
     */
-  private def cellCtes(probe: Int = 2): String =
+  private def cellCtes(probe: Int = Similarity.CellProbe): String =
     s"""cnt AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings),
 sr AS (SELECT vec_id, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM embeddings),
 seeds AS (SELECT vec_id AS sid FROM sr, cnt WHERE rn <= k),
@@ -5840,6 +5983,59 @@ sd AS (SELECT a.vec_id AS id, s.vec_id AS sid, sum(a.x * s.x) AS d FROM u a JOIN
 asgx AS (SELECT id, sid, CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(ns.nn AS DOUBLE))) AS csim FROM sd JOIN nr na ON na.vec_id = id JOIN nr ns ON ns.vec_id = sid),
 asg AS (SELECT id, sid FROM (SELECT id, sid, row_number() OVER (PARTITION BY id ORDER BY csim DESC, sid) AS rn FROM asgx) WHERE rn <= $probe),
 ecand AS (SELECT DISTINCT a.id AS ia, b.id AS ib FROM asg a JOIN asg b ON a.sid = b.sid AND a.id < b.id)"""
+
+  /** Ensemble dedup channel CTEs (requires the `u` prelude): the cell
+    * embedding channel `ep(ia, ib)`, the MinHash text channel
+    * `tp(ia, ib)`, and their union `allp(ia, ib)` — shared by
+    * q_ensemble_pairs (pair listing) and q_ensemble_channels (the
+    * per-channel contribution ledger), so the two oracles can never
+    * drift apart.
+    */
+  private lazy val ENSEMBLE_CTES =
+    s"""nr AS (SELECT vec_id, sum(x * x) AS nn FROM u GROUP BY 1),
+${cellCtes()},
+dots AS (SELECT c.ia, c.ib, sum(x1.x * x2.x) AS d FROM ecand c JOIN u x1 ON x1.vec_id = c.ia JOIN u x2 ON x2.vec_id = c.ib AND x2.i = x1.i GROUP BY 1, 2),
+ep AS (SELECT ia, ib FROM dots JOIN nr na ON na.vec_id = ia JOIN nr nb ON nb.vec_id = ib
+WHERE CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= 0.4),
+t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 0)), i -> array_to_string(list_slice(l, i, i + 2), ' '))) AS shingle FROM t),
+xy AS (SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % 576460752303423487 AS x, CAST(concat('0x', substr(md5(shingle), 17, 15)) AS BIGINT) % 576460752303423487 AS y FROM sh),
+hs AS (SELECT doc_id, unnest(generate_series(0, 15)) AS h, x, y FROM xy),
+sig AS (SELECT doc_id, h, min((x + h * y) % 576460752303423487) AS minhash FROM hs GROUP BY 1,2),
+sb AS (SELECT doc_id AS id, h // 4 AS band, md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY h)) AS bucket FROM sig GROUP BY 1,2),
+tcand AS (SELECT DISTINCT x.id AS ia, y.id AS ib FROM sb x JOIN sb y ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id),
+tp AS (SELECT c.ia, c.ib FROM tcand c JOIN sig sa ON sa.doc_id = c.ia JOIN sig sb2 ON sb2.doc_id = c.ib AND sb2.h = sa.h GROUP BY 1,2
+HAVING CAST(sum(CASE WHEN sa.minhash = sb2.minhash THEN 1 ELSE 0 END) AS DOUBLE) / count(*) >= 0.5),
+allp AS (SELECT ia, ib FROM tp UNION SELECT ia, ib FROM ep)"""
+
+  /** IVF mutual-kNN CTE chain (requires the `u` prelude and an
+    * `nr(vec_id, nn)` norms CTE): KMV probe-1 cell assignment (mirrors
+    * Similarity.kmvCellAssign seed for seed, tie for tie), integer
+    * centroids with truncate-toward-zero mean (mirrors
+    * Similarity.ivfCentroids' decimal DIV), `nprobe` nearest cells per
+    * query by exact centroid cosine (cell-id tie-break), in-cell exact
+    * scoring, top-`k` with neighbor-id tie-break, mutual semi-join —
+    * ends in `me(source, target)` with source < target.
+    */
+  private def ivfMutualCtes(k: Int, nprobe: Int): String =
+    s"""cnt AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings),
+sr AS (SELECT vec_id, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srn FROM embeddings),
+seeds AS (SELECT vec_id AS sid FROM sr, cnt WHERE srn <= k),
+sd AS (SELECT a.vec_id AS id, s.vec_id AS sid, sum(a.x * s.x) AS d FROM u a JOIN u s ON s.i = a.i WHERE s.vec_id IN (SELECT sid FROM seeds) GROUP BY 1, 2),
+asgx AS (SELECT id, sid, CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(ns.nn AS DOUBLE))) AS csim FROM sd JOIN nr na ON na.vec_id = id JOIN nr ns ON ns.vec_id = sid),
+lb AS (SELECT id AS vec_id, sid AS cell FROM (SELECT id, sid, row_number() OVER (PARTITION BY id ORDER BY csim DESC, sid) AS arn FROM asgx) WHERE arn <= 1),
+g AS (SELECT lb.cell, u.i, sum(u.x) AS sx, count(*) AS n FROM u JOIN lb USING (vec_id) GROUP BY 1, 2),
+cent AS (SELECT cell, i, CAST(CASE WHEN sx >= 0 THEN sx // n ELSE -((-sx) // n) END AS BIGINT) AS cq FROM g),
+cnx AS (SELECT cell, sum(cq * cq) AS cn2 FROM cent GROUP BY 1),
+qc AS (SELECT u.vec_id, c.cell, sum(u.x * c.cq) AS d FROM u JOIN cent c ON c.i = u.i GROUP BY 1, 2),
+psx AS (SELECT qc.vec_id, qc.cell, CAST(d AS DOUBLE) / (sqrt(CAST(nn AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) AS cs FROM qc JOIN nr ON nr.vec_id = qc.vec_id JOIN cnx ON cnx.cell = qc.cell),
+probed AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS pn FROM psx) WHERE pn <= $nprobe),
+icand AS (SELECT p.vec_id AS qa, c.vec_id AS cb FROM probed p JOIN lb c ON c.cell = p.cell AND c.vec_id <> p.vec_id),
+idq AS (SELECT icand.qa, icand.cb, sum(a.x * b.x) AS d FROM icand JOIN u a ON a.vec_id = icand.qa JOIN u b ON b.vec_id = icand.cb AND b.i = a.i GROUP BY 1, 2),
+isims AS (SELECT qa, cb, CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS sv FROM idq JOIN nr na ON na.vec_id = qa JOIN nr nb ON nb.vec_id = cb),
+irk AS (SELECT qa, cb, row_number() OVER (PARTITION BY qa ORDER BY sv DESC, cb) AS irn FROM isims),
+itk AS (SELECT qa, cb FROM irk WHERE irn <= $k),
+me AS (SELECT t.qa AS source, t.cb AS target FROM itk t JOIN itk r ON r.qa = t.cb AND r.cb = t.qa WHERE t.qa < t.cb)"""
 
   private val ALL_MARKERS = TextAnalysis.langMarkers.flatMap(_._2)
     .map(m => s"'$m'").mkString(",")

@@ -25,8 +25,16 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 # Types whose DuckDB->pandas conversion is not bit-identical to the Spark
-# parquet column a correctly-aliased query would produce.
+# parquet column a correctly-aliased query would produce. Hard failures.
 BAD = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+# Raw-float output columns are the OTHER flake class (the round-9 q_chi2
+# value flake was a double computed with different summation orders): any
+# engine-order-sensitive arithmetic that lands in a DOUBLE output can
+# hash-mismatch. Warn — rounded doubles (round(x, 6) similarity scores)
+# are an accepted, measured-stable idiom — but every warned column should
+# be a deliberate choice, not an unaliased accident.
+WARN = ("DOUBLE", "FLOAT", "REAL")
 
 
 def main():
@@ -38,6 +46,7 @@ def main():
     oracles = json.loads(Path(oracle_json).read_text())
 
     failures = []
+    warnings = []
     for name in sorted(oracles):
         try:
             desc = con.sql(f"DESCRIBE {oracles[name]}").fetchall()
@@ -47,14 +56,21 @@ def main():
         for col, typ, *_ in desc:
             if any(b in typ.upper() for b in BAD):
                 failures.append((name, f"column `{col}` is {typ}"))
+            elif any(w in typ.upper() for w in WARN):
+                warnings.append((name, f"column `{col}` is {typ}"))
 
+    for name, why in warnings:
+        print(f"  {name:24s} type-lint warn: {why} "
+              f"(floating output — must be rounded/deliberate)")
     if failures:
         for name, why in failures:
             print(f"  {name:24s} TYPE LINT FAIL: {why}")
-        print(f"{len(failures)} type-lint failures / {len(oracles)} oracles")
+        print(f"{len(failures)} type-lint failures / {len(oracles)} oracles "
+              f"({len(warnings)} float warnings)")
         sys.exit(1)
     print(f"oracle type lint: {len(oracles)} oracles clean "
-          f"(no {'/'.join(BAD)} output columns)")
+          f"(no {'/'.join(BAD)} output columns; "
+          f"{len(warnings)} deliberate-float warnings)")
 
 
 if __name__ == "__main__":
