@@ -3325,14 +3325,15 @@ FROM tk t JOIN tk r ON r.qa = t.cb AND r.cb = t.qa WHERE t.qa < t.cb ORDER BY 1,
     // nprobe nearest KMV cells (~sqrt(n) cells, probe-1 functional
     // membership; the cell equi-join — NO id-inequality-only join in the
     // plan), so graph construction is O(n * nprobe * cell) ~ n^1.5 vs the
-    // exact scorer's n^2. Exact variant kept as q_doc_clusters_exact; the
-    // IVF recall price is measured by q_doc_clusters_recall, not assumed.
+    // exact scorer's n^2; the fused mutualKnnGraphKmv quantizes the corpus
+    // ONCE and derives cells/centroids/probes/scores from that checkpoint
+    // (the composed form costs three corpus scans). Exact variant kept as
+    // q_doc_clusters_exact; the IVF recall price is measured by
+    // q_doc_clusters_recall, not assumed.
     ("q_doc_clusters", (s, dir) => {
       val e = emb(s, dir)
-      val cells = Similarity.kmvCellAssign(e, "vec_id", "embedding", probe = 1)
-        .select(col("id").as("vec_id"), col("cell"))
-      val knn = Similarity.mutualKnnGraphIvf(e.join(cells, Seq("vec_id")),
-          "vec_id", "embedding", "cell", k = 5, nprobe = 4)
+      val knn = Similarity.mutualKnnGraphKmv(e, "vec_id", "embedding",
+          k = 5, nprobe = 4)
         .select(col("vec_a").as("source"), col("vec_b").as("target"))
       val lab = GraphAlgorithms.componentLabels(
         NetworkFrame(e.select(col("vec_id").as("id")), knn))
@@ -3387,10 +3388,8 @@ FROM lab JOIN sz USING (cluster) ORDER BY 1""")),
     // the clustering channel); all-integer output
     ("q_doc_clusters_recall", (s, dir) => {
       val e = emb(s, dir)
-      val cells = Similarity.kmvCellAssign(e, "vec_id", "embedding", probe = 1)
-        .select(col("id").as("vec_id"), col("cell"))
-      val ivf = Similarity.mutualKnnGraphIvf(e.join(cells, Seq("vec_id")),
-          "vec_id", "embedding", "cell", k = 5, nprobe = 4)
+      val ivf = Similarity.mutualKnnGraphKmv(e, "vec_id", "embedding",
+          k = 5, nprobe = 4)
         .select("vec_a", "vec_b")
       val exact = Similarity.mutualKnnGraph(e, "vec_id", "embedding", 5)
         .select("vec_a", "vec_b")

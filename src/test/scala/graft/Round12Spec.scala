@@ -62,6 +62,19 @@ class Round12Spec extends AnyFunSuite with SparkFixture {
       "shared edges must score identically (same quantized dot)")
   }
 
+  test("fused mutualKnnGraphKmv is bit-identical to composed kmvCellAssign + mutualKnnGraphIvf") {
+    val e = emb100
+    val fused = Similarity.mutualKnnGraphKmv(e, "vec_id", "embedding",
+      k = 5, nprobe = 4)
+    val cells = Similarity.kmvCellAssign(e, "vec_id", "embedding", probe = 1)
+      .select(col("id").as("vec_id"), col("cell"))
+    val composed = Similarity.mutualKnnGraphIvf(e.join(cells, Seq("vec_id")),
+      "vec_id", "embedding", "cell", k = 5, nprobe = 4)
+    assert(fused.exceptAll(composed).count() == 0)
+    assert(composed.exceptAll(fused).count() == 0)
+    assert(fused.count() > 0, "fixture must produce mutual edges")
+  }
+
   test("q_doc_clusters plan has no join conditioned on id inequality alone") {
     val df = SparkEntry.queries("q_doc_clusters")(spark, SF)
     val plan = df.queryExecution.executedPlan.toString
