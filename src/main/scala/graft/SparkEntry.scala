@@ -4446,29 +4446,38 @@ FROM r GROUP BY 1 ORDER BY 1""")),
       TextAnalysis.bpeMerges(docs(s, dir), "doc_id", "text", rounds = 4)
         .orderBy("round"),
       Some {
-        val words = """WITH words AS (
-  SELECT w AS word, count(*) AS freq
-  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-  WHERE w <> '' GROUP BY 1),
-s0 AS (SELECT freq, ' ' || array_to_string(regexp_split_to_array(word, ''), '  ') || ' ' AS sym FROM words)"""
-        def round(i: Int): String = {
-          val (p, b, sPrev, sNext) = (s"p$i", s"b$i", s"s${i - 1}", s"s$i")
-          s""",
-$p AS (
-  SELECT arr[i] AS l, arr[i+1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
-  FROM (SELECT freq, string_split(trim(sym), '  ') AS arr FROM $sPrev) t,
-       UNNEST(generate_series(1, len(t.arr) - 1)) AS u(i)
-  GROUP BY 1, 2),
-$b AS (SELECT l, r, cnt FROM $p ORDER BY cnt DESC, l, r LIMIT 1),
-$sNext AS (SELECT freq, replace(sym,
-  ' ' || (SELECT l FROM $b) || '  ' || (SELECT r FROM $b) || ' ',
-  ' ' || (SELECT l FROM $b) || (SELECT r FROM $b) || ' ') AS sym FROM $sPrev)"""
-        }
         val unions = (1 to 4).map(i =>
           s"""SELECT $i AS round, l AS "left", r AS "right", l||r AS merged, cnt AS pair_count FROM b$i""")
           .mkString("\nUNION ALL ")
-        words + (1 to 4).map(round).mkString +
-          s"\nSELECT * FROM (\n$unions) ORDER BY round"
+        bpeTrainCtes(4) + s"\nSELECT * FROM (\n$unions) ORDER BY round"
+      }),
+
+    // BPE ENCODE: the trained merge table (4 rounds, a bounded driver
+    // collect — same class as training's per-round argmax) applied to
+    // every document as a chain of codegen'd replaces over per-word
+    // symbol strings — map-only, zero shuffles; at corpus scale THIS is
+    // the pass that touches every byte, so it must not join or shuffle
+    ("q_bpe_encode", (s, dir) => {
+      val m = TextAnalysis.bpeMerges(docs(s, dir), "doc_id", "text", rounds = 4)
+        .orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeEncode(docs(s, dir), "doc_id", "text", m)
+        .orderBy("doc_id")
+    },
+      Some {
+        val enc = (1 to 4).map(i => s""",
+e$i AS (SELECT doc_id, wchars, replace(sym,
+  ' ' || (SELECT l FROM b$i) || '  ' || (SELECT r FROM b$i) || ' ',
+  ' ' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || ' ') AS sym FROM e${i - 1})""").mkString
+        bpeTrainCtes(4) + s""",
+dw AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w FROM documents),
+e0 AS (SELECT doc_id, ' ' || array_to_string(regexp_split_to_array(w, ''), '  ') || ' ' AS sym, length(w) AS wchars FROM dw)$enc,
+tok AS (SELECT doc_id, count(*) AS nw, sum(wchars) AS nc, sum(len(string_split(trim(sym), '  '))) AS nt FROM e4 GROUP BY 1)
+SELECT d.doc_id, CAST(coalesce(nw, 0) AS BIGINT) AS n_words,
+CAST(coalesce(nc, 0) AS BIGINT) AS n_chars,
+CAST(coalesce(nt, 0) AS BIGINT) AS n_tokens,
+CAST(coalesce(nc, 0) - coalesce(nt, 0) AS BIGINT) AS saved
+FROM documents d LEFT JOIN tok USING (doc_id) ORDER BY 1"""
       }),
 
     // the published Gopher rule filter (Rae et al. 2021, A1.1): integer
@@ -5982,6 +5991,36 @@ sd AS (SELECT a.vec_id AS id, s.vec_id AS sid, sum(a.x * s.x) AS d FROM u a JOIN
 asgx AS (SELECT id, sid, CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(ns.nn AS DOUBLE))) AS csim FROM sd JOIN nr na ON na.vec_id = id JOIN nr ns ON ns.vec_id = sid),
 asg AS (SELECT id, sid FROM (SELECT id, sid, row_number() OVER (PARTITION BY id ORDER BY csim DESC, sid) AS rn FROM asgx) WHERE rn <= $probe),
 ecand AS (SELECT DISTINCT a.id AS ia, b.id AS ib FROM asg a JOIN asg b ON a.sid = b.sid AND a.id < b.id)"""
+
+  /** BPE training CTE chain: corpus word-frequency table, char-split
+    * symbol strings (s0), and per-round pair-count/argmax/replace CTEs
+    * (p$i/b$i/s$i for 1..rounds) — mirrors TextAnalysis.bpeMerges round
+    * for round, tie for tie. Shared by q_bpe_merges (emits the merge
+    * table) and q_bpe_encode (applies b1..bN to per-document symbols), so
+    * the training the encode oracle replays can never drift from the
+    * gated training oracle.
+    */
+  private def bpeTrainCtes(rounds: Int): String = {
+    val words = """WITH words AS (
+  SELECT w AS word, count(*) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY 1),
+s0 AS (SELECT freq, ' ' || array_to_string(regexp_split_to_array(word, ''), '  ') || ' ' AS sym FROM words)"""
+    def round(i: Int): String = {
+      val (p, b, sPrev, sNext) = (s"p$i", s"b$i", s"s${i - 1}", s"s$i")
+      s""",
+$p AS (
+  SELECT arr[i] AS l, arr[i+1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT freq, string_split(trim(sym), '  ') AS arr FROM $sPrev) t,
+       UNNEST(generate_series(1, len(t.arr) - 1)) AS u(i)
+  GROUP BY 1, 2),
+$b AS (SELECT l, r, cnt FROM $p ORDER BY cnt DESC, l, r LIMIT 1),
+$sNext AS (SELECT freq, replace(sym,
+  ' ' || (SELECT l FROM $b) || '  ' || (SELECT r FROM $b) || ' ',
+  ' ' || (SELECT l FROM $b) || (SELECT r FROM $b) || ' ') AS sym FROM $sPrev)"""
+    }
+    words + (1 to rounds).map(round).mkString
+  }
 
   /** Ensemble dedup channel CTEs (requires the `u` prelude): the cell
     * embedding channel `ep(ia, ib)`, the MinHash text channel

@@ -715,6 +715,39 @@ object TextAnalysis {
         col("merged"), col("pair_count"))
   }
 
+  /** BPE ENCODE — apply a learned merge table (the output of [[bpeMerges]])
+    * to every document: the tokenizer-application pass that actually runs
+    * over the full corpus in an LLM pipeline, where training touched only
+    * the word-frequency table. Each word becomes the flanked double-space
+    * symbol string (" a  b  c "), then the merges fold into a CHAIN of
+    * codegen'd `replace` calls in learned order — the same
+    * one-pass-per-merge greedy semantics as training, see [[bpeMerges]]'s
+    * delimiter argument. The whole operator is per-row higher-order
+    * expressions: map-only, ZERO shuffles, scan prunes to (id, text) — at
+    * 100 TB it is an embarrassingly parallel linear pass, and the merge
+    * table rides the expression tree (bounded <= 64 entries), not a join.
+    * Output per doc: n_words, n_chars (char-level token count), n_tokens
+    * (post-merge), saved = n_chars - n_tokens. All-integer.
+    */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    require(merges.size <= 64, "merge table bounded at 64 entries")
+    val words = expr(s"filter(split($textCol, ' '), w -> length(w) > 0)")
+    val sym0 = transform(words, w =>
+      concat(lit(" "), array_join(split(w, ""), "  "), lit(" ")))
+    val symN = merges.foldLeft(sym0) { case (c, (l, r)) =>
+      transform(c, s => replace(s, lit(s" $l  $r "), lit(s" $l$r ")))
+    }
+    df.select(col(idCol),
+        size(words).cast("long").as("n_words"),
+        aggregate(words, lit(0L),
+          (acc, w) => acc + length(w).cast("long")).as("n_chars"),
+        aggregate(symN, lit(0L),
+          (acc, s) => acc + size(split(trim(s), "  ")).cast("long"))
+          .as("n_tokens"))
+      .withColumn("saved", col("n_chars") - col("n_tokens"))
+  }
+
   /** Gopher stop words (Rae et al. 2021, Appendix A1.1): a document must
     * contain at least two of these to pass the rule filter. */
   val gopherStopWords: Seq[String] =

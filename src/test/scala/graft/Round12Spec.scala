@@ -126,6 +126,33 @@ class Round12Spec extends AnyFunSuite with SparkFixture {
     assert(tOnly + eOnly + both == total, "partition must be exhaustive")
   }
 
+  test("bpeEncode: greedy merge semantics, empty table is char-level, map-only plan") {
+    import spark.implicits._
+    import graft.functions.TextAnalysis
+    val docs = Seq((1L, "aaaa aaa b"), (2L, ""), (3L, "ab")).toDF("doc_id", "text")
+    // char-level baseline: no merges, token count == char count
+    val base = TextAnalysis.bpeEncode(docs, "doc_id", "text", Nil)
+      .orderBy("doc_id").collect()
+    assert(base.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((3L, 8L, 8L), (0L, 0L, 0L), (1L, 2L, 2L)))
+    // one (a,a) merge: "aaaa" -> "aa aa" (2 tokens), "aaa" -> "aa a" (2),
+    // "b" -> 1, "ab" -> "a b" stays 2 — the non-overlapping replace IS the
+    // greedy merge
+    val m1 = TextAnalysis.bpeEncode(docs, "doc_id", "text", Seq(("a", "a")))
+      .orderBy("doc_id").collect()
+    assert(m1.map(r => (r.getLong(3), r.getLong(4))).toSeq ==
+      Seq((5L, 3L), (0L, 0L), (2L, 0L)))
+    // then (aa,aa): "aa aa" -> "aaaa" (1 token)
+    val m2 = TextAnalysis.bpeEncode(docs, "doc_id", "text",
+      Seq(("a", "a"), ("aa", "aa")))
+      .orderBy("doc_id").collect()
+    assert(m2.head.getLong(3) == 4L) // aaaa(1) + aa,a(2) + b(1)
+    // the encode pass must be map-only: no Exchange anywhere in the plan
+    val plan = TextAnalysis.bpeEncode(docs, "doc_id", "text",
+      Seq(("a", "a"), ("aa", "aa"))).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"encode must not shuffle\n$plan")
+  }
+
   test("Bench outlier records: official value is min(shared, solo)") {
     // the selection rule lives in Bench.main; pin the arithmetic contract
     // the file format documents — min() adjudication, both values kept
