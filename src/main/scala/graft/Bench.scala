@@ -71,7 +71,9 @@ object Bench {
         import org.json4s.jackson.JsonMethods
         val root = JsonMethods.parse(new String(
           java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
-        (root \ "queries") match {
+        // driver-written BENCH_r*.json nests the dict under "parsed";
+        // our own files carry it at top level — recursive lookup covers both
+        (root \\ "queries") match {
           case JObject(fields) => fields.collect {
             case (k, JDouble(v)) => k -> v
             case (k, JInt(v)) => k -> v.toDouble
