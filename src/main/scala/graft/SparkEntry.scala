@@ -3333,7 +3333,7 @@ FROM tk t JOIN tk r ON r.qa = t.cb AND r.cb = t.qa WHERE t.qa < t.cb ORDER BY 1,
     ("q_doc_clusters", (s, dir) => {
       val e = emb(s, dir)
       val knn = Similarity.mutualKnnGraphKmv(e, "vec_id", "embedding",
-          k = 5, nprobe = 4)
+          k = 5, nprobe = DocClusterProbe)
         .select(col("vec_a").as("source"), col("vec_b").as("target"))
       val lab = GraphAlgorithms.componentLabels(
         NetworkFrame(e.select(col("vec_id").as("id")), knn))
@@ -3345,7 +3345,7 @@ FROM tk t JOIN tk r ON r.qa = t.cb AND r.cb = t.qa WHERE t.qa < t.cb ORDER BY 1,
     },
       Some(s"""${EMB_U.replace("WITH u", "WITH RECURSIVE u")},
 nr AS (SELECT vec_id, sum(x * x) AS nn FROM u GROUP BY 1),
-${ivfMutualCtes(5, 4)},
+${ivfMutualCtes(5, DocClusterProbe)},
 sym2 AS (SELECT source, target FROM me UNION SELECT target, source FROM me),
 reach(id, r) AS (SELECT vec_id, vec_id FROM embeddings UNION SELECT reach.id, s.target FROM reach JOIN sym2 s ON s.source = reach.r),
 lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY 1),
@@ -3385,34 +3385,50 @@ FROM lab JOIN sz USING (cluster) ORDER BY 1""")),
 
     // mutual-edge recall of the IVF graph vs the exact graph — the audit
     // that prices the probe bound (the q_cell_recall pattern applied to
-    // the clustering channel); all-integer output
+    // the clustering channel). Stratified: overall recall counts every
+    // exact mutual edge (including weak far-neighbor top-5 edges, the
+    // first casualties of a fixed nprobe as cells grow), while the strong
+    // band (cos >= 0.4, the near-dup threshold) counts the edges that
+    // actually merge clusters — the number that must stay high at scale.
+    // All-integer output.
     ("q_doc_clusters_recall", (s, dir) => {
       val e = emb(s, dir)
       val ivf = Similarity.mutualKnnGraphKmv(e, "vec_id", "embedding",
-          k = 5, nprobe = 4)
+          k = 5, nprobe = DocClusterProbe)
         .select("vec_a", "vec_b")
       val exact = Similarity.mutualKnnGraph(e, "vec_id", "embedding", 5)
-        .select("vec_a", "vec_b")
+        .select("vec_a", "vec_b", "cos_q")
       val found = exact.join(ivf, Seq("vec_a", "vec_b"), "left_semi")
+      val strongE = exact.filter(col("cos_q") >= 400000L)
+      val strongF = found.filter(col("cos_q") >= 400000L)
       exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .crossJoin(strongE.agg(count(lit(1)).as("n_exact_strong")))
+        .crossJoin(strongF.agg(count(lit(1)).as("n_found_strong")))
         .select(col("n_exact"), col("n_found"),
           when(col("n_exact") > 0, expr("n_found * 1000000 div n_exact"))
-            .otherwise(0L).as("recall_ppm"))
+            .otherwise(0L).as("recall_ppm"),
+          col("n_exact_strong"), col("n_found_strong"),
+          when(col("n_exact_strong") > 0,
+            expr("n_found_strong * 1000000 div n_exact_strong"))
+            .otherwise(0L).as("recall_strong_ppm"))
     },
       Some(s"""$EMB_U,
 nr AS (SELECT vec_id, sum(x * x) AS nn FROM u GROUP BY 1),
-${ivfMutualCtes(5, 4)},
+${ivfMutualCtes(5, DocClusterProbe)},
 xdq AS (SELECT a.vec_id AS qa, b.vec_id AS cb, sum(a.x * b.x) AS d
 FROM u a JOIN u b ON a.i = b.i AND a.vec_id <> b.vec_id GROUP BY 1, 2),
 xsims AS (SELECT qa, cb, CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS sv
 FROM xdq JOIN nr na ON na.vec_id = qa JOIN nr nb ON nb.vec_id = cb),
-xrk AS (SELECT qa, cb, row_number() OVER (PARTITION BY qa ORDER BY sv DESC, cb) AS rn FROM xsims),
-xtk AS (SELECT qa, cb FROM xrk WHERE rn <= 5),
-xme AS (SELECT t.qa AS ea, t.cb AS eb FROM xtk t JOIN xtk r ON r.qa = t.cb AND r.cb = t.qa WHERE t.qa < t.cb),
-fnd AS (SELECT x.ea, x.eb FROM xme x JOIN me m ON m.source = x.ea AND m.target = x.eb)
+xrk AS (SELECT qa, cb, sv, row_number() OVER (PARTITION BY qa ORDER BY sv DESC, cb) AS rn FROM xsims),
+xtk AS (SELECT qa, cb, sv FROM xrk WHERE rn <= 5),
+xme AS (SELECT t.qa AS ea, t.cb AS eb, CAST(floor(t.sv * 1000000) AS BIGINT) AS cq FROM xtk t JOIN xtk r ON r.qa = t.cb AND r.cb = t.qa WHERE t.qa < t.cb),
+fnd AS (SELECT x.ea, x.eb, x.cq FROM xme x JOIN me m ON m.source = x.ea AND m.target = x.eb)
 SELECT (SELECT count(*) FROM xme) AS n_exact, (SELECT count(*) FROM fnd) AS n_found,
-CASE WHEN (SELECT count(*) FROM xme) > 0 THEN (SELECT count(*) FROM fnd) * 1000000 // (SELECT count(*) FROM xme) ELSE 0 END AS recall_ppm""")),
+CASE WHEN (SELECT count(*) FROM xme) > 0 THEN (SELECT count(*) FROM fnd) * 1000000 // (SELECT count(*) FROM xme) ELSE 0 END AS recall_ppm,
+(SELECT count(*) FROM xme WHERE cq >= 400000) AS n_exact_strong,
+(SELECT count(*) FROM fnd WHERE cq >= 400000) AS n_found_strong,
+CASE WHEN (SELECT count(*) FROM xme WHERE cq >= 400000) > 0 THEN (SELECT count(*) FROM fnd WHERE cq >= 400000) * 1000000 // (SELECT count(*) FROM xme WHERE cq >= 400000) ELSE 0 END AS recall_strong_ppm""")),
 
     // top session paths: batch sessionization (30-min inactivity gap) +
     // total-order event-type path strings, counted corpus-wide — the
@@ -6045,6 +6061,16 @@ tcand AS (SELECT DISTINCT x.id AS ia, y.id AS ib FROM sb x JOIN sb y ON x.band =
 tp AS (SELECT c.ia, c.ib FROM tcand c JOIN sig sa ON sa.doc_id = c.ia JOIN sig sb2 ON sb2.doc_id = c.ib AND sb2.h = sa.h GROUP BY 1,2
 HAVING CAST(sum(CASE WHEN sa.minhash = sb2.minhash THEN 1 ELSE 0 END) AS DOUBLE) / count(*) >= 0.5),
 allp AS (SELECT ia, ib FROM tp UNION SELECT ia, ib FROM ep)"""
+
+  /** Probe width of the q_doc_clusters IVF gate. Chosen on the stratified
+    * q_doc_clusters_recall audit (round-12 grid): nprobe=8 doubles the
+    * probed-cell fraction over nprobe=4 for ~2x candidate work that stays
+    * n^1.5-shaped (candidates = nprobe * n^1.5 with sqrt(n) cells). The
+    * recall rows at both audited SFs live in COVERAGE.md; like every IVF
+    * index, recall at FIXED nprobe declines as cells grow — the audit row
+    * exists so that decline is a measured number, not a surprise.
+    */
+  private val DocClusterProbe = 8
 
   /** IVF mutual-kNN CTE chain (requires the `u` prelude and an
     * `nr(vec_id, nn)` norms CTE): KMV probe-1 cell assignment (mirrors
