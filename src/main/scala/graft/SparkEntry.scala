@@ -1249,6 +1249,36 @@ xy AS (SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) 
 hs AS (SELECT doc_id, unnest(generate_series(0, 15)) AS h, x, y FROM xy)
 SELECT doc_id AS id, CAST(h AS INT) AS h, min((x + h * y) % 576460752303423487) AS minhash FROM hs GROUP BY 1,2 ORDER BY 1,2""")),
 
+    // snapshot-delta near-dup admission (the daily-crawl ingest gate): a
+    // 10% hash-held-out batch of "new" docs is checked against the 90%
+    // standing corpus WITHOUT rescanning it — the corpus side enters as
+    // its at-rest MinHash signature table (numHashes rows per doc, the
+    // only corpus state the gate ever touches), candidates come from an
+    // LSH band-bucket equi-join, and only candidate pairs are verified by
+    // signature agreement. At 100 TB the standing corpus is parquet
+    // signatures, the batch side is broadcast-sized, and nothing is
+    // all-pairs — admission cost scales with the BATCH, not the corpus
+    ("q_incremental_dedup", (s, dir) => {
+      val d = docs(s, dir)
+      val bk = graft.functions.Sampling.hashBucket(col("doc_id"), 10, "inc")
+      val batch = d.filter(bk === 9)
+      val corpusSig = Dedup.minhashSignatures(
+        d.filter(bk < 9), "doc_id", "text", 16, 3)
+      Dedup.dedupAgainstCorpus(batch, "doc_id", "text", corpusSig, 16, 4, 3, 0.5)
+        .orderBy("new_id", "corpus_id")
+    },
+      Some("""WITH d AS (SELECT doc_id, text, CAST(concat('0x', substr(md5(concat('inc', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10 AS bk FROM documents),
+t AS (SELECT doc_id, bk, string_split(text, ' ') AS l FROM d),
+sh AS (SELECT DISTINCT doc_id, bk, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 0)), i -> array_to_string(list_slice(l, i, i + 2), ' '))) AS shingle FROM t),
+xy AS (SELECT doc_id, bk, CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % 576460752303423487 AS x, CAST(concat('0x', substr(md5(shingle), 17, 15)) AS BIGINT) % 576460752303423487 AS y FROM sh),
+hs AS (SELECT doc_id, bk, unnest(generate_series(0, 15)) AS h, x, y FROM xy),
+sig AS (SELECT doc_id, bk, h, min((x + h * y) % 576460752303423487) AS minhash FROM hs GROUP BY 1,2,3),
+b AS (SELECT doc_id AS id, bk, h // 4 AS band, md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY h)) AS bucket FROM sig GROUP BY 1,2,3),
+cand AS (SELECT DISTINCT x.id AS nid, y.id AS cid FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket WHERE x.bk = 9 AND y.bk < 9)
+SELECT c.nid AS new_id, c.cid AS corpus_id, CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS est_jaccard
+FROM cand c JOIN sig sa ON sa.doc_id = c.nid JOIN sig sb ON sb.doc_id = c.cid AND sb.h = sa.h
+GROUP BY 1,2 HAVING CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS DOUBLE) / count(*) >= 0.5 ORDER BY 1,2""")),
+
     // hashed linear classifier inference (fastText-style bag-of-words
     // scoring): per-token slot weights derived from the hashing-trick
     // feature map, mean weight per doc as the keep/drop quality gate
