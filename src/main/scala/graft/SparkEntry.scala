@@ -1897,6 +1897,23 @@ ds AS (SELECT doc_id, count(*) AS n_bigrams, sum(f) AS fs FROM bg JOIN cf USING 
 SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, CAST(fs AS BIGINT) AS freq_sum,
 CAST((fs * 1000000) // n_bigrams AS BIGINT) AS lm_score_q FROM ds ORDER BY 1""")),
 
+    // conditional-bigram fluency filter (integer-exact CCNet-perplexity
+    // stand-in): avg ppm of P(w2|w1) over each doc's bigrams — joint
+    // frequency (q_bigram_lm) scores common WORDS, this scores predictable
+    // TRANSITIONS, which is the signal a fluency gate actually wants
+    ("q_lm_filter", (s, dir) =>
+      TextAnalysis.conditionalBigramScore(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(l) - 1), i -> struct_pack(w1 := l[i], bigram := l[i] || ' ' || l[i + 1]))) AS b FROM t WHERE len(l) >= 2),
+sp AS (SELECT doc_id, b.w1 AS w1, b.bigram AS bigram FROM bg),
+fxy AS (SELECT bigram, count(*) AS fxy FROM sp GROUP BY 1),
+fx AS (SELECT w1, count(*) AS fx FROM sp GROUP BY 1),
+ds AS (SELECT doc_id, count(*) AS n_bigrams, sum((1000000 * fxy) // fx) AS ts
+FROM sp JOIN fxy USING (bigram) JOIN fx USING (w1) GROUP BY 1)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+CAST(ts // n_bigrams AS BIGINT) AS cond_score_q FROM ds ORDER BY 1""")),
+
     // per-source quality percentile rank (percent_rank = (rank-1)/(n-1)
     // over exact integer scores — engine-identical double); the per-group
     // ranking every "keep the best X% per domain" policy needs
@@ -1989,6 +2006,25 @@ k AS (SELECT doc_id, seg_start, seg, row_number() OVER (PARTITION BY md5(seg) OR
 SELECT doc_id AS id, count(*) AS n_segments, CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
 string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_start) AS clean_text
 FROM k GROUP BY 1 ORDER BY 1""")),
+
+    // C4-style per-source boilerplate stripping: an 8-token segment seen in
+    // >=2 DISTINCT docs of the SAME source is template debris — every
+    // occurrence is dropped (vs q_segment_dedup, which keeps firsts
+    // corpus-wide); cross-source repeats are untouched
+    ("q_boilerplate", (s, dir) =>
+      Dedup.boilerplateSegments(docs(s, dir), "doc_id", "source", "text", 8, 2)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS l FROM documents),
+s AS (SELECT doc_id, source, l, unnest(range(0, len(l), 8)) AS seg_start FROM t),
+seg AS (SELECT doc_id, source, CAST(seg_start AS BIGINT) AS seg_start, array_to_string(l[seg_start+1:seg_start+8], ' ') AS seg FROM s),
+bf AS (SELECT source, md5(seg) AS h FROM seg GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 2),
+k AS (SELECT seg.doc_id, seg.source, seg.seg_start, seg.seg, (bf.h IS NOT NULL) AS boiler
+FROM seg LEFT JOIN bf ON bf.source = seg.source AND bf.h = md5(seg.seg))
+SELECT doc_id, source, count(*) AS n_segments,
+CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+string_agg(CASE WHEN NOT boiler THEN seg END, ' ' ORDER BY seg_start) AS clean_text
+FROM k GROUP BY 1, 2 ORDER BY 1""")),
 
     // ====================== multimodal extensions ======================
 
@@ -4858,6 +4894,47 @@ sc AS (SELECT query_id, doc_id, count(*) AS n_hits, sum(contrib) AS score_q FROM
 r AS (SELECT query_id, doc_id, n_hits, score_q, row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS rn FROM sc)
 SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, n_hits, CAST(score_q AS BIGINT) AS score_q, CAST(rn AS INT) AS rank
 FROM r WHERE rn <= 10 ORDER BY 1, 5""")),
+
+    // ranked-retrieval scorecard over the BM25 per-query top-10: MRR,
+    // precision@10, recall@10, and graded linear-discount DCG (all ppm
+    // floor-divs — no cross-engine libm log2) against a deterministic
+    // relevance set (doc relevant to a query iff its terms appear >= 3
+    // times total; grade = the occurrence count)
+    ("q_retrieval_metrics", (s, dir) => {
+      import s.implicits._
+      val qt = Seq((1L, "spark"), (1L, "merge"), (2L, "stream"),
+        (2L, "table"), (3L, "customer")).toDF("query_id", "term")
+      val d = docs(s, dir)
+      val ranked = TextAnalysis.bm25TopKPerQuery(d, "doc_id", "text", qt, 10)
+      val rel = d
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .join(broadcast(qt), Seq("term"))
+        .groupBy("query_id", "doc_id").agg(count(lit(1)).as("tfsum"))
+        .filter(col("tfsum") >= 3)
+        .select(col("query_id"), col("doc_id"), col("tfsum").as("rel"))
+      TextAnalysis.retrievalMetrics(ranked, rel, 10).orderBy("query_id")
+    },
+      Some("""WITH qt(query_id, term) AS (VALUES (1, 'spark'), (1, 'merge'), (2, 'stream'), (2, 'table'), (3, 'customer')),
+mb_base AS (SELECT doc_id, len(string_split(text, ' ')) AS dl, string_split(text, ' ') AS l FROM documents),
+mb_stats AS (SELECT count(*) AS n_docs, sum(dl) AS sumdl FROM mb_base),
+mb_tf AS (SELECT doc_id, dl, tok AS token, count(*) AS tf FROM (SELECT doc_id, dl, unnest(l) AS tok FROM mb_base) WHERE tok IN (SELECT term FROM qt) GROUP BY 1, 2, 3),
+mb_df AS (SELECT token, count(*) AS df FROM mb_tf GROUP BY 1),
+mb_c AS (SELECT doc_id, token, (CAST(n_docs * 1000000 // df AS HUGEINT) * tf * 44 * sumdl) // (CAST(20 AS HUGEINT) * sumdl * tf + 6 * sumdl + 18 * dl * n_docs) AS contrib
+FROM mb_tf JOIN mb_df USING (token) CROSS JOIN mb_stats),
+sc AS (SELECT query_id, doc_id, sum(contrib) AS score_q FROM mb_c JOIN qt ON qt.term = mb_c.token GROUP BY 1, 2),
+r AS (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS rank FROM sc),
+topk AS (SELECT query_id, doc_id, rank FROM r WHERE rank <= 10),
+rel AS (SELECT query_id, mb_tf.doc_id, sum(tf) AS rel FROM mb_tf JOIN qt ON qt.term = mb_tf.token GROUP BY 1, 2 HAVING sum(tf) >= 3),
+tot AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY 1),
+h AS (SELECT t.query_id, t.rank, coalesce(rel.rel, 0) AS rel FROM topk t LEFT JOIN rel ON rel.query_id = t.query_id AND rel.doc_id = t.doc_id),
+m AS (SELECT query_id, min(CASE WHEN rel > 0 THEN rank END) AS first_rel, sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS n_rel_at_k, sum((1000000 * rel) // (rank + 1)) AS dcg FROM h GROUP BY 1)
+SELECT CAST(m.query_id AS BIGINT) AS query_id, CAST(coalesce(tot.n_rel, 0) AS BIGINT) AS n_rel,
+CAST(n_rel_at_k AS BIGINT) AS n_rel_at_k,
+CAST(coalesce(1000000 // first_rel, 0) AS BIGINT) AS mrr_q,
+CAST((1000000 * n_rel_at_k) // 10 AS BIGINT) AS prec_at_k_q,
+CAST(CASE WHEN coalesce(tot.n_rel, 0) > 0 THEN (1000000 * n_rel_at_k) // tot.n_rel ELSE 0 END AS BIGINT) AS recall_at_k_q,
+CAST(dcg AS BIGINT) AS dcg_lin_q
+FROM m LEFT JOIN tot USING (query_id) ORDER BY 1""")),
 
     // reciprocal-rank fusion of the BM25 lexical top-50 with the hashed
     // linear quality-model top-50 — the standard hybrid-retrieval combiner,

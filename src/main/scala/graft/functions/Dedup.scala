@@ -579,6 +579,61 @@ object Dedup {
           s => s.getField("seg")), " ")).as("clean_text"))
   }
 
+  /** C4/CCNet-style boilerplate stripping: a fixed-length token segment that
+    * recurs across >= minDocs DISTINCT documents of the SAME source is
+    * template debris (nav bars, license footers, scraper artifacts), not
+    * content — unlike [[segmentDedup]], which keeps each segment's FIRST
+    * occurrence corpus-wide, this drops EVERY occurrence of a
+    * source-frequent segment (the first copy of a footer is as worthless as
+    * the millionth) while leaving segments that merely repeat across
+    * sources alone (cross-source repetition is natural language, not
+    * template). Emits per doc: segment counts, boilerplate hits, and the
+    * reassembled clean text (NULL when nothing survives, matching
+    * string_agg-over-no-rows SQL semantics).
+    *
+    * Scale shape: one shuffle keyed on (source, md5(segment)) to count
+    * distinct docs — partial map-side distinct applies, and the key space
+    * is bounded by total segments, never pairs — then one equi-join of the
+    * segment table against the frequent-segment table on the same compact
+    * key. Both sides are linear in corpus tokens; nothing is all-pairs and
+    * no per-source data needs to co-reside beyond the count rows.
+    */
+  def boilerplateSegments(df: DataFrame, idCol: String, sourceCol: String,
+                          textCol: String, segLen: Int = 8,
+                          minDocs: Int = 2): DataFrame = {
+    require(segLen > 0, "positive segment length")
+    require(minDocs >= 2, "minDocs < 2 would mark every segment boilerplate")
+    val segs = df
+      .select(col(idCol).as("id"), col(sourceCol).as("source"),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("id"), col("source"),
+        explode(sequence(lit(0L), (size(col("__toks")) - 1).cast("long"),
+          lit(segLen.toLong))).as("seg_start"),
+        col("__toks"))
+      .select(col("id"), col("source"), col("seg_start"),
+        array_join(slice(col("__toks"), col("seg_start") + 1, lit(segLen)), " ")
+          .as("seg"))
+    val freq = segs
+      .groupBy(col("source").as("__fsrc"), md5(col("seg")).as("__h"))
+      .agg(countDistinct(col("id")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__fsrc"), col("__h"), lit(true).as("__boiler"))
+    val flagged = segs
+      .withColumn("__h", md5(col("seg")))
+      .withColumnRenamed("source", "__fsrc")
+      .join(freq, Seq("__fsrc", "__h"), "left")
+      .select(col("id"), col("__fsrc").as("source"), col("seg_start"),
+        col("seg"), coalesce(col("__boiler"), lit(false)).as("boiler"))
+    val nClean = sum(when(!col("boiler"), 1L).otherwise(0L))
+    flagged.groupBy("id", "source")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("boiler"), 1L).otherwise(0L)).as("n_boiler"),
+        when(nClean > 0, array_join(transform(
+          array_sort(collect_list(when(!col("boiler"),
+            struct(col("seg_start"), col("seg"))))),
+          s => s.getField("seg")), " ")).as("clean_text"))
+  }
+
   /** Fuzzy-duplicate pairs by Levenshtein distance within caller-supplied
     * blocks (the classic record-linkage blocking discipline): only rows
     * sharing a block key are ever compared, so the shuffle key is the block

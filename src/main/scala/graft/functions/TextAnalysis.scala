@@ -958,4 +958,92 @@ object TextAnalysis {
             + coalesce(1000000 div ($kRrf + rank_b), 0L)"""))
       .select(col("id"), col("rank_a"), col("rank_b"), col("rrf_q"))
   }
+
+  /** Ranked-retrieval evaluation — the offline scorecard every retrieval
+    * change ships against: per query, MRR, precision@k, recall@k, and a
+    * graded linear-discount DCG over a ranked list vs a relevance table.
+    *
+    * Inputs are decoupled from any one scorer: `ranked` is
+    * (query_id, doc_id, rank) with rank starting at 1 (bm25TopKPerQuery,
+    * an ANN top-k, a fused RRF list — anything), `rel` is
+    * (query_id, doc_id, rel) with integer grades > 0 for relevant docs
+    * (absent pair = irrelevant). All metrics are ppm-quantized integer
+    * floor-divs so any engine replays them bit-for-bit:
+    *  - mrr_q        = 1e6 div rank-of-first-relevant (0 when none hit)
+    *  - prec_at_k_q  = 1e6 * hits-in-top-k div k
+    *  - recall_at_k_q= 1e6 * hits-in-top-k div total-relevant
+    *  - dcg_lin_q    = sum over top-k of 1e6 * rel div (rank + 1) — the
+    *    reciprocal-rank-discounted graded gain. The classic log2 discount
+    *    is deliberately NOT used: cross-engine libm log bits are not part
+    *    of the determinism discipline, and the linear discount preserves
+    *    the same ordering signal.
+    *
+    * Scale shape: the ranked side is k rows per query by construction, so
+    * the rel join keys on (query_id, doc_id) with a broadcastable left
+    * side, and the final agg groups on query_id — cost scales with queries,
+    * not corpus.
+    */
+  def retrievalMetrics(ranked: DataFrame, rel: DataFrame,
+                       k: Int = 10): DataFrame = {
+    require(k > 0, "positive k")
+    val r = ranked.select(col("query_id"), col("doc_id"), col("rank"))
+      .filter(col("rank") <= k)
+    val g = rel.select(col("query_id"), col("doc_id"),
+      col("rel").cast("long").as("rel"))
+    val totals = g.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    val hits = r.join(g, Seq("query_id", "doc_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+    hits.groupBy("query_id")
+      .agg(
+        min(when(col("rel") > 0, col("rank"))).as("first_rel"),
+        sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_rel_at_k"),
+        sum(expr("1000000L * rel div (rank + 1)")).as("dcg_lin_q"))
+      .join(totals, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        col("n_rel_at_k"),
+        coalesce(expr("1000000L div first_rel"), lit(0L)).as("mrr_q"),
+        expr(s"1000000L * n_rel_at_k div $k").as("prec_at_k_q"),
+        when(coalesce(col("n_rel"), lit(0L)) > 0,
+          expr("1000000L * n_rel_at_k div n_rel")).otherwise(0L)
+          .as("recall_at_k_q"),
+        col("dcg_lin_q"))
+  }
+
+  /** Per-document conditional-bigram fluency score — the integer-exact
+    * stand-in for the CCNet perplexity filter: for each bigram instance
+    * (w1, w2) the corpus-trained conditional probability
+    * P(w2 | w1) = f(w1 w2) / f(w1 ·) in ppm, averaged over the document's
+    * bigrams. Unlike [[bigramLm]] (raw joint frequency — dominated by how
+    * common the WORDS are), the conditional normalization scores how
+    * predictable each transition is given its left context, which is what
+    * separates fluent text from word salad with common words. Emits
+    * (id, n_bigrams, cond_score_q) with cond_score_q = floor(mean ppm);
+    * filter-threshold policy belongs to the caller.
+    *
+    * Scale shape: two count-aggs over bigram/left-context tokens (map-side
+    * combine; key space = type counts, not corpus size) joined back to the
+    * bigram instances on their compact keys, then one groupBy(id). The
+    * f(w1 ·) table is vocabulary-sized — broadcastable at any corpus scale.
+    */
+  def conditionalBigramScore(df: DataFrame, idCol: String,
+                             textCol: String): DataFrame = {
+    val bg = df.select(col(idCol), tokens(col(textCol)).as("l"))
+      .filter(size(col("l")) >= 2)
+      .select(col(idCol), explode(expr(
+        """transform(sequence(1, size(l) - 1),
+           i -> struct(element_at(l, i) AS w1,
+                       concat(element_at(l, i), ' ', element_at(l, i + 1)) AS bigram))"""))
+        .as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.bigram").as("bigram"))
+    val fxy = bg.groupBy("bigram").agg(count(lit(1)).as("fxy"))
+    val fx = bg.groupBy("w1").agg(count(lit(1)).as("fx"))
+    bg.join(fxy, Seq("bigram"))
+      .join(broadcast(fx), Seq("w1"))
+      .withColumn("term_q", expr("1000000L * fxy div fx"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("term_q")).as("ts"))
+      .select(col(idCol), col("n_bigrams"),
+        expr("CAST(ts div n_bigrams AS BIGINT)").as("cond_score_q"))
+  }
 }
