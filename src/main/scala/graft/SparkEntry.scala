@@ -1422,6 +1422,36 @@ FROM dq JOIN norms na ON na.vec_id = qa JOIN norms nb ON nb.vec_id = cb),
 rk AS (SELECT qa, bucket, cb, row_number() OVER (PARTITION BY qa ORDER BY sv DESC, cb) AS rn FROM sims)
 SELECT qa AS query_id, bucket, cb AS neighbor_id, CAST(rn AS INT) AS rank FROM rk WHERE rn <= 3 ORDER BY 1,4""")),
 
+    // CCMatrix/LASER-style bitext mining: a hash split plays the two
+    // "languages"; each side-0 query finds its best side-1 match among its
+    // nprobe=3 nearest candidate-side KMV cells (cell EQUI-join — never the
+    // |A|x|B| cross product) and survives on the Artetxe-Schwenk ratio
+    // margin over the ppm-floored top-4 cosines
+    ("q_bitext_mine", (s, dir) => {
+      val e = emb(s, dir)
+      val side = graft.functions.Sampling.hashBucket(col("vec_id"), 2, "bt")
+      Similarity.marginMinedPairs(e.filter(side === 0), e.filter(side === 1),
+          "vec_id", "embedding", k = 4, nprobe = 3, marginPpmMin = 1100000L)
+        .orderBy("query_id")
+    },
+      Some(s"""$EMB_U,
+nr AS (SELECT vec_id, sum(x * x) AS nn FROM u GROUP BY 1),
+sd0 AS (SELECT vec_id, CAST(concat('0x', substr(md5(concat('bt', CAST(vec_id AS VARCHAR))), 1, 8)) AS BIGINT) % 2 AS side FROM embeddings),
+cnt AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS kk FROM sd0 WHERE side = 1),
+sr AS (SELECT vec_id, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM sd0 WHERE side = 1),
+seeds AS (SELECT vec_id AS sid FROM sr, cnt WHERE rn <= kk),
+dots AS (SELECT a.vec_id AS id, s.vec_id AS sid, sum(a.x * s.x) AS d FROM u a JOIN u s ON s.i = a.i WHERE s.vec_id IN (SELECT sid FROM seeds) GROUP BY 1, 2),
+csims AS (SELECT id, sid, CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(ns.nn AS DOUBLE))) AS csim FROM dots JOIN nr na ON na.vec_id = id JOIN nr ns ON ns.vec_id = sid),
+qasg AS (SELECT id, sid FROM (SELECT c.id, c.sid, row_number() OVER (PARTITION BY c.id ORDER BY c.csim DESC, c.sid) AS rn FROM csims c JOIN sd0 ON sd0.vec_id = c.id WHERE sd0.side = 0) WHERE rn <= 3),
+casg AS (SELECT id, sid FROM (SELECT c.id, c.sid, row_number() OVER (PARTITION BY c.id ORDER BY c.csim DESC, c.sid) AS rn FROM csims c JOIN sd0 ON sd0.vec_id = c.id WHERE sd0.side = 1) WHERE rn <= 1),
+pr AS (SELECT q.id AS qid, ca.id AS nid FROM qasg q JOIN casg ca ON ca.sid = q.sid),
+pd AS (SELECT qid, nid, sum(a.x * b.x) AS d FROM pr JOIN u a ON a.vec_id = qid JOIN u b ON b.vec_id = nid AND b.i = a.i GROUP BY 1, 2),
+sc AS (SELECT qid, nid, CAST(floor(CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) * 1000000) AS BIGINT) AS cos_q FROM pd JOIN nr na ON na.vec_id = qid JOIN nr nb ON nb.vec_id = nid),
+tk AS (SELECT qid, nid, cos_q, row_number() OVER (PARTITION BY qid ORDER BY cos_q DESC, nid) AS rk FROM sc),
+ag AS (SELECT qid, max(CASE WHEN rk = 1 THEN nid END) AS match_id, max(CASE WHEN rk = 1 THEN cos_q END) AS cos_q, count(*) AS m, CAST(sum(cos_q) AS BIGINT) AS cs FROM tk WHERE rk <= 4 GROUP BY 1)
+SELECT qid AS query_id, match_id, cos_q, CAST((cos_q * m * 1000000) // cs AS BIGINT) AS margin_ppm
+FROM ag WHERE cos_q > 0 AND cs > 0 AND (cos_q * m * 1000000) // cs >= 1100000 ORDER BY 1""")),
+
     // per-vector quantized squared norm + corpus norm profile: the sanity
     // scan run before any index build (map-only pass + one tiny rollup)
     ("q_embed_norms", (s, dir) => {
@@ -1707,6 +1737,21 @@ FROM events GROUP BY 1 ORDER BY 1""")),
       Some("""SELECT source, count(*) AS n_docs,
 CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens,
 count(DISTINCT lang) AS n_langs FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    // per-source leave-one-out screening: complement-corpus stats as
+    // totals-minus-group over ONE corpus scan (the naive form rescans the
+    // corpus once per source — |sources| reads at 100 TB)
+    ("q_source_ablation", (s, dir) =>
+      Curation.sourceAblation(docs(s, dir), "source", "text")
+        .orderBy("source"),
+      Some("""WITH g AS (SELECT source, count(*) AS n_docs, CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS n_tokens FROM documents GROUP BY 1),
+t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t_docs, CAST(sum(n_tokens) AS BIGINT) AS t_tokens FROM g)
+SELECT source, n_docs, n_tokens,
+CAST((n_tokens * 1000000) // t_tokens AS BIGINT) AS share_ppm,
+CAST(t_docs - n_docs AS BIGINT) AS rest_docs,
+CAST(t_tokens - n_tokens AS BIGINT) AS rest_tokens,
+CAST(CASE WHEN t_docs - n_docs > 0 THEN ((t_tokens - n_tokens) * 1000000) // (t_docs - n_docs) ELSE 0 END AS BIGINT) AS rest_avg_tokens_q
+FROM g, t ORDER BY 1""")),
 
     // deterministic hash sampling / splits: pure function of the key, so
     // samples and holdouts are stable across engines and reruns

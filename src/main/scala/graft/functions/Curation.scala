@@ -227,4 +227,43 @@ object Curation {
     }
     picks.toSeq.toDF("pick", "id", "gain", "covered")
   }
+
+  /** Per-source ablation profile — "what does the corpus look like WITHOUT
+    * this source?", the screening pass run before any expensive
+    * leave-one-out retraining: for every source, the document count, token
+    * mass, and mean document length of the COMPLEMENT corpus (all other
+    * sources), plus the source's own token share.
+    *
+    * The 100 TB shape is the point: complements are computed as
+    * totals-minus-group over the per-source aggregate table — ONE
+    * map-side-combinable corpus scan keyed on the (bounded-cardinality)
+    * source, one broadcast 1-row total, zero per-source corpus rescans.
+    * The naive form (|sources| anti-join rescans) reads the corpus
+    * |sources| times; this reads it once.
+    *
+    * Output per source: n_docs, n_tokens, share_ppm (this source's token
+    * share), rest_docs, rest_tokens, rest_avg_tokens_q (1e6-scaled mean
+    * doc length of the complement; 0 when this source IS the corpus).
+    */
+  def sourceAblation(df: DataFrame, sourceCol: String, textCol: String)
+      : DataFrame = {
+    val g = df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col(textCol)).cast("decimal(38,0)"))
+          .cast("long").as("n_tokens"))
+    val tot = g.agg(sum(col("n_docs").cast("decimal(38,0)")).cast("long").as("t_docs"),
+      sum(col("n_tokens").cast("decimal(38,0)")).cast("long").as("t_tokens"))
+    g.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        // DECIMAL(38,0) before the 1e6 scale: corpus token counts past
+        // ~9.2e12 would otherwise wrap the int64 product at 100 TB scale
+        expr("CAST(CAST(n_tokens AS DECIMAL(38,0)) * 1000000 DIV t_tokens AS BIGINT)")
+          .as("share_ppm"),
+        (col("t_docs") - col("n_docs")).as("rest_docs"),
+        (col("t_tokens") - col("n_tokens")).as("rest_tokens"),
+        when(col("t_docs") - col("n_docs") > 0,
+          expr("""CAST(CAST(t_tokens - n_tokens AS DECIMAL(38,0)) * 1000000
+                  DIV (t_docs - n_docs) AS BIGINT)"""))
+          .otherwise(0L).as("rest_avg_tokens_q"))
+  }
 }

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Curation, Similarity}
+
+/** Round-12 continuation: margin-based bitext mining (cross-set ANN join)
+  * and the one-scan per-source ablation profile.
+  */
+class Round12dSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private val SF = "/root/testdata/sf0.001"
+  private def embAll = spark.read.parquet(s"$SF/embeddings.parquet")
+
+  test("marginMinedPairs finds the exact-dup match with cos_q = 1e6") {
+    // query 100 IS candidate 1; candidate 2 is near-orthogonal, so the
+    // margin over the top-2 mean is large. nprobe covers every possible
+    // cell, so probing cannot hide the true match.
+    val queries = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val cands = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.1f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.1f))).toDF("vec_id", "embedding")
+    val out = Similarity.marginMinedPairs(queries, cands, "vec_id", "embedding",
+      k = 2, nprobe = 3, marginPpmMin = 1000000L).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("query_id") == 100L)
+    assert(r.getAs[Long]("match_id") == 1L)
+    // identical vectors: integer dot == both norms -> cosine exactly 1.0
+    assert(r.getAs[Long]("cos_q") == 1000000L)
+    assert(r.getAs[Long]("margin_ppm") > 1500000L)
+  }
+
+  test("marginMinedPairs margin is exactly 1e6 when the top-k are indistinguishable") {
+    // both candidates identical: cos ties, margin = best*2*1e6/(2*best) = 1e6
+    val queries = Seq((100L, Array(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val cands = Seq(
+      (1L, Array(1.0f, 1.0f)),
+      (2L, Array(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val keep = Similarity.marginMinedPairs(queries, cands, "vec_id", "embedding",
+      k = 2, nprobe = 2, marginPpmMin = 1000000L).collect()
+    assert(keep.length == 1)
+    assert(keep.head.getAs[Long]("margin_ppm") == 1000000L)
+    assert(keep.head.getAs[Long]("match_id") == 1L) // tie breaks to min id
+    val drop = Similarity.marginMinedPairs(queries, cands, "vec_id", "embedding",
+      k = 2, nprobe = 2, marginPpmMin = 1000001L)
+    assert(drop.count() == 0)
+  }
+
+  test("marginMinedPairs with all cells probed matches brute-force rank 1") {
+    // full-probe parity on real embeddings: the best match per query must
+    // equal bruteForceTopK's rank-1 row (disjoint id spaces by hash split)
+    val e = embAll.filter(col("vec_id") < 80)
+    val side = graft.functions.Sampling.hashBucket(col("vec_id"), 2, "bt")
+    val qs = e.filter(side === 0)
+    val cs = e.filter(side === 1)
+    val nCells = math.ceil(math.sqrt(cs.count().toDouble)).toInt
+    val mined = Similarity.marginMinedPairs(qs, cs, "vec_id", "embedding",
+        k = 4, nprobe = nCells, marginPpmMin = 0L)
+      .select(col("query_id"), col("match_id"))
+    val bf = Similarity.bruteForceTopK(qs, cs, "vec_id", "embedding", 1)
+      .select(col("query_id"), col("neighbor_id").as("match_id"))
+    // mined may drop queries whose best cosine <= 0; every emitted row must
+    // agree with brute force, and positive-best queries must all be present
+    assert(mined.exceptAll(bf).count() == 0)
+    val positives = bf.count() // this corpus has no non-positive best sims
+    assert(mined.count() == positives)
+  }
+
+  test("sourceAblation complement stats are totals minus group") {
+    val d = Seq(
+      (1L, "a", "w1 w2 w3"),        // 3 tokens
+      (2L, "a", "w1 w2 w3 w4 w5"),  // 5
+      (3L, "b", "w1 w2"),           // 2
+      (4L, "c", "w1 w2 w3 w4")      // 4
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.sourceAblation(d, "source", "text")
+      .orderBy("source").collect()
+    assert(out.length == 3)
+    val a = out(0)
+    assert(a.getAs[Long]("n_docs") == 2L && a.getAs[Long]("n_tokens") == 8L)
+    assert(a.getAs[Long]("share_ppm") == 8L * 1000000L / 14L)
+    assert(a.getAs[Long]("rest_docs") == 2L)
+    assert(a.getAs[Long]("rest_tokens") == 6L)
+    assert(a.getAs[Long]("rest_avg_tokens_q") == 3000000L) // (2+4)/2 tokens
+    val b = out(1)
+    assert(b.getAs[Long]("rest_docs") == 3L)
+    assert(b.getAs[Long]("rest_avg_tokens_q") == 4000000L) // (3+5+4)/3
+  }
+
+  test("sourceAblation single-source corpus: complement is empty, avg 0") {
+    val d = Seq((1L, "only", "w1 w2")).toDF("doc_id", "source", "text")
+    val out = Curation.sourceAblation(d, "source", "text").collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("rest_docs") == 0L)
+    assert(out.head.getAs[Long]("rest_avg_tokens_q") == 0L)
+  }
+}
