@@ -1424,14 +1424,14 @@ SELECT qa AS query_id, bucket, cb AS neighbor_id, CAST(rn AS INT) AS rank FROM r
 
     // CCMatrix/LASER-style bitext mining: a hash split plays the two
     // "languages"; each side-0 query finds its best side-1 match among its
-    // nprobe=3 nearest candidate-side KMV cells (cell EQUI-join — never the
+    // nprobe=9 nearest candidate-side KMV cells (cell EQUI-join — never the
     // |A|x|B| cross product) and survives on the Artetxe-Schwenk ratio
     // margin over the ppm-floored top-4 cosines
     ("q_bitext_mine", (s, dir) => {
       val e = emb(s, dir)
       val side = graft.functions.Sampling.hashBucket(col("vec_id"), 2, "bt")
       Similarity.marginMinedPairs(e.filter(side === 0), e.filter(side === 1),
-          "vec_id", "embedding", k = 4, nprobe = 3, marginPpmMin = 1100000L)
+          "vec_id", "embedding", k = 4, nprobe = BitextProbe, marginPpmMin = 1100000L)
         .orderBy("query_id")
     },
       Some(s"""$EMB_U,
@@ -1442,7 +1442,7 @@ sr AS (SELECT vec_id, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), 
 seeds AS (SELECT vec_id AS sid FROM sr, cnt WHERE rn <= kk),
 dots AS (SELECT a.vec_id AS id, s.vec_id AS sid, sum(a.x * s.x) AS d FROM u a JOIN u s ON s.i = a.i WHERE s.vec_id IN (SELECT sid FROM seeds) GROUP BY 1, 2),
 csims AS (SELECT id, sid, CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(ns.nn AS DOUBLE))) AS csim FROM dots JOIN nr na ON na.vec_id = id JOIN nr ns ON ns.vec_id = sid),
-qasg AS (SELECT id, sid FROM (SELECT c.id, c.sid, row_number() OVER (PARTITION BY c.id ORDER BY c.csim DESC, c.sid) AS rn FROM csims c JOIN sd0 ON sd0.vec_id = c.id WHERE sd0.side = 0) WHERE rn <= 3),
+qasg AS (SELECT id, sid FROM (SELECT c.id, c.sid, row_number() OVER (PARTITION BY c.id ORDER BY c.csim DESC, c.sid) AS rn FROM csims c JOIN sd0 ON sd0.vec_id = c.id WHERE sd0.side = 0) WHERE rn <= $BitextProbe),
 casg AS (SELECT id, sid FROM (SELECT c.id, c.sid, row_number() OVER (PARTITION BY c.id ORDER BY c.csim DESC, c.sid) AS rn FROM csims c JOIN sd0 ON sd0.vec_id = c.id WHERE sd0.side = 1) WHERE rn <= 1),
 pr AS (SELECT q.id AS qid, ca.id AS nid FROM qasg q JOIN casg ca ON ca.sid = q.sid),
 pd AS (SELECT qid, nid, sum(a.x * b.x) AS d FROM pr JOIN u a ON a.vec_id = qid JOIN u b ON b.vec_id = nid AND b.i = a.i GROUP BY 1, 2),
@@ -1451,6 +1451,52 @@ tk AS (SELECT qid, nid, cos_q, row_number() OVER (PARTITION BY qid ORDER BY cos_
 ag AS (SELECT qid, max(CASE WHEN rk = 1 THEN nid END) AS match_id, max(CASE WHEN rk = 1 THEN cos_q END) AS cos_q, count(*) AS m, CAST(sum(cos_q) AS BIGINT) AS cs FROM tk WHERE rk <= 4 GROUP BY 1)
 SELECT qid AS query_id, match_id, cos_q, CAST((cos_q * m * 1000000) // cs AS BIGINT) AS margin_ppm
 FROM ag WHERE cos_q > 0 AND cs > 0 AND (cos_q * m * 1000000) // cs >= 1100000 ORDER BY 1""")),
+
+    // bitext probe-loss audit (the q_cell_recall pattern): fraction of
+    // queries whose nprobe=9 mined best match equals the brute-force best
+    // match — the price of the cell bound, measured, not assumed
+    ("q_bitext_recall", (s, dir) => {
+      val e = emb(s, dir)
+      val side = graft.functions.Sampling.hashBucket(col("vec_id"), 2, "bt")
+      val qs = e.filter(side === 0)
+      val cs = e.filter(side === 1)
+      val mined = Similarity.marginMinedPairs(qs, cs, "vec_id", "embedding",
+          k = 4, nprobe = BitextProbe, marginPpmMin = 0L)
+        .select(col("query_id"), col("match_id"))
+      val exact = Similarity.bruteForceTopK(qs, cs, "vec_id", "embedding", 1)
+        .select(col("query_id"), col("neighbor_id").as("exact_id"))
+      exact.join(mined, Seq("query_id"), "left")
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("match_id").isNotNull, 1L).otherwise(0L)).as("n_mined"),
+          sum(when(col("match_id") === col("exact_id"), 1L).otherwise(0L))
+            .as("n_agree"))
+        .select(col("n_queries"), col("n_mined"), col("n_agree"),
+          expr("n_agree * 1000000L div n_queries").as("recall_ppm"))
+    },
+      Some(s"""$EMB_U,
+nr AS (SELECT vec_id, sum(x * x) AS nn FROM u GROUP BY 1),
+sd0 AS (SELECT vec_id, CAST(concat('0x', substr(md5(concat('bt', CAST(vec_id AS VARCHAR))), 1, 8)) AS BIGINT) % 2 AS side FROM embeddings),
+cnt AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS kk FROM sd0 WHERE side = 1),
+sr AS (SELECT vec_id, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM sd0 WHERE side = 1),
+seeds AS (SELECT vec_id AS sid FROM sr, cnt WHERE rn <= kk),
+dots AS (SELECT a.vec_id AS id, s.vec_id AS sid, sum(a.x * s.x) AS d FROM u a JOIN u s ON s.i = a.i WHERE s.vec_id IN (SELECT sid FROM seeds) GROUP BY 1, 2),
+csims AS (SELECT id, sid, CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(ns.nn AS DOUBLE))) AS csim FROM dots JOIN nr na ON na.vec_id = id JOIN nr ns ON ns.vec_id = sid),
+qasg AS (SELECT id, sid FROM (SELECT c.id, c.sid, row_number() OVER (PARTITION BY c.id ORDER BY c.csim DESC, c.sid) AS rn FROM csims c JOIN sd0 ON sd0.vec_id = c.id WHERE sd0.side = 0) WHERE rn <= $BitextProbe),
+casg AS (SELECT id, sid FROM (SELECT c.id, c.sid, row_number() OVER (PARTITION BY c.id ORDER BY c.csim DESC, c.sid) AS rn FROM csims c JOIN sd0 ON sd0.vec_id = c.id WHERE sd0.side = 1) WHERE rn <= 1),
+pr AS (SELECT q.id AS qid, ca.id AS nid FROM qasg q JOIN casg ca ON ca.sid = q.sid),
+pd AS (SELECT qid, nid, sum(a.x * b.x) AS d FROM pr JOIN u a ON a.vec_id = qid JOIN u b ON b.vec_id = nid AND b.i = a.i GROUP BY 1, 2),
+sc AS (SELECT qid, nid, CAST(floor(CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) * 1000000) AS BIGINT) AS cos_q FROM pd JOIN nr na ON na.vec_id = qid JOIN nr nb ON nb.vec_id = nid),
+tk AS (SELECT qid, nid, cos_q, row_number() OVER (PARTITION BY qid ORDER BY cos_q DESC, nid) AS rk FROM sc),
+ag AS (SELECT qid, max(CASE WHEN rk = 1 THEN nid END) AS match_id, max(CASE WHEN rk = 1 THEN cos_q END) AS cos_q, CAST(sum(cos_q) AS BIGINT) AS cs FROM tk WHERE rk <= 4 GROUP BY 1),
+mined AS (SELECT qid, match_id FROM ag WHERE cos_q > 0 AND cs > 0),
+exd AS (SELECT a.vec_id AS qid, b.vec_id AS nid, sum(a.x * b.x) AS d FROM u a JOIN u b ON b.i = a.i JOIN sd0 qa ON qa.vec_id = a.vec_id AND qa.side = 0 JOIN sd0 cb ON cb.vec_id = b.vec_id AND cb.side = 1 GROUP BY 1, 2),
+exs AS (SELECT qid, nid, CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS sv FROM exd JOIN nr na ON na.vec_id = qid JOIN nr nb ON nb.vec_id = nid),
+exact AS (SELECT qid, nid AS exact_id FROM (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sv DESC, nid) AS rn FROM exs) WHERE rn = 1)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+CAST(sum(CASE WHEN mined.match_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_mined,
+CAST(sum(CASE WHEN mined.match_id = exact.exact_id THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+CAST((sum(CASE WHEN mined.match_id = exact.exact_id THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS recall_ppm
+FROM exact LEFT JOIN mined USING (qid)""")),
 
     // per-vector quantized squared norm + corpus norm profile: the sanity
     // scan run before any index build (map-only pass + one tiny rollup)
@@ -6223,6 +6269,16 @@ allp AS (SELECT ia, ib FROM tp UNION SELECT ia, ib FROM ep)"""
     * exists so that decline is a measured number, not a surprise.
     */
   private val DocClusterProbe = 8
+
+  /** Bitext-mining probe width, shared by the q_bitext_mine gate and the
+    * q_bitext_recall audit (one constant so the audit always measures the
+    * gate's actual operating point). Chosen from the sf0.01 grid: nprobe
+    * 3/6/9/12 -> best-match recall 43%/64%/80%/93% of 16 candidate cells;
+    * 9 hits the 80% production-grade bar used for the cell channel. Same
+    * IVF economics caveat as DocClusterProbe: fixed-nprobe recall declines
+    * as sqrt(n) cells grow — the audit row keeps that decline measured.
+    */
+  private val BitextProbe = 9
 
   /** IVF mutual-kNN CTE chain (requires the `u` prelude and an
     * `nr(vec_id, nn)` norms CTE): KMV probe-1 cell assignment (mirrors
