@@ -71,6 +71,20 @@ class Round12dSpec extends AnyFunSuite with SparkFixture {
     assert(mined.count() == positives)
   }
 
+  test("q_bitext_mine plan: no cross-set join conditioned on id inequality alone") {
+    val df = SparkEntry.queries("q_bitext_mine")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // the seed-ranking pass is a conditionless broadcast cross-join
+    // (|side| x sqrt(|B|) seeds — intended); what must NOT appear is an
+    // |A| x |B| join whose only condition is id inequality — the brute
+    // force scorer's signature
+    val badJoin = raw"NestedLoopJoin[^\n]*(NOT \(\w*(vec_id|qid|id)|[<>] \w*(vec_id|qid|id))".r
+    assert(badJoin.findFirstIn(plan).isEmpty,
+      s"no id-inequality-only join in the bitext mining plan\n${plan.take(1200)}")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"seed table must broadcast\n${plan.take(600)}")
+  }
+
   test("sourceAblation complement stats are totals minus group") {
     val d = Seq(
       (1L, "a", "w1 w2 w3"),        // 3 tokens
