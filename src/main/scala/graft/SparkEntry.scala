@@ -5027,6 +5027,40 @@ CAST(CASE WHEN coalesce(tot.n_rel, 0) > 0 THEN (1000000 * n_rel_at_k) // tot.n_r
 CAST(dcg AS BIGINT) AS dcg_lin_q
 FROM m LEFT JOIN tot USING (query_id) ORDER BY 1""")),
 
+    // retrieval hard-negative mining (the DPR/ANCE contrastive-training
+    // pattern): the top-3 BM25-ranked docs per query that are NOT in the
+    // relevance set — boundary-hugging negatives, not random ones
+    ("q_hard_negatives", (s, dir) => {
+      import s.implicits._
+      val qt = Seq((1L, "spark"), (1L, "merge"), (2L, "stream"),
+        (2L, "table"), (3L, "customer")).toDF("query_id", "term")
+      val d = docs(s, dir)
+      val ranked = TextAnalysis.bm25TopKPerQuery(d, "doc_id", "text", qt, 10)
+      val rel = d
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .join(broadcast(qt), Seq("term"))
+        .groupBy("query_id", "doc_id").agg(count(lit(1)).as("tfsum"))
+        .filter(col("tfsum") >= 8) // stricter positive bar than the
+        // metrics query: mining wants boundary docs left OUTSIDE the set
+      TextAnalysis.hardNegatives(ranked, rel, 3)
+        .orderBy("query_id", "neg_rank")
+    },
+      Some("""WITH qt(query_id, term) AS (VALUES (1, 'spark'), (1, 'merge'), (2, 'stream'), (2, 'table'), (3, 'customer')),
+mb_base AS (SELECT doc_id, len(string_split(text, ' ')) AS dl, string_split(text, ' ') AS l FROM documents),
+mb_stats AS (SELECT count(*) AS n_docs, sum(dl) AS sumdl FROM mb_base),
+mb_tf AS (SELECT doc_id, dl, tok AS token, count(*) AS tf FROM (SELECT doc_id, dl, unnest(l) AS tok FROM mb_base) WHERE tok IN (SELECT term FROM qt) GROUP BY 1, 2, 3),
+mb_df AS (SELECT token, count(*) AS df FROM mb_tf GROUP BY 1),
+mb_c AS (SELECT doc_id, token, (CAST(n_docs * 1000000 // df AS HUGEINT) * tf * 44 * sumdl) // (CAST(20 AS HUGEINT) * sumdl * tf + 6 * sumdl + 18 * dl * n_docs) AS contrib
+FROM mb_tf JOIN mb_df USING (token) CROSS JOIN mb_stats),
+sc AS (SELECT query_id, doc_id, sum(contrib) AS score_q FROM mb_c JOIN qt ON qt.term = mb_c.token GROUP BY 1, 2),
+r AS (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS rank FROM sc),
+topk AS (SELECT query_id, doc_id, rank FROM r WHERE rank <= 10),
+rel AS (SELECT query_id, mb_tf.doc_id FROM mb_tf JOIN qt ON qt.term = mb_tf.token GROUP BY 1, 2 HAVING sum(tf) >= 8),
+neg AS (SELECT t.query_id, t.doc_id, t.rank, row_number() OVER (PARTITION BY t.query_id ORDER BY t.rank) AS neg_rank
+FROM topk t LEFT JOIN rel ON rel.query_id = t.query_id AND rel.doc_id = t.doc_id WHERE rel.doc_id IS NULL)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, CAST(rank AS INT) AS rank, CAST(neg_rank AS INT) AS neg_rank
+FROM neg WHERE neg_rank <= 3 ORDER BY 1, 4""")),
+
     // reciprocal-rank fusion of the BM25 lexical top-50 with the hashed
     // linear quality-model top-50 — the standard hybrid-retrieval combiner,
     // entirely integral (1e6 div (60+rank))

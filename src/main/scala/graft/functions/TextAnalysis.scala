@@ -1010,6 +1010,31 @@ object TextAnalysis {
         col("dcg_lin_q"))
   }
 
+  /** Retrieval hard-negative mining — the DPR/ANCE training-data pattern:
+    * the strongest-scoring documents a retriever ranks for a query that are
+    * NOT relevant make the best contrastive negatives (random negatives are
+    * too easy; these sit right at the decision boundary). Takes the same
+    * decoupled inputs as [[retrievalMetrics]] — `ranked` (query_id, doc_id,
+    * rank) from any scorer, `rel` (query_id, doc_id, ...) as the positive
+    * set — and emits the top `perQuery` ranked-but-not-relevant docs per
+    * query as (query_id, doc_id, rank, neg_rank).
+    *
+    * Scale shape: one left-anti join on (query_id, doc_id) — the ranked
+    * side is k rows per query by construction — and one per-query window
+    * over those k rows. Cost scales with queries * k, not corpus.
+    */
+  def hardNegatives(ranked: DataFrame, rel: DataFrame,
+                    perQuery: Int = 3): DataFrame = {
+    require(perQuery > 0, "positive perQuery")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy("rank")
+    ranked.select(col("query_id"), col("doc_id"), col("rank"))
+      .join(rel.select(col("query_id"), col("doc_id")),
+        Seq("query_id", "doc_id"), "left_anti")
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= perQuery)
+  }
+
   /** Per-document conditional-bigram fluency score — the integer-exact
     * stand-in for the CCNet perplexity filter: for each bigram instance
     * (w1, w2) the corpus-trained conditional probability

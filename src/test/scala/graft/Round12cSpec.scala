@@ -75,6 +75,23 @@ class Round12cSpec extends AnyFunSuite with SparkFixture {
     assert(q2.getAs[Long]("dcg_lin_q") == 0L)
   }
 
+  test("hardNegatives keeps the strongest-ranked non-relevant docs, in rank order") {
+    val ranked = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), (1L, 13L, 4), (1L, 14L, 5),
+      (2L, 20L, 1), (2L, 21L, 2)
+    ).toDF("query_id", "doc_id", "rank")
+    // q1: 11 and 13 are relevant -> negatives are 10, 12, 14 (ranks 1,3,5)
+    // q2: all relevant -> no negatives emitted
+    val rel = Seq((1L, 11L), (1L, 13L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "doc_id")
+    val out = TextAnalysis.hardNegatives(ranked, rel, 2)
+      .orderBy("query_id", "neg_rank").collect()
+    assert(out.length == 2) // perQuery=2 caps q1's three candidates
+    assert(out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("neg_rank"))).toSeq ==
+      Seq((10L, 1), (12L, 2)))
+    assert(out.forall(_.getAs[Long]("query_id") == 1L))
+  }
+
   test("conditionalBigramScore scores transitions, not word frequency") {
     // corpus: "a b", "a b", "a c" ->
     //   f(a b)=2, f(a c)=1, f(a .)=3
