@@ -2005,6 +2005,36 @@ FROM sp JOIN fxy USING (bigram) JOIN fx USING (w1) GROUP BY 1)
 SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
 CAST(ts // n_bigrams AS BIGINT) AS cond_score_q FROM ds ORDER BY 1""")),
 
+    // curriculum training order: exact global ntile on the fluency score
+    // (easiest = most predictable text first) via the scale-safe
+    // sortBy+zipWithIndex rank — never a global window — then a
+    // deterministic per-source round-robin interleave inside each stage
+    ("q_curriculum", (s, dir) => {
+      val d = docs(s, dir)
+      val sc = TextAnalysis.conditionalBigramScore(d, "doc_id", "text")
+        .join(d.select("doc_id", "source"), Seq("doc_id"))
+      Curation.curriculumOrder(sc, "doc_id", "source", "cond_score_q", 4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("stage", "pos")
+    },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(l) - 1), i -> struct_pack(w1 := l[i], bigram := l[i] || ' ' || l[i + 1]))) AS b FROM t WHERE len(l) >= 2),
+sp AS (SELECT doc_id, b.w1 AS w1, b.bigram AS bigram FROM bg),
+fxy AS (SELECT bigram, count(*) AS fxy FROM sp GROUP BY 1),
+fx AS (SELECT w1, count(*) AS fx FROM sp GROUP BY 1),
+ds AS (SELECT doc_id, count(*) AS n_bigrams, sum((1000000 * fxy) // fx) AS ts
+FROM sp JOIN fxy USING (bigram) JOIN fx USING (w1) GROUP BY 1),
+scd AS (SELECT ds.doc_id AS id, d.source, CAST(ts // n_bigrams AS BIGINT) AS score FROM ds JOIN documents d ON d.doc_id = ds.doc_id),
+cn AS (SELECT count(*) AS n FROM scd),
+rnk AS (SELECT id, source, row_number() OVER (ORDER BY score DESC, id) - 1 AS rn FROM scd),
+st AS (SELECT id, source, CAST((rn * 4) // n AS INT) AS stage FROM rnk, cn),
+si AS (SELECT source, row_number() OVER (ORDER BY source) - 1 AS src_idx FROM (SELECT DISTINCT source FROM scd)),
+mm AS (SELECT count(*) AS m FROM si),
+ir AS (SELECT id, stage, source, row_number() OVER (PARTITION BY stage, source ORDER BY md5('cur:' || CAST(id AS VARCHAR)), id) AS in_src_rank FROM st)
+SELECT id AS doc_id, stage, ir.source, CAST(in_src_rank AS BIGINT) AS in_src_rank,
+CAST((in_src_rank - 1) * m + src_idx AS BIGINT) AS pos
+FROM ir JOIN si ON si.source = ir.source, mm ORDER BY 2, 5""")),
+
     // per-source quality percentile rank (percent_rank = (rank-1)/(n-1)
     // over exact integer scores — engine-identical double); the per-group
     // ranking every "keep the best X% per domain" policy needs

@@ -228,6 +228,51 @@ object Curation {
     picks.toSeq.toDF("pick", "id", "gain", "covered")
   }
 
+  /** Curriculum training order: easy-to-hard stages with deterministic
+    * per-source interleave inside each stage — the "start on fluent text,
+    * end on the hard tail, never feed one domain in a block" schedule.
+    *
+    * Stage assignment is an exact global ntile computed the scale-safe way:
+    * RDD `sortBy((-score, id))` (range partition + per-partition sort) +
+    * `zipWithIndex`, NEVER `row_number() OVER (ORDER BY score)` — a global
+    * window funnels the corpus through one partition. Within a stage,
+    * sources interleave: each doc ranks inside its (stage, source) slice by
+    * md5 shuffle key, and pos = (in_src_rank - 1) * n_sources + src_idx —
+    * strictly ordered, deterministic at any parallelism, and round-robin
+    * across sources (positions are not dense when source sizes differ;
+    * loaders sort by (stage, pos), they never need density). The source
+    * index table is bounded-cardinality (data domains) and broadcast.
+    *
+    * Output: (id, stage, source, in_src_rank, pos). Two driver-side counts
+    * (corpus size, source count) are the only actions.
+    */
+  def curriculumOrder(df: DataFrame, idCol: String, sourceCol: String,
+                      scoreCol: String, stages: Int = 4): DataFrame = {
+    require(stages >= 1, "at least one stage")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(col(scoreCol).cast("long").as("sc"),
+      col(idCol).cast("long").as("id"), col(sourceCol).as("source"))
+    val n = math.max(keyed.count(), 1L)
+    val ranked = keyed.as[(Long, Long, String)].rdd
+      .sortBy { case (sc, id, _) => (-sc, id) }
+      .zipWithIndex()
+      .map { case ((_, id, src), rn) => (id, src, rn) }
+      .toDF("id", "source", "rn")
+    val staged = ranked
+      .withColumn("stage", expr(s"CAST(rn * $stages DIV ${n}L AS INT)"))
+    val srcIdx = staged.select("source").distinct()
+      .withColumn("src_idx",
+        row_number().over(Window.orderBy("source")).cast("long") - 1)
+    val m = srcIdx.count()
+    val w = Window.partitionBy("stage", "source")
+      .orderBy(md5(concat(lit("cur:"), col("id").cast("string"))), col("id"))
+    staged.join(broadcast(srcIdx), Seq("source"))
+      .withColumn("in_src_rank", row_number().over(w).cast("long"))
+      .select(col("id"), col("stage"), col("source"), col("in_src_rank"),
+        (expr(s"(in_src_rank - 1) * ${m}L") + col("src_idx")).as("pos"))
+  }
+
   /** Per-source ablation profile — "what does the corpus look like WITHOUT
     * this source?", the screening pass run before any expensive
     * leave-one-out retraining: for every source, the document count, token

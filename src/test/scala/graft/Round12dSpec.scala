@@ -106,6 +106,33 @@ class Round12dSpec extends AnyFunSuite with SparkFixture {
     assert(b.getAs[Long]("rest_avg_tokens_q") == 4000000L) // (3+5+4)/3
   }
 
+  test("curriculumOrder: exact stage ntile, round-robin interleave, any partitioning") {
+    // 8 docs, scores descending with id: stage = rank*4/8 -> ids 1,2 stage 0;
+    // 3,4 stage 1; 5,6 stage 2; 7,8 stage 3
+    val d = Seq(
+      (1L, "a", 80L), (2L, "b", 70L), (3L, "a", 60L), (4L, "b", 50L),
+      (5L, "a", 40L), (6L, "b", 30L), (7L, "a", 20L), (8L, "b", 10L)
+    ).toDF("doc_id", "source", "score")
+    val out = Curation.curriculumOrder(d, "doc_id", "source", "score", 4)
+      .orderBy("stage", "pos").collect()
+    assert(out.length == 8)
+    val stages = out.map(r => r.getAs[Long]("id") -> r.getAs[Int]("stage")).toMap
+    assert(stages == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1,
+      5L -> 2, 6L -> 2, 7L -> 3, 8L -> 3))
+    // within each stage: one doc per source, in_src_rank 1 each, so pos is
+    // src_idx (a=0, b=1) — sources strictly alternate
+    assert(out.forall(_.getAs[Long]("in_src_rank") == 1L))
+    out.grouped(2).foreach { st =>
+      assert(st.map(_.getAs[String]("source")).toSeq == Seq("a", "b"))
+      assert(st.map(_.getAs[Long]("pos")).toSeq == Seq(0L, 1L))
+    }
+    // partitioning-independent: identical rows from a repartitioned input
+    val re = Curation.curriculumOrder(d.repartition(7), "doc_id", "source",
+      "score", 4)
+    assert(re.exceptAll(Curation.curriculumOrder(d, "doc_id", "source",
+      "score", 4)).count() == 0)
+  }
+
   test("sourceAblation single-source corpus: complement is empty, avg 0") {
     val d = Seq((1L, "only", "w1 w2")).toDF("doc_id", "source", "text")
     val out = Curation.sourceAblation(d, "source", "text").collect()
