@@ -2538,6 +2538,33 @@ SELECT (SELECT count(*) FROM v) AS n_view, (SELECT count(*) FROM c) AS n_click,
         .orderBy("user_id", "event_type"),
       Some("""SELECT DISTINCT user_id, event_type FROM events ORDER BY 1, 2""")),
 
+    // streaming ingest admission: the q_incremental_dedup gate run LIVE —
+    // the batch side arrives as a stream, signatures/band-buckets are
+    // stateless in-row expressions (zero stream shuffles), the corpus
+    // enters only as static signature/bucket tables, and the single piece
+    // of streaming state is the (new_id, corpus_id) verify agg. Same
+    // oracle as the batch gate: streamed == batch, spec-pinned
+    ("q_stream_admission", (s, dir) => {
+      val bk = graft.functions.Sampling.hashBucket(col("doc_id"), 10, "inc")
+      val corpusSig = Dedup.minhashSignatures(
+        docs(s, dir).filter(bk < 9), "doc_id", "text", 16, 3)
+      graft.streaming.DocStream.runAdmissionStream(s,
+          s"$dir/documents.parquet", "doc_id", "text", bk === 9, corpusSig,
+          16, 4, 3, 0.5, s"admission_stream_${Counter.next()}")
+        .orderBy("new_id", "corpus_id")
+    },
+      Some("""WITH d AS (SELECT doc_id, text, CAST(concat('0x', substr(md5(concat('inc', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10 AS bk FROM documents),
+t AS (SELECT doc_id, bk, string_split(text, ' ') AS l FROM d),
+sh AS (SELECT DISTINCT doc_id, bk, unnest(list_transform(generate_series(1, greatest(len(l) - 2, 0)), i -> array_to_string(list_slice(l, i, i + 2), ' '))) AS shingle FROM t),
+xy AS (SELECT doc_id, bk, CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % 576460752303423487 AS x, CAST(concat('0x', substr(md5(shingle), 17, 15)) AS BIGINT) % 576460752303423487 AS y FROM sh),
+hs AS (SELECT doc_id, bk, unnest(generate_series(0, 15)) AS h, x, y FROM xy),
+sig AS (SELECT doc_id, bk, h, min((x + h * y) % 576460752303423487) AS minhash FROM hs GROUP BY 1,2,3),
+b AS (SELECT doc_id AS id, bk, h // 4 AS band, md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY h)) AS bucket FROM sig GROUP BY 1,2,3),
+cand AS (SELECT DISTINCT x.id AS nid, y.id AS cid FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket WHERE x.bk = 9 AND y.bk < 9)
+SELECT c.nid AS new_id, c.cid AS corpus_id, CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS est_jaccard
+FROM cand c JOIN sig sa ON sa.doc_id = c.nid JOIN sig sb ON sb.doc_id = c.cid AND sb.h = sa.h
+GROUP BY 1,2 HAVING CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS DOUBLE) / count(*) >= 0.5 ORDER BY 1,2""")),
+
     // stream-static broadcast enrichment: the streaming event source joined
     // to the static customer dimension (stateless broadcast join inside the
     // microbatch), rolled up by (segment, event type)

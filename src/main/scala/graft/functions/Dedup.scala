@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftext.CappedCheckpoint._
 
@@ -81,6 +81,47 @@ object Dedup {
       .select(col("id"), col("h"),
         ((col("x") + col("h") * col("y")) % HashModulus).as("v"))
     hs.groupBy("id", "h").agg(min("v").as("minhash"))
+  }
+
+  /** In-row MinHash signature: the whole numHashes-member signature as ONE
+    * `ARRAY<BIGINT>` column computed per row — same md5-derived universal
+    * family as [[minhashSignatures]], value for value (min over a multiset
+    * equals min over the distinct set, so shingle duplicates cannot drift
+    * the two forms apart; spec-pinned). No explode, no groupBy, no
+    * shuffle: every operation is a codegen'd array expression, which makes
+    * this THE signature form for streams (a stateless map on each
+    * microbatch) and for map-only signature backfills at 100 TB. NULL when
+    * the document is too short to shingle.
+    */
+  def minhashArray(text: Column, numHashes: Int = 16,
+                   shingleLen: Int = 3): Column = {
+    require(numHashes <= 16, "numHashes must be <= 16 (int64 overflow bound)")
+    val sh = TextAnalysis.shingles(text, shingleLen)
+    val xy = transform(sh, s => {
+      val m = md5(s)
+      struct(
+        (conv(substring(m, 1, 15), 16, 10).cast("long") % HashModulus).as("x"),
+        (conv(substring(m, 17, 15), 16, 10).cast("long") % HashModulus).as("y"))
+    })
+    val arr = array((0 until numHashes).map(h =>
+      array_min(transform(xy, p =>
+        (p.getField("x") + lit(h.toLong) * p.getField("y")) % HashModulus))): _*)
+    when(size(sh) > 0, arr)
+  }
+
+  /** LSH band buckets from an in-row signature array: (band, bucket) structs
+    * mirroring [[lshBucketsFromSignatures]] digest for digest (band b's
+    * bucket is md5 of its rowsPerBand signature values joined by '|' in h
+    * order) — again pure array expressions, shuffle-free.
+    */
+  def lshBandArray(sigArr: Column, numHashes: Int = 16,
+                   bands: Int = 4): Column = {
+    val rowsPerBand = numHashes / bands
+    array((0 until bands).map { b =>
+      val parts = (0 until rowsPerBand).map(i =>
+        element_at(sigArr, b * rowsPerBand + i + 1).cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws("|", parts: _*)).as("bucket"))
+    }: _*)
   }
 
   /** LSH banding: (id, band, bucket) where bucket = md5 of the band's
