@@ -55,11 +55,15 @@ object DocStream {
     val corpusBuckets = Dedup
       .lshBucketsFromSignatures(corpusSig, numHashes, bands)
       .select(col("id").as("corpus_id"), col("band"), col("bucket"))
-    val cand = banded.join(broadcast(corpusBuckets), Seq("band", "bucket"))
+    // NO forced broadcast on the corpus side: at 100 TB the signature and
+    // bucket tables are warehouse-sized — the stream-static equi-joins must
+    // be free to shuffle on their compact keys ((band, bucket) and
+    // corpus_id); Spark still broadcasts them when size stats allow
+    val cand = banded.join(corpusBuckets, Seq("band", "bucket"))
       .select(col("new_id"), col("corpus_id"), col("sig"))
     val agg = cand
-      .join(broadcast(corpusSig.select(col("id").as("corpus_id"), col("h"),
-        col("minhash"))), Seq("corpus_id"))
+      .join(corpusSig.select(col("id").as("corpus_id"), col("h"),
+        col("minhash")), Seq("corpus_id"))
       .withColumn("agree",
         when(col("minhash") === element_at(col("sig"), col("h") + 1), 1L)
           .otherwise(0L))
