@@ -85,7 +85,11 @@ object Bench {
     }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).filter(_ > 0).minOption.getOrElse(-1.0) }
       .filter(_._2 > 0)
     val suspects = shared.filter { case (name, sec) =>
-      sec > 5.0 && prior.get(name).exists(p => sec > 5.0 * p)
+      // 3x, not 5x: the round-12 closing run caught two shared-pass rows
+      // inflated 3.1-4.6x over both their prior-round records and their
+      // same-session solo times (q_coloring 26.8 s shared / 14.3 s solo,
+      // q_ivfpq_search 17.2 s / 5.3 s) that a 5x bar let into the file
+      sec > 5.0 && prior.get(name).exists(p => sec > 3.0 * p)
     }.toSeq.sortBy(-_._2).take(8)
     val outliers = suspects.map { case (name, sharedSec) =>
       reclaim()
@@ -96,8 +100,18 @@ object Bench {
       reclaim()
       name -> (sharedSec, solo)
     }.toMap
+    // A solo far BELOW the prior-round record is not a clean re-measure —
+    // it is a warm memoized-parquet path (the labels-family queries derive
+    // their fixpoint once per JVM; the shared pass paid it, the solo reads
+    // parquet: q_strong_components 36.4 s shared / 0.16 s solo in the
+    // round-12 closing run). Substituting it would erase the query's real
+    // cost from the record, so solo adjudicates only when >= half the
+    // prior best; both raw values stay under "outliers" either way.
     val results = shared.map { case (name, sec) =>
-      name -> outliers.get(name).map { case (sh, solo) => math.min(sh, solo) }.getOrElse(sec)
+      name -> outliers.get(name).map { case (sh, solo) =>
+        if (prior.get(name).exists(p => solo < 0.5 * p)) sh
+        else math.min(sh, solo)
+      }.getOrElse(sec)
     }
     val outliersJson = outliers.map { case (k, (sh, solo)) =>
       s"\"" + k + s"\":{\"shared\":$sh,\"solo\":$solo}"
