@@ -1262,8 +1262,12 @@ SELECT doc_id AS id, CAST(h AS INT) AS h, min((x + h * y) % 576460752303423487) 
       val d = docs(s, dir)
       val bk = graft.functions.Sampling.hashBucket(col("doc_id"), 10, "inc")
       val batch = d.filter(bk === 9)
+      // the gate consumes corpusSig twice (bucket table + verify join) —
+      // materialize so the 90%-corpus signature pass runs once, the same
+      // discipline as minhashLshPairs; at scale this is the at-rest
+      // parquet signature table
       val corpusSig = Dedup.minhashSignatures(
-        d.filter(bk < 9), "doc_id", "text", 16, 3)
+        d.filter(bk < 9), "doc_id", "text", 16, 3).localCheckpointCapped()
       Dedup.dedupAgainstCorpus(batch, "doc_id", "text", corpusSig, 16, 4, 3, 0.5)
         .orderBy("new_id", "corpus_id")
     },
@@ -2546,8 +2550,11 @@ SELECT (SELECT count(*) FROM v) AS n_view, (SELECT count(*) FROM c) AS n_click,
     // oracle as the batch gate: streamed == batch, spec-pinned
     ("q_stream_admission", (s, dir) => {
       val bk = graft.functions.Sampling.hashBucket(col("doc_id"), 10, "inc")
+      // materialized: the stream consumes it twice per microbatch
+      // (bucket table + verify join)
       val corpusSig = Dedup.minhashSignatures(
         docs(s, dir).filter(bk < 9), "doc_id", "text", 16, 3)
+        .localCheckpointCapped()
       graft.streaming.DocStream.runAdmissionStream(s,
           s"$dir/documents.parquet", "doc_id", "text", bk === 9, corpusSig,
           16, 4, 3, 0.5, s"admission_stream_${Counter.next()}")
@@ -5049,17 +5056,7 @@ FROM r WHERE rn <= 10 ORDER BY 1, 5""")),
     // relevance set (doc relevant to a query iff its terms appear >= 3
     // times total; grade = the occurrence count)
     ("q_retrieval_metrics", (s, dir) => {
-      import s.implicits._
-      val qt = Seq((1L, "spark"), (1L, "merge"), (2L, "stream"),
-        (2L, "table"), (3L, "customer")).toDF("query_id", "term")
-      val d = docs(s, dir)
-      val ranked = TextAnalysis.bm25TopKPerQuery(d, "doc_id", "text", qt, 10)
-      val rel = d
-        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
-        .join(broadcast(qt), Seq("term"))
-        .groupBy("query_id", "doc_id").agg(count(lit(1)).as("tfsum"))
-        .filter(col("tfsum") >= 3)
-        .select(col("query_id"), col("doc_id"), col("tfsum").as("rel"))
+      val (ranked, rel) = retrievalEvalInputs(s, dir, tfMin = 3)
       TextAnalysis.retrievalMetrics(ranked, rel, 10).orderBy("query_id")
     },
       Some("""WITH qt(query_id, term) AS (VALUES (1, 'spark'), (1, 'merge'), (2, 'stream'), (2, 'table'), (3, 'customer')),
@@ -5088,17 +5085,9 @@ FROM m LEFT JOIN tot USING (query_id) ORDER BY 1""")),
     // pattern): the top-3 BM25-ranked docs per query that are NOT in the
     // relevance set — boundary-hugging negatives, not random ones
     ("q_hard_negatives", (s, dir) => {
-      import s.implicits._
-      val qt = Seq((1L, "spark"), (1L, "merge"), (2L, "stream"),
-        (2L, "table"), (3L, "customer")).toDF("query_id", "term")
-      val d = docs(s, dir)
-      val ranked = TextAnalysis.bm25TopKPerQuery(d, "doc_id", "text", qt, 10)
-      val rel = d
-        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
-        .join(broadcast(qt), Seq("term"))
-        .groupBy("query_id", "doc_id").agg(count(lit(1)).as("tfsum"))
-        .filter(col("tfsum") >= 8) // stricter positive bar than the
-        // metrics query: mining wants boundary docs left OUTSIDE the set
+      // stricter tf>=8 positive bar than the metrics query: mining wants
+      // boundary docs left OUTSIDE the set
+      val (ranked, rel) = retrievalEvalInputs(s, dir, tfMin = 8)
       TextAnalysis.hardNegatives(ranked, rel, 3)
         .orderBy("query_id", "neg_rank")
     },
@@ -6360,6 +6349,28 @@ allp AS (SELECT ia, ib FROM tp UNION SELECT ia, ib FROM ep)"""
     * exists so that decline is a measured number, not a surprise.
     */
   private val DocClusterProbe = 8
+
+  /** Shared retrieval-eval construction for q_retrieval_metrics and
+    * q_hard_negatives — the query-term table, the BM25 per-query top-10,
+    * and the tf >= tfMin relevance grades come from ONE definition so the
+    * two gated consumers cannot drift (only the positive bar differs: 3
+    * for the metrics scorecard, 8 for negative mining).
+    */
+  private def retrievalEvalInputs(s: SparkSession, dir: String, tfMin: Int)
+      : (DataFrame, DataFrame) = {
+    import s.implicits._
+    val qt = Seq((1L, "spark"), (1L, "merge"), (2L, "stream"),
+      (2L, "table"), (3L, "customer")).toDF("query_id", "term")
+    val d = docs(s, dir)
+    val ranked = TextAnalysis.bm25TopKPerQuery(d, "doc_id", "text", qt, 10)
+    val rel = d
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .join(broadcast(qt), Seq("term"))
+      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("tfsum"))
+      .filter(col("tfsum") >= tfMin)
+      .select(col("query_id"), col("doc_id"), col("tfsum").as("rel"))
+    (ranked, rel)
+  }
 
   /** Bitext-mining probe width, shared by the q_bitext_mine gate and the
     * q_bitext_recall audit (one constant so the audit always measures the

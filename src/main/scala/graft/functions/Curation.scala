@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftext.CappedCheckpoint._
 
 /** Corpus-curation operators for training-data assembly: mixture weighting,
   * token-budget selection, importance reweighting, and distribution-drift
@@ -251,8 +252,13 @@ object Curation {
     require(stages >= 1, "at least one stage")
     val spark = df.sparkSession
     import spark.implicits._
+    // materialize before the three downstream passes (count, the range
+    // partitioner's sample, zipWithIndex offsets) — the RDD path does not
+    // reuse the DataFrame plan's exchanges, so an unmaterialized upstream
+    // (e.g. q_curriculum's bigram-join scoring) would re-execute 2-3x
     val keyed = df.select(col(scoreCol).cast("long").as("sc"),
       col(idCol).cast("long").as("id"), col(sourceCol).as("source"))
+      .localCheckpointCapped()
     val n = math.max(keyed.count(), 1L)
     val ranked = keyed.as[(Long, Long, String)].rdd
       .sortBy { case (sc, id, _) => (-sc, id) }

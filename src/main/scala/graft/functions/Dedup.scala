@@ -116,6 +116,11 @@ object Dedup {
     */
   def lshBandArray(sigArr: Column, numHashes: Int = 16,
                    bands: Int = 4): Column = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must divide evenly into bands ($bands): a " +
+        "remainder would silently drop trailing signature rows here while " +
+        "lshBucketsFromSignatures emits them as an extra band — divergent " +
+        "candidate sets with no error")
     val rowsPerBand = numHashes / bands
     array((0 until bands).map { b =>
       val parts = (0 until rowsPerBand).map(i =>
@@ -143,6 +148,9 @@ object Dedup {
     */
   def lshBucketsFromSignatures(sig: DataFrame, numHashes: Int = 16,
                                bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must divide evenly into bands ($bands) — " +
+        "see lshBandArray, which must stay digest-identical")
     val rowsPerBand = numHashes / bands
     sig
       .withColumn("band", floor(col("h") / lit(rowsPerBand)).cast("int"))

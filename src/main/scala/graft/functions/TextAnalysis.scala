@@ -1049,7 +1049,10 @@ object TextAnalysis {
     * Scale shape: two count-aggs over bigram/left-context tokens (map-side
     * combine; key space = type counts, not corpus size) joined back to the
     * bigram instances on their compact keys, then one groupBy(id). The
-    * f(w1 ·) table is vocabulary-sized — broadcastable at any corpus scale.
+    * f(w1 ·) table is vocabulary-sized — usually broadcastable, but NOT
+    * forced: web-scale corpora grow distinct leading tokens (URLs,
+    * numbers, typos) past the broadcast limit, so the planner picks
+    * broadcast vs shuffle from size stats.
     */
   def conditionalBigramScore(df: DataFrame, idCol: String,
                              textCol: String): DataFrame = {
@@ -1064,7 +1067,7 @@ object TextAnalysis {
     val fxy = bg.groupBy("bigram").agg(count(lit(1)).as("fxy"))
     val fx = bg.groupBy("w1").agg(count(lit(1)).as("fx"))
     bg.join(fxy, Seq("bigram"))
-      .join(broadcast(fx), Seq("w1"))
+      .join(fx, Seq("w1"))
       .withColumn("term_q", expr("1000000L * fxy div fx"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_bigrams"), sum(col("term_q")).as("ts"))

@@ -59,7 +59,11 @@ object DocStream {
     // bucket tables are warehouse-sized — the stream-static equi-joins must
     // be free to shuffle on their compact keys ((band, bucket) and
     // corpus_id); Spark still broadcasts them when size stats allow
+    // same self-pair exclusion as the batch gate (Dedup.dedupAgainstCorpus
+    // filters x.id =!= y.id): a re-crawled doc whose id already exists in
+    // the corpus must not admit against itself
     val cand = banded.join(corpusBuckets, Seq("band", "bucket"))
+      .filter(col("new_id") =!= col("corpus_id"))
       .select(col("new_id"), col("corpus_id"), col("sig"))
     val agg = cand
       .join(corpusSig.select(col("id").as("corpus_id"), col("h"),
@@ -78,17 +82,6 @@ object DocStream {
     spark.table(queryName)
   }
 
-  /** Stage a single parquet file behind a directory so the file source can
-    * stream it (same trick as EventStream.stageDir).
-    */
-  private def stageDir(parquetPath: String): String = {
-    val f = new java.io.File(parquetPath)
-    if (f.isDirectory) parquetPath
-    else {
-      val d = java.nio.file.Files.createTempDirectory("graft_stream_")
-      java.nio.file.Files.createSymbolicLink(
-        d.resolve(f.getName), f.toPath.toAbsolutePath)
-      d.toString
-    }
-  }
+  private def stageDir(parquetPath: String): String =
+    EventStream.stageDir(parquetPath)
 }

@@ -570,7 +570,7 @@ object EventStream {
 
   // the file-stream source requires a DIRECTORY; stage single files into a
   // scratch dir via symlink
-  private def stageDir(parquetPath: String): String = {
+  private[streaming] def stageDir(parquetPath: String): String = {
     val f = new java.io.File(parquetPath)
     if (f.isDirectory) parquetPath
     else {

@@ -48,6 +48,28 @@ class Round12eSpec extends AnyFunSuite with SparkFixture {
     assert(b.exceptAll(a).count() == 0)
   }
 
+  test("runAdmissionStream excludes self-pairs when batch and corpus ids overlap") {
+    // a re-crawled doc: id 1 is in the corpus AND arrives in the batch —
+    // it must not admit against itself (batch gate filters x.id =!= y.id;
+    // the stream must agree), but it still matches its true dup (doc 3's
+    // text == doc 1's)
+    val dir = java.nio.file.Files.createTempDirectory("docstream_overlap")
+    val path = s"$dir/documents.parquet"
+    fixture.coalesce(1).write.mode("overwrite").parquet(path)
+    val corpusSig = Dedup.minhashSignatures(
+      fixture.filter(col("doc_id") <= 3), "doc_id", "text", 16, 3)
+    val streamed = graft.streaming.DocStream.runAdmissionStream(spark, path,
+      "doc_id", "text", col("doc_id") === 1, corpusSig,
+      16, 4, 3, 0.5, "admission_overlap_spec")
+    val batch = Dedup.dedupAgainstCorpus(fixture.filter(col("doc_id") === 1),
+      "doc_id", "text", corpusSig, 16, 4, 3, 0.5)
+    assert(streamed.filter(col("new_id") === col("corpus_id")).count() == 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    // the non-self dup pair (1 -> 3, identical text) survives
+    assert(streamed.filter(col("corpus_id") === 3L).count() == 1)
+  }
+
   test("runAdmissionStream equals batch dedupAgainstCorpus") {
     val dir = java.nio.file.Files.createTempDirectory("docstream_fix")
     val path = s"$dir/documents.parquet"
