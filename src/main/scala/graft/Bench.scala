@@ -63,7 +63,10 @@ object Bench {
         Seq(new java.io.File("."), new java.io.File("/root/repo"))
           .filter(_.isDirectory)
           .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty).toSeq)
-          .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
+          // BENCH_seed.json closes the first-round gap: a query with no
+          // prior-round record cannot trigger the outlier guard, so each
+          // session records its new queries' clean times there
+          .filter(f => f.getName.matches("BENCH_r\\d+\\.json|BENCH_seed\\.json"))
       }.filter(_.isFile)
     val prior: Map[String, Double] = prevFiles.flatMap { f =>
       try {
