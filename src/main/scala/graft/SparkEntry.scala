@@ -189,6 +189,19 @@ object SparkEntry {
   private def emb(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "embeddings")
 
+  /** Deterministic ~ExactAuditCap-vector stratum of the embeddings table
+    * (vec_id % max(1, n div cap) == 0) — the bounded corpus the exact
+    * all-pairs AUDIT queries run on, so their n^2 scoring is a constant
+    * at any scale. The modulus is 1 whenever n <= cap (sf0.01 audits the
+    * full corpus, unchanged from round 12). One metadata-cheap count.
+    */
+  private def embCapped(s: SparkSession, dir: String,
+                        cap: Long = ExactAuditCap): DataFrame = {
+    val e = emb(s, dir)
+    val m = math.max(1L, e.count() / cap)
+    e.filter(col("vec_id") % m === 0)
+  }
+
   /** DuckDB CTE prelude mirroring `graph`/`sparse` exactly. */
   private val G =
     """WITH RECURSIVE nodes AS (SELECT c_custkey AS id, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer),
@@ -3526,11 +3539,13 @@ FROM c a JOIN c b ON a.token = b.token AND a.grp < b.grp GROUP BY 1, 2)
 SELECT grp_a, grp_b, CAST(floor(CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) * 1000000) AS BIGINT) AS cos_q
 FROM dots JOIN norms na ON na.grp = grp_a JOIN norms nb ON nb.grp = grp_b ORDER BY 1, 2""")),
 
-    // mutual-kNN similarity graph over the embedding table
+    // mutual-kNN similarity graph — the EXACT all-pairs scorer, audit duty
+    // only, so it runs on the ExactAuditCap-bounded deterministic stratum
+    // (full corpus at sf0.01 where n <= cap): constant cost at any scale
     ("q_knn_graph", (s, dir) =>
-      Similarity.mutualKnnGraph(emb(s, dir), "vec_id", "embedding", 5)
+      Similarity.mutualKnnGraph(embCapped(s, dir), "vec_id", "embedding", 5)
         .orderBy("vec_a", "vec_b"),
-      Some(s"""$EMB_U,
+      Some(s"""$EMB_CAPPED_U,
 norms AS (SELECT vec_id, sum(x * x) AS nn FROM u GROUP BY 1),
 dq AS (SELECT a.vec_id AS qa, b.vec_id AS cb, sum(a.x * b.x) AS d
 FROM u a JOIN u b ON a.i = b.i AND a.vec_id <> b.vec_id GROUP BY 1, 2),
@@ -3542,19 +3557,19 @@ SELECT t.qa AS vec_a, t.cb AS vec_b, CAST(floor(t.sv * 1000000) AS BIGINT) AS co
 FROM tk t JOIN tk r ON r.qa = t.cb AND r.cb = t.qa WHERE t.qa < t.cb ORDER BY 1, 2""")),
 
     // semantic document clustering — THE PRODUCTION PATH: weak components
-    // over the IVF mutual-kNN graph. Candidates come from each vector's
-    // nprobe nearest KMV cells (~sqrt(n) cells, probe-1 functional
-    // membership; the cell equi-join — NO id-inequality-only join in the
-    // plan), so graph construction is O(n * nprobe * cell) ~ n^1.5 vs the
-    // exact scorer's n^2; the fused mutualKnnGraphKmv quantizes the corpus
-    // ONCE and derives cells/centroids/probes/scores from that checkpoint
-    // (the composed form costs three corpus scans). Exact variant kept as
-    // q_doc_clusters_exact; the IVF recall price is measured by
-    // q_doc_clusters_recall, not assumed.
+    // over the IVF mutual-kNN graph. Candidates come from the cell
+    // EQUI-join of each vector's nprobe nearest KMV cells against massign
+    // cell MEMBERSHIPS per vector (NO id-inequality-only join in the
+    // plan), so graph construction is O(n * nprobe * massign * cell)
+    // ~ n^1.5 vs the exact scorer's n^2; the fused mutualKnnGraphKmv
+    // quantizes the corpus ONCE and derives cells/centroids/probes/scores
+    // from that checkpoint. Exact variant kept as q_doc_clusters_exact
+    // (audit-bounded corpus); the IVF recall price is measured by
+    // q_doc_clusters_recall on an anchored stratum, not assumed.
     ("q_doc_clusters", (s, dir) => {
       val e = emb(s, dir)
       val knn = Similarity.mutualKnnGraphKmv(e, "vec_id", "embedding",
-          k = 5, nprobe = DocClusterProbe)
+          k = 5, nprobe = DocClusterProbe, massign = DocClusterAssign)
         .select(col("vec_a").as("source"), col("vec_b").as("target"))
       val lab = GraphAlgorithms.componentLabels(
         NetworkFrame(e.select(col("vec_id").as("id")), knn))
@@ -3564,20 +3579,20 @@ FROM tk t JOIN tk r ON r.qa = t.cb AND r.cb = t.qa WHERE t.qa < t.cb ORDER BY 1,
           col("cluster_size"))
         .orderBy("vec_id")
     },
-      Some(s"""${EMB_U.replace("WITH u", "WITH RECURSIVE u")},
-nr AS (SELECT vec_id, sum(x * x) AS nn FROM u GROUP BY 1),
-${ivfMutualCtes(5, DocClusterProbe)},
-sym2 AS (SELECT source, target FROM me UNION SELECT target, source FROM me),
-reach(id, r) AS (SELECT vec_id, vec_id FROM embeddings UNION SELECT reach.id, s.target FROM reach JOIN sym2 s ON s.source = reach.r),
-lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY 1),
+      Some(s"""${EMB_U.replace("WITH u AS", "WITH u AS MATERIALIZED")},
+nr AS MATERIALIZED (SELECT vec_id, sum(x * x) AS nn FROM u GROUP BY 1),
+${ivfMutualCtes(5, DocClusterProbe, DocClusterAssign)},
+${svComponentCtes("embeddings")},
 sz AS (SELECT cluster, count(*) AS n FROM lab GROUP BY 1)
 SELECT lab.id AS vec_id, lab.cluster, CAST(sz.n AS BIGINT) AS cluster_size
 FROM lab JOIN sz USING (cluster) ORDER BY 1""")),
 
     // exact-scorer variant of the clustering — correctness baseline and
-    // the recall denominator; all-pairs, small-SF duty only
+    // audit duty only, so it runs on the ExactAuditCap-bounded stratum
+    // (the full corpus at sf0.01): the n^2 plan can never become the
+    // bank's scale-killer
     ("q_doc_clusters_exact", (s, dir) => {
-      val e = emb(s, dir)
+      val e = embCapped(s, dir)
       val knn = Similarity.mutualKnnGraph(e, "vec_id", "embedding", 5)
         .select(col("vec_a").as("source"), col("vec_b").as("target"))
       val lab = GraphAlgorithms.componentLabels(
@@ -3588,37 +3603,41 @@ FROM lab JOIN sz USING (cluster) ORDER BY 1""")),
           col("cluster_size"))
         .orderBy("vec_id")
     },
-      Some("""WITH RECURSIVE u AS (SELECT vec_id, s.i, CAST(floor(CAST(embedding[s.i] AS DOUBLE) * 10000000) AS BIGINT) AS x FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) s),
+      Some(s"""$EMB_CAPPED_U,
 norms AS (SELECT vec_id, sum(x * x) AS nn FROM u GROUP BY 1),
 dq AS (SELECT a.vec_id AS qa, b.vec_id AS cb, sum(a.x * b.x) AS d
 FROM u a JOIN u b ON a.i = b.i AND a.vec_id <> b.vec_id GROUP BY 1, 2),
 sims AS (SELECT qa, cb, CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS sv
 FROM dq JOIN norms na ON na.vec_id = qa JOIN norms nb ON nb.vec_id = cb),
 rk AS (SELECT qa, cb, sv, row_number() OVER (PARTITION BY qa ORDER BY sv DESC, cb) AS rn FROM sims),
-tk AS (SELECT qa, cb FROM rk WHERE rn <= 5),
-me AS (SELECT t.qa AS source, t.cb AS target FROM tk t JOIN tk r ON r.qa = t.cb AND r.cb = t.qa WHERE t.qa < t.cb),
-sym2 AS (SELECT source, target FROM me UNION SELECT target, source FROM me),
-reach(id, r) AS (SELECT vec_id, vec_id FROM embeddings UNION SELECT reach.id, s.target FROM reach JOIN sym2 s ON s.source = reach.r),
-lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY 1),
+tk AS MATERIALIZED (SELECT qa, cb FROM rk WHERE rn <= 5),
+me AS MATERIALIZED (SELECT t.qa AS source, t.cb AS target FROM tk t JOIN tk r ON r.qa = t.cb AND r.cb = t.qa WHERE t.qa < t.cb),
+${svComponentCtes("embc")},
 sz AS (SELECT cluster, count(*) AS n FROM lab GROUP BY 1)
 SELECT lab.id AS vec_id, lab.cluster, CAST(sz.n AS BIGINT) AS cluster_size
 FROM lab JOIN sz USING (cluster) ORDER BY 1""")),
 
     // mutual-edge recall of the IVF graph vs the exact graph — the audit
-    // that prices the probe bound (the q_cell_recall pattern applied to
-    // the clustering channel). Stratified: overall recall counts every
-    // exact mutual edge (including weak far-neighbor top-5 edges, the
-    // first casualties of a fixed nprobe as cells grow), while the strong
-    // band (cos >= 0.4, the near-dup threshold) counts the edges that
-    // actually merge clusters — the number that must stay high at scale.
-    // All-integer output.
+    // that prices the probe/membership bound (the q_cell_recall pattern
+    // applied to the clustering channel). The denominator is the ANCHORED
+    // exact edge set (mutualKnnEdgesAnchored: every mutual edge touching
+    // the ~AnchorCap deterministic id stratum, each carrying the full
+    // graph's exact cos_q), so audit cost is O(AnchorCap * n) — never the
+    // all-pairs n^2 that blew the round-12 oracle budget; the estimator
+    // agrees with the full-graph recall to ~3pp at sf0.1. Stratified:
+    // overall recall counts every anchored edge (including weak
+    // far-neighbor top-5 edges, the first casualties as cells outgrow the
+    // probes), while the strong band (cos >= 0.4, the near-dup threshold)
+    // counts the edges that actually merge clusters — the number the
+    // (nprobe=6, massign=3) operating point must keep >= 600000 ppm at
+    // sf0.1. All-integer output.
     ("q_doc_clusters_recall", (s, dir) => {
       val e = emb(s, dir)
       val ivf = Similarity.mutualKnnGraphKmv(e, "vec_id", "embedding",
-          k = 5, nprobe = DocClusterProbe)
+          k = 5, nprobe = DocClusterProbe, massign = DocClusterAssign)
         .select("vec_a", "vec_b")
-      val exact = Similarity.mutualKnnGraph(e, "vec_id", "embedding", 5)
-        .select("vec_a", "vec_b", "cos_q")
+      val exact = Similarity.mutualKnnEdgesAnchored(e, "vec_id", "embedding",
+          k = 5, anchorCap = AnchorCap)
       val found = exact.join(ivf, Seq("vec_a", "vec_b"), "left_semi")
       val strongE = exact.filter(col("cos_q") >= 400000L)
       val strongF = found.filter(col("cos_q") >= 400000L)
@@ -3634,22 +3653,18 @@ FROM lab JOIN sz USING (cluster) ORDER BY 1""")),
             expr("n_found_strong * 1000000 div n_exact_strong"))
             .otherwise(0L).as("recall_strong_ppm"))
     },
-      Some(s"""$EMB_U,
-nr AS (SELECT vec_id, sum(x * x) AS nn FROM u GROUP BY 1),
-${ivfMutualCtes(5, DocClusterProbe)},
-xdq AS (SELECT a.vec_id AS qa, b.vec_id AS cb, sum(a.x * b.x) AS d
-FROM u a JOIN u b ON a.i = b.i AND a.vec_id <> b.vec_id GROUP BY 1, 2),
-xsims AS (SELECT qa, cb, CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS sv
-FROM xdq JOIN nr na ON na.vec_id = qa JOIN nr nb ON nb.vec_id = cb),
-xrk AS (SELECT qa, cb, sv, row_number() OVER (PARTITION BY qa ORDER BY sv DESC, cb) AS rn FROM xsims),
-xtk AS (SELECT qa, cb, sv FROM xrk WHERE rn <= 5),
-xme AS (SELECT t.qa AS ea, t.cb AS eb, CAST(floor(t.sv * 1000000) AS BIGINT) AS cq FROM xtk t JOIN xtk r ON r.qa = t.cb AND r.cb = t.qa WHERE t.qa < t.cb),
-fnd AS (SELECT x.ea, x.eb, x.cq FROM xme x JOIN me m ON m.source = x.ea AND m.target = x.eb)
-SELECT (SELECT count(*) FROM xme) AS n_exact, (SELECT count(*) FROM fnd) AS n_found,
-CASE WHEN (SELECT count(*) FROM xme) > 0 THEN (SELECT count(*) FROM fnd) * 1000000 // (SELECT count(*) FROM xme) ELSE 0 END AS recall_ppm,
-(SELECT count(*) FROM xme WHERE cq >= 400000) AS n_exact_strong,
-(SELECT count(*) FROM fnd WHERE cq >= 400000) AS n_found_strong,
-CASE WHEN (SELECT count(*) FROM xme WHERE cq >= 400000) > 0 THEN (SELECT count(*) FROM fnd WHERE cq >= 400000) * 1000000 // (SELECT count(*) FROM xme WHERE cq >= 400000) ELSE 0 END AS recall_strong_ppm""")),
+      Some(s"""${EMB_U.replace("WITH u AS", "WITH u AS MATERIALIZED")},
+nr AS MATERIALIZED (SELECT vec_id, sum(x * x) AS nn FROM u GROUP BY 1),
+${ivfMutualCtes(5, DocClusterProbe, DocClusterAssign)},
+${anchoredExactCtes(5)},
+ast AS (SELECT count(*) AS n_exact, count(*) FILTER (WHERE cq >= 400000) AS n_exact_strong FROM xme),
+fnd AS MATERIALIZED (SELECT x.cq FROM xme x JOIN me m ON m.source = x.ea AND m.target = x.eb),
+fst AS (SELECT count(*) AS n_found, count(*) FILTER (WHERE cq >= 400000) AS n_found_strong FROM fnd)
+SELECT n_exact, n_found,
+CASE WHEN n_exact > 0 THEN n_found * 1000000 // n_exact ELSE 0 END AS recall_ppm,
+n_exact_strong, n_found_strong,
+CASE WHEN n_exact_strong > 0 THEN n_found_strong * 1000000 // n_exact_strong ELSE 0 END AS recall_strong_ppm
+FROM ast, fst""")),
 
     // top session paths: batch sessionization (30-min inactivity gap) +
     // total-order event-type path strings, counted corpus-wide — the
@@ -6340,15 +6355,47 @@ tp AS (SELECT c.ia, c.ib FROM tcand c JOIN sig sa ON sa.doc_id = c.ia JOIN sig s
 HAVING CAST(sum(CASE WHEN sa.minhash = sb2.minhash THEN 1 ELSE 0 END) AS DOUBLE) / count(*) >= 0.5),
 allp AS (SELECT ia, ib FROM tp UNION SELECT ia, ib FROM ep)"""
 
-  /** Probe width of the q_doc_clusters IVF gate. Chosen on the stratified
-    * q_doc_clusters_recall audit (round-12 grid): nprobe=8 doubles the
-    * probed-cell fraction over nprobe=4 for ~2x candidate work that stays
-    * n^1.5-shaped (candidates = nprobe * n^1.5 with sqrt(n) cells). The
-    * recall rows at both audited SFs live in COVERAGE.md; like every IVF
-    * index, recall at FIXED nprobe declines as cells grow — the audit row
-    * exists so that decline is a measured number, not a surprise.
+  /** Operating point of the q_doc_clusters IVF gate: probe width x cell
+    * MEMBERSHIPS per vector. Round 12 ran (nprobe=8, massign=1) and its
+    * own audit measured the fixed-probe decline the scaladoc predicted:
+    * strong-band recall 71% at sf0.01 (23 cells) fell to 38% at sf0.1
+    * (45 cells), because a fixed probe width covers a shrinking fraction
+    * of the sqrt(n) cells. The round-13 repair is multi-membership, not a
+    * wider probe: every vector joins its `massign` nearest cells, so a
+    * neighbor is found when ANY of its cells is probed. The sf0.1 grid
+    * (DuckDB mirror, anchored-recall audit): (8,1) 41% strong at 7.9x
+    * n^1.5 candidates; (16,1) 63% at 15.9x; (6,3) 73% at 15.6x; (8,3) 80%
+    * at 19.8x — memberships buy more recall per candidate than probes.
+    * (6,3) is the gate: clears the 600000-ppm strong bar with margin at
+    * HALF the candidate cost of the nprobe-only point that matches it,
+    * and candidates stay n^1.5-shaped (constant massign^2 * nprobe
+    * multiplier), never a probed fraction of n^2.
     */
-  private val DocClusterProbe = 8
+  private val DocClusterProbe = 6
+  private val DocClusterAssign = 3
+
+  /** Anchor budget of the clustering recall audits: the exact-side
+    * denominator is computed only for edges touching the deterministic
+    * id stratum id % max(1, n div AnchorCap) == 0 (~AnchorCap anchors at
+    * any corpus size), so audit cost is O(AnchorCap * n) — linear —
+    * instead of the all-pairs n^2 the round-12 audit paid (which blew the
+    * driver's oracle budget: the DuckDB side alone ran ~25 min at
+    * sf0.01). ~150 anchored edges at the audited SFs keeps the recall
+    * estimate's sampling noise near +/-4pp — the full-graph and anchored
+    * estimates agree to 3pp at sf0.1 (38.0% vs 41.2% at the round-12
+    * point; 78.5% vs 80.2% at the round-13 point).
+    */
+  private val AnchorCap = 128L
+
+  /** Corpus bound of the exact all-pairs AUDIT queries (q_knn_graph,
+    * q_doc_clusters_exact): they run on the deterministic id stratum
+    * vec_id % max(1, n div ExactAuditCap) == 0, so the audited corpus is
+    * ~ExactAuditCap..2*ExactAuditCap vectors at ANY scale and the n^2
+    * scorer's cost is a CONSTANT, never the bank's scale-killer. At
+    * sf0.01 (n=500) the modulus is 1 — the audit is the full corpus and
+    * round-12 outputs are unchanged there.
+    */
+  private val ExactAuditCap = 512L
 
   /** Shared retrieval-eval construction for q_retrieval_metrics and
     * q_hard_negatives — the query-term table, the BM25 per-query top-10,
@@ -6383,33 +6430,91 @@ allp AS (SELECT ia, ib FROM tp UNION SELECT ia, ib FROM ep)"""
   private val BitextProbe = 9
 
   /** IVF mutual-kNN CTE chain (requires the `u` prelude and an
-    * `nr(vec_id, nn)` norms CTE): KMV probe-1 cell assignment (mirrors
-    * Similarity.kmvCellAssign seed for seed, tie for tie), integer
-    * centroids with truncate-toward-zero mean (mirrors
-    * Similarity.ivfCentroids' decimal DIV), `nprobe` nearest cells per
-    * query by exact centroid cosine (cell-id tie-break), in-cell exact
-    * scoring, top-`k` with neighbor-id tie-break, mutual semi-join —
-    * ends in `me(source, target)` with source < target.
+    * `nr(vec_id, nn)` norms CTE): KMV cell assignment to the `massign`
+    * nearest cells (mirrors Similarity.kmvCellAssign seed for seed, tie
+    * for tie), integer centroids with truncate-toward-zero mean trained
+    * over MEMBERSHIPS (mirrors Similarity.ivfProbedScoredMulti), `nprobe`
+    * nearest cells per query by exact centroid cosine (cell-id
+    * tie-break), DISTINCT in-cell candidate pairs, exact scoring, top-`k`
+    * with neighbor-id tie-break, mutual semi-join — ends in
+    * `me(source, target)` with source < target. Multi-referenced CTEs are
+    * MATERIALIZED: DuckDB inlines plain CTEs per reference, which
+    * re-derived the whole chain for every consumer and was half of the
+    * round-12 oracle blow-up.
     */
-  private def ivfMutualCtes(k: Int, nprobe: Int): String =
+  private def ivfMutualCtes(k: Int, nprobe: Int, massign: Int = 1): String =
     s"""cnt AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings),
 sr AS (SELECT vec_id, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS srn FROM embeddings),
 seeds AS (SELECT vec_id AS sid FROM sr, cnt WHERE srn <= k),
-sd AS (SELECT a.vec_id AS id, s.vec_id AS sid, sum(a.x * s.x) AS d FROM u a JOIN u s ON s.i = a.i WHERE s.vec_id IN (SELECT sid FROM seeds) GROUP BY 1, 2),
+sd AS MATERIALIZED (SELECT a.vec_id AS id, s.vec_id AS sid, sum(a.x * s.x) AS d FROM u a JOIN u s ON s.i = a.i WHERE s.vec_id IN (SELECT sid FROM seeds) GROUP BY 1, 2),
 asgx AS (SELECT id, sid, CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(ns.nn AS DOUBLE))) AS csim FROM sd JOIN nr na ON na.vec_id = id JOIN nr ns ON ns.vec_id = sid),
-lb AS (SELECT id AS vec_id, sid AS cell FROM (SELECT id, sid, row_number() OVER (PARTITION BY id ORDER BY csim DESC, sid) AS arn FROM asgx) WHERE arn <= 1),
+lb AS MATERIALIZED (SELECT id AS vec_id, sid AS cell FROM (SELECT id, sid, row_number() OVER (PARTITION BY id ORDER BY csim DESC, sid) AS arn FROM asgx) WHERE arn <= $massign),
 g AS (SELECT lb.cell, u.i, sum(u.x) AS sx, count(*) AS n FROM u JOIN lb USING (vec_id) GROUP BY 1, 2),
-cent AS (SELECT cell, i, CAST(CASE WHEN sx >= 0 THEN sx // n ELSE -((-sx) // n) END AS BIGINT) AS cq FROM g),
+cent AS MATERIALIZED (SELECT cell, i, CAST(CASE WHEN sx >= 0 THEN sx // n ELSE -((-sx) // n) END AS BIGINT) AS cq FROM g),
 cnx AS (SELECT cell, sum(cq * cq) AS cn2 FROM cent GROUP BY 1),
 qc AS (SELECT u.vec_id, c.cell, sum(u.x * c.cq) AS d FROM u JOIN cent c ON c.i = u.i GROUP BY 1, 2),
 psx AS (SELECT qc.vec_id, qc.cell, CAST(d AS DOUBLE) / (sqrt(CAST(nn AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) AS cs FROM qc JOIN nr ON nr.vec_id = qc.vec_id JOIN cnx ON cnx.cell = qc.cell),
-probed AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS pn FROM psx) WHERE pn <= $nprobe),
-icand AS (SELECT p.vec_id AS qa, c.vec_id AS cb FROM probed p JOIN lb c ON c.cell = p.cell AND c.vec_id <> p.vec_id),
+probed AS MATERIALIZED (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS pn FROM psx) WHERE pn <= $nprobe),
+icand AS MATERIALIZED (SELECT DISTINCT p.vec_id AS qa, c.vec_id AS cb FROM probed p JOIN lb c ON c.cell = p.cell AND c.vec_id <> p.vec_id),
 idq AS (SELECT icand.qa, icand.cb, sum(a.x * b.x) AS d FROM icand JOIN u a ON a.vec_id = icand.qa JOIN u b ON b.vec_id = icand.cb AND b.i = a.i GROUP BY 1, 2),
 isims AS (SELECT qa, cb, CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS sv FROM idq JOIN nr na ON na.vec_id = qa JOIN nr nb ON nb.vec_id = cb),
 irk AS (SELECT qa, cb, row_number() OVER (PARTITION BY qa ORDER BY sv DESC, cb) AS irn FROM isims),
-itk AS (SELECT qa, cb FROM irk WHERE irn <= $k),
-me AS (SELECT t.qa AS source, t.cb AS target FROM itk t JOIN itk r ON r.qa = t.cb AND r.cb = t.qa WHERE t.qa < t.cb)"""
+itk AS MATERIALIZED (SELECT qa, cb FROM irk WHERE irn <= $k),
+me AS MATERIALIZED (SELECT t.qa AS source, t.cb AS target FROM itk t JOIN itk r ON r.qa = t.cb AND r.cb = t.qa WHERE t.qa < t.cb)"""
+
+  /** Unrolled Shiloach–Vishkin (hook + pointer-jump) connected components
+    * over a preceding `me(source, target)` edge CTE, ending in
+    * `lab(id, cluster)` with cluster = min member id — exactly what
+    * GraphAlgorithms.componentLabels emits. This replaces the round-12
+    * `WITH RECURSIVE reach` transitive closure, whose row count is
+    * sum(component_size^2) and which dominated the clustering oracles
+    * (measured: 96 s of q_doc_clusters' 111 s at sf0.01 — the cost that
+    * zeroed the driver's CORRECTNESS_r12.json). Each round hooks every
+    * node to the min label in its closed neighborhood, then jumps
+    * lbl <- lbl(lbl): label-chain depth at least halves per round
+    * (geometric), so `rounds` = 20 is exact for any component diameter
+    * < ~2^20 — five orders of magnitude above testdata components — at
+    * O(V + E) MATERIALIZED rows per round.
+    */
+  private def svComponentCtes(nodesFrom: String, rounds: Int = 20): String = {
+    val head =
+      s"""symE AS MATERIALIZED (SELECT source AS a, target AS b FROM me UNION ALL SELECT target AS a, source AS b FROM me),
+l0 AS MATERIALIZED (SELECT vec_id AS id, vec_id AS lbl FROM $nodesFrom)"""
+    val rs = (1 to rounds).map { i =>
+      s""",
+h$i AS MATERIALIZED (SELECT p.id, min(least(p.lbl, coalesce(q.lbl, p.lbl))) AS lbl FROM l${i - 1} p LEFT JOIN symE e ON e.a = p.id LEFT JOIN l${i - 1} q ON q.id = e.b GROUP BY 1),
+l$i AS MATERIALIZED (SELECT h.id, j.lbl FROM h$i h JOIN h$i j ON j.id = h.lbl)"""
+    }.mkString
+    s"$head$rs,\nlab AS (SELECT id, lbl AS cluster FROM l$rounds)"
+  }
+
+  /** Bounded-corpus prelude of the exact all-pairs audit oracles: `embc`
+    * is the vec_id % max(1, n div ExactAuditCap) == 0 stratum of the
+    * embeddings table (the whole table whenever n <= ExactAuditCap, so
+    * sf0.01 outputs are unchanged from round 12) and `u` unnests it.
+    */
+  private val EMB_CAPPED_U =
+    s"""WITH embc AS MATERIALIZED (SELECT e.* FROM embeddings e, (SELECT greatest(1, count(*) // $ExactAuditCap) AS m FROM embeddings) mm WHERE e.vec_id % mm.m = 0),
+u AS MATERIALIZED (SELECT vec_id, s.i, CAST(floor(CAST(embedding[s.i] AS DOUBLE) * 10000000) AS BIGINT) AS x FROM embc, (SELECT unnest(generate_series(1, 64)) AS i) s)"""
+
+  /** Anchored exact mutual-kNN edge CTEs (requires a MATERIALIZED `u`
+    * prelude over the FULL embeddings table and an `nr(vec_id, nn)` norms
+    * CTE) — mirrors Similarity.mutualKnnEdgesAnchored pass for pass:
+    * anchors are the id % max(1, n div AnchorCap) == 0 stratum, t1 is the
+    * anchors' exact top-`k`, t2 the anchors' neighbors' exact top-`k`,
+    * and `xme(ea < eb, cq)` the DISTINCT mutual edges touching an anchor.
+    */
+  private def anchoredExactCtes(k: Int): String =
+    s"""anch AS (SELECT e.vec_id FROM embeddings e, (SELECT greatest(1, count(*) // $AnchorCap) AS m FROM embeddings) mm WHERE e.vec_id % mm.m = 0),
+ad1 AS (SELECT a.vec_id AS qa, b.vec_id AS cb, sum(a.x * b.x) AS d FROM u a JOIN u b ON a.i = b.i AND a.vec_id <> b.vec_id WHERE a.vec_id IN (SELECT vec_id FROM anch) GROUP BY 1, 2),
+as1 AS (SELECT qa, cb, CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS sv FROM ad1 JOIN nr na ON na.vec_id = qa JOIN nr nb ON nb.vec_id = cb),
+t1 AS MATERIALIZED (SELECT qa, cb, sv FROM (SELECT qa, cb, sv, row_number() OVER (PARTITION BY qa ORDER BY sv DESC, cb) AS rn FROM as1) WHERE rn <= $k),
+nbrs AS (SELECT DISTINCT cb AS vec_id FROM t1),
+ad2 AS (SELECT a.vec_id AS qa, b.vec_id AS cb, sum(a.x * b.x) AS d FROM u a JOIN u b ON a.i = b.i AND a.vec_id <> b.vec_id WHERE a.vec_id IN (SELECT vec_id FROM nbrs) GROUP BY 1, 2),
+as2 AS (SELECT qa, cb, CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS sv FROM ad2 JOIN nr na ON na.vec_id = qa JOIN nr nb ON nb.vec_id = cb),
+t2 AS (SELECT qa, cb, sv FROM (SELECT qa, cb, sv, row_number() OVER (PARTITION BY qa ORDER BY sv DESC, cb) AS rn FROM as2) WHERE rn <= $k),
+tall AS (SELECT qa, cb FROM t1 UNION ALL SELECT qa, cb FROM t2),
+xme AS MATERIALIZED (SELECT DISTINCT least(t.qa, t.cb) AS ea, greatest(t.qa, t.cb) AS eb, CAST(floor(t.sv * 1000000) AS BIGINT) AS cq FROM t1 t JOIN tall r ON r.qa = t.cb AND r.cb = t.qa)"""
 
   private val ALL_MARKERS = TextAnalysis.langMarkers.flatMap(_._2)
     .map(m => s"'$m'").mkString(",")

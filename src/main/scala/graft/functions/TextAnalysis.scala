@@ -982,6 +982,15 @@ object TextAnalysis {
     * the rel join keys on (query_id, doc_id) with a broadcastable left
     * side, and the final agg groups on query_id — cost scales with queries,
     * not corpus.
+    *
+    * Row semantics are RANKED-DRIVEN: the scorecard emits one row per
+    * query that appears in `ranked`. A query present in `rel` for which
+    * the retriever returned NOTHING emits no row at all — it is unscored,
+    * not scored zero — so a consumer averaging the scorecard over a
+    * retriever that drops queries will overstate quality. When that
+    * failure mode matters, right-join the rel query set and count the
+    * missing rows as zeros (or gate on ranked's query coverage first);
+    * the SQL oracle mirrors the ranked-driven form.
     */
   def retrievalMetrics(ranked: DataFrame, rel: DataFrame,
                        k: Int = 10): DataFrame = {

@@ -6,33 +6,38 @@ import org.apache.spark.sql.functions._
 import graft.functions.Dedup
 
 /** Streaming document-ingest operators: the continuous-crawl counterpart of
-  * the batch curation stack. The design rule is that everything PER-DOCUMENT
-  * is a stateless in-row expression (signatures, band buckets — zero
-  * shuffles on the stream) and the only streaming state is the final
-  * bounded aggregation, so the same plan runs unmodified as a 100 TB/day
-  * continuous pipeline: corpus-side state lives in the warehouse as static
-  * tables refreshed per microbatch, never in stream memory.
+  * the batch curation stack. The design rule is that a document's verdict
+  * is decided entirely within the microbatch that carries it (the corpus
+  * side is static, so nothing about the decision spans batches) and
+  * emitted per batch — the stream holds ZERO cross-batch state, which is
+  * what lets the same plan run unmodified as a 100 TB/day continuous
+  * pipeline: corpus-side state lives in the warehouse as static tables
+  * refreshed per microbatch, never in stream memory.
   */
 object DocStream {
 
   /** Streaming near-dup admission — `Dedup.dedupAgainstCorpus` as a live
     * ingest gate: new documents arrive as a stream, the standing corpus
-    * enters ONLY as its at-rest MinHash signature table (static side).
-    * Per microbatch: in-row signatures ([[Dedup.minhashArray]] — a
-    * stateless map, no shuffle), in-row band buckets, a stream-static
-    * equi-join against the corpus bucket table for candidates, a second
-    * stream-static join to the corpus signatures for verification, and ONE
-    * streaming aggregation keyed (new_id, corpus_id).
+    * enters ONLY as its at-rest MinHash signature table (static side),
+    * and the verdict for a document is fully determined inside the
+    * microbatch that carries it — so the plan keeps ZERO streaming state.
+    * Each microbatch runs THE batch gate itself via `foreachBatch`
+    * (in-row signatures, band-bucket equi-join candidates against the
+    * corpus, signature verification, one batch-local aggregation keyed
+    * (new_id, corpus_id)) and APPENDS its verdicts to the sink — the
+    * warehouse shape a continuous pipeline deploys, and why this runs
+    * unmodified at 100 TB/day: state never outlives the microbatch,
+    * unlike the round-12 complete-mode memory sink, which re-emitted
+    * every verdict ever admitted on each batch and grew without bound.
     *
-    * A pair colliding in several bands enters the verify join once per
-    * colliding band — deliberately NOT deduplicated (streaming distinct is
-    * unbounded state): each collision contributes a complete copy of the
-    * numHashes agreement rows, and sum(agree)/count(*) is invariant under
-    * whole-set duplication, so est_jaccard equals the batch value exactly
-    * (k/numHashes in IEEE doubles both ways; spec-pinned batch==stream).
+    * Because the gate IS `Dedup.dedupAgainstCorpus`, streamed == batch by
+    * construction (spec-pinned), with one deliberate per-batch semantics:
+    * a document id re-crawled in a LATER microbatch is re-admitted
+    * against the corpus and emits its verdicts again — one decision per
+    * arrival, the correct continuous-ingest behavior.
     *
-    * Returns the drained memory-sink table: (new_id, corpus_id,
-    * est_jaccard) for pairs at or above `minAgree`.
+    * Returns the drained sink: (new_id, corpus_id, est_jaccard) for pairs
+    * at or above `minAgree`.
     */
   def runAdmissionStream(spark: SparkSession, parquetPath: String,
                          idCol: String, textCol: String,
@@ -43,43 +48,24 @@ object DocStream {
     val schema = spark.read.parquet(parquetPath).schema
     val src = spark.readStream.schema(schema).parquet(stageDir(parquetPath))
       .filter(batchFilter)
-    val sigged = src
-      .select(col(idCol).as("new_id"),
-        Dedup.minhashArray(col(textCol), numHashes, shingleLen).as("sig"))
-      .filter(col("sig").isNotNull)
-    val banded = sigged
-      .select(col("new_id"), col("sig"),
-        explode(Dedup.lshBandArray(col("sig"), numHashes, bands)).as("bb"))
-      .select(col("new_id"), col("sig"),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val corpusBuckets = Dedup
-      .lshBucketsFromSignatures(corpusSig, numHashes, bands)
-      .select(col("id").as("corpus_id"), col("band"), col("bucket"))
-    // NO forced broadcast on the corpus side: at 100 TB the signature and
-    // bucket tables are warehouse-sized — the stream-static equi-joins must
-    // be free to shuffle on their compact keys ((band, bucket) and
-    // corpus_id); Spark still broadcasts them when size stats allow
-    // same self-pair exclusion as the batch gate (Dedup.dedupAgainstCorpus
-    // filters x.id =!= y.id): a re-crawled doc whose id already exists in
-    // the corpus must not admit against itself
-    val cand = banded.join(corpusBuckets, Seq("band", "bucket"))
-      .filter(col("new_id") =!= col("corpus_id"))
-      .select(col("new_id"), col("corpus_id"), col("sig"))
-    val agg = cand
-      .join(corpusSig.select(col("id").as("corpus_id"), col("h"),
-        col("minhash")), Seq("corpus_id"))
-      .withColumn("agree",
-        when(col("minhash") === element_at(col("sig"), col("h") + 1), 1L)
-          .otherwise(0L))
-      .groupBy("new_id", "corpus_id")
-      .agg((sum(col("agree")).cast("double") /
-        count(lit(1)).cast("double")).as("est_jaccard"))
-      .filter(col("est_jaccard") >= minAgree)
-    val q = agg.writeStream.outputMode("complete").format("memory")
-      .queryName(queryName).start()
+    def gate(batch: DataFrame): DataFrame =
+      Dedup.dedupAgainstCorpus(batch, idCol, textCol, corpusSig,
+        numHashes, bands, shingleLen, minAgree)
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_admission_").toString
+    // seed the sink with the gate's schema (zero-row plan) so a run whose
+    // batches all admit nothing still reads back as an empty table
+    gate(spark.read.parquet(parquetPath).limit(0))
+      .write.mode("overwrite").parquet(outDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        gate(batch).write.mode("append").parquet(outDir)
+      }
+      .queryName(queryName)
+      .start()
     try q.processAllAvailable()
     finally q.stop()
-    spark.table(queryName)
+    spark.read.parquet(outDir)
   }
 
   private def stageDir(parquetPath: String): String =

@@ -85,6 +85,14 @@ def main():
         print(f"  {name:24s} MISSING OUTPUT (query failed in Verify?)")
     print(f"{len(names) - len([f for f in failures if f in names])}/{len(names)} outputs OK; "
           f"{len(failures)} failures")
+    # an EMPTY comparison is a failure, not a vacuous pass: round 12's
+    # official correctness record shipped as {} because the driver's check
+    # died on oracle cost, and nothing downstream noticed — zero compared
+    # outputs means the gate did not run, so say so loudly
+    if not names:
+        print("EMPTY RESULT SET: no query outputs were compared — "
+              "treat this gate as FAILED, not passed")
+        sys.exit(2)
     sys.exit(1 if failures else 0)
 
 
