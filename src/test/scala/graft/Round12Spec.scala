@@ -154,12 +154,16 @@ class Round12Spec extends AnyFunSuite with SparkFixture {
   }
 
   test("Bench outlier records: official value is min(shared, solo)") {
-    // the selection rule lives in Bench.main; pin the arithmetic contract
-    // the file format documents — min() adjudication, both values kept
+    // round 13: the rule moved into BenchGuard (unit-tested directly in
+    // Round13Spec); this pins the same file-format contract THROUGH the
+    // real adjudication code instead of a local re-implementation
     val shared = Map("a" -> 300.0, "b" -> 2.0)
     val outliers = Map("a" -> ((300.0, 9.5)))
+    val prior = Map("a" -> 10.0)
     val official = shared.map { case (k, v) =>
-      k -> outliers.get(k).map { case (sh, so) => math.min(sh, so) }.getOrElse(v)
+      k -> outliers.get(k).map { case (sh, so) =>
+        BenchGuard.adjudicate(sh, so, prior.get(k))
+      }.getOrElse(v)
     }
     assert(official("a") == 9.5 && official("b") == 2.0)
   }

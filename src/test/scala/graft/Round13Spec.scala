@@ -128,6 +128,30 @@ class Round13Spec extends AnyFunSuite with SparkFixture {
     assert(anchored.count() > 0 && anchored.count() < full.count())
   }
 
+  test("cosineNearDupPairsAnchored with anchorCap >= n equals the exhaustive pair set") {
+    val e = emb100
+    val full = Similarity.cosineNearDupPairsExact(e, "vec_id", "embedding", 0.4)
+    val anchored = Similarity.cosineNearDupPairsAnchored(e, "vec_id",
+      "embedding", 0.4, anchorCap = 1000L)
+    assert(anchored.columns.toSeq == full.columns.toSeq)
+    assert(anchored.exceptAll(full).count() == 0)
+    assert(full.exceptAll(anchored).count() == 0)
+    assert(full.count() > 0, "fixture must produce near-dup pairs")
+  }
+
+  test("cosineNearDupPairsAnchored with a small cap is the anchor-touching subset with exact sims") {
+    val e = emb100
+    val n = e.count()
+    val cap = 16L
+    val m = math.max(1L, n / cap)
+    val full = Similarity.cosineNearDupPairsExact(e, "vec_id", "embedding", 0.4)
+    val anchored = Similarity.cosineNearDupPairsAnchored(e, "vec_id",
+      "embedding", 0.4, anchorCap = cap)
+    val expected = full.filter(col("id_a") % m === 0 || col("id_b") % m === 0)
+    assert(anchored.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(anchored).count() == 0)
+  }
+
   // ---------------- plan-audit gate --------------------------------------
   // The properties the operator scaladocs promise, asserted on the actual
   // physical plans so a regression fails the suite. Detector first: prove
