@@ -128,6 +128,29 @@ class Round13Spec extends AnyFunSuite with SparkFixture {
     assert(anchored.count() > 0 && anchored.count() < full.count())
   }
 
+  test("salted two-phase top-k is bit-identical to the single-window ranking") {
+    // bruteForceTopK now ranks via (query_id, neighbor_id % SaltWidth)
+    // partials + a final pass — same rows, ranks, and sims as the naive
+    // global window; pin it against an independent in-test reference
+    import org.apache.spark.sql.expressions.Window
+    val e = emb100
+    val got = Similarity.bruteForceTopK(e.filter(col("vec_id") < 40), e,
+      "vec_id", "embedding", 5)
+    val q = e.filter(col("vec_id") < 40)
+      .select(col("vec_id").as("query_id"), col("embedding").as("va"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("vb"))
+    val ref = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", Similarity.cosine(col("va"), col("vb")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim"), 6).as("sim"))
+    assert(got.exceptAll(ref).count() == 0)
+    assert(ref.exceptAll(got).count() == 0)
+    assert(got.count() == 40 * 5)
+  }
+
   test("cosineNearDupPairsAnchored with anchorCap >= n equals the exhaustive pair set") {
     val e = emb100
     val full = Similarity.cosineNearDupPairsExact(e, "vec_id", "embedding", 0.4)
