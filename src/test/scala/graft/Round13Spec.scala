@@ -229,6 +229,18 @@ class Round13Spec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("Join"), s"asofBackward grew a join:\n$p")
   }
 
+  test("salted top-k and bm25 rankings plan map-side WindowGroupLimits") {
+    // the rank<=k filters must truncate BELOW the exchange so only k rows
+    // per (query, bucket) per map task cross the wire
+    val pTopK = phys(Similarity.bruteForceTopK(
+      emb100.filter(col("vec_id") < 10), emb100, "vec_id", "embedding", 5))
+    assert(pTopK.contains("WindowGroupLimit"), s"salted top-k lost its group limit:\n$pTopK")
+    import spark.implicits._
+    val qt = Seq((1L, "spark"), (2L, "stream")).toDF("query_id", "term")
+    val pBm25 = phys(TextAnalysis.bm25TopKPerQuery(docsDf, "doc_id", "text", qt, 10))
+    assert(pBm25.contains("WindowGroupLimit"), s"bm25 top-k lost its group limit:\n$pBm25")
+  }
+
   test("filter and projection reach the parquet scan (pushdown gate)") {
     val q = docsDf.filter(col("lang") === "en").select("doc_id", "lang")
     val formatted = q.queryExecution.explainString(
