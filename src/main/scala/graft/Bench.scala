@@ -18,24 +18,52 @@ import org.apache.spark.sql.SparkSession
   * re-measure.
   */
 object BenchGuard {
+  /** Streaming-family rows (microbatch machinery): their clean times swing
+    * far wider than batch plans — BENCH_seed carries q_stream_dedup at
+    * 1.9 s vs 24.5 s in every recent official sample, pure microbatch
+    * staging variance. They get a laxer trigger (3x, not 2x, so the guard
+    * doesn't burn its solo budget re-running inherent variance) and a
+    * stricter seed floor (0.5x, so one lucky staging window can't set a
+    * best-clean-time no later run can match).
+    */
+  def isStreamingFamily(name: String): Boolean =
+    name.contains("stream") || name == "q_events_append"
+
+  /** Per-row suspect trigger: 2x the best clean prior for batch rows
+    * (round-13's official file shipped 1.51x inflated because a sustained
+    * 1.5-2.9x host window sat under the old 3x bar), 3x for streaming.
+    */
+  def triggerRatio(name: String): Double =
+    if (isStreamingFamily(name)) 3.0 else 2.0
+
   /** Every (query -> seconds) pair under any "queries" key in a BENCH json
     * document — recursive, so it covers both the driver shape
     * {"parsed":{"queries":{...}}} and this engine's own files / seed
-    * ({"queries":{...}}). Malformed input yields an empty map, never a
-    * throw (the guard must not be able to kill a bench run).
+    * ({"queries":{...}}). A document carrying "queries" at more than one
+    * depth (json4s `\\` merges those into a JObject of JObjects, which
+    * the old single-level collect read as ZERO priors) contributes the
+    * per-query MINIMUM across all of them. Malformed input yields an
+    * empty map, never a throw (the guard must not kill a bench run).
     */
   def parseQueries(json: String): Map[String, Double] = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
+    def queryObjs(jv: JValue): Seq[JObject] = jv match {
+      case JObject(fields) => fields.flatMap {
+        case ("queries", o: JObject) => Seq(o)
+        case (_, v) => queryObjs(v)
+      }
+      case JArray(vs) => vs.flatMap(queryObjs)
+      case _ => Nil
+    }
     try {
-      (JsonMethods.parse(json) \\ "queries") match {
+      queryObjs(JsonMethods.parse(json)).flatMap {
         case JObject(fields) => fields.collect {
           case (k, JDouble(v)) => k -> v
           case (k, JInt(v)) => k -> v.toDouble
           case (k, JDecimal(v)) => k -> v.toDouble
-        }.toMap
-        case _ => Map.empty
-      }
+        }
+      }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
     } catch { case _: Throwable => Map.empty }
   }
 
@@ -46,42 +74,103 @@ object BenchGuard {
       .filter(_._2 > 0)
 
   /** Shared-pass rows the guard re-runs solo: above the absolute floor AND
-    * over `ratio` x their best prior record (a query with no prior cannot
-    * trigger — which is why Bench persists EVERY query's adjudicated time
-    * into the repo-side seed, closing the round-12 coverage gap where
-    * driver files keep only the top-25). Slowest-first, capped.
+    * over their family trigger ratio x best prior record (a query with no
+    * prior cannot trigger — which is why Bench persists EVERY query's
+    * adjudicated time into the repo-side seed, closing the round-12
+    * coverage gap where driver files keep only the top-25).
+    * Slowest-first, capped.
     */
   def suspects(shared: Seq[(String, Double)], prior: Map[String, Double],
-               floorSec: Double = 5.0, ratio: Double = 3.0,
-               cap: Int = 8): Seq[(String, Double)] =
+               floorSec: Double = 5.0, cap: Int = 10): Seq[(String, Double)] =
     shared.filter { case (name, sec) =>
-      sec > floorSec && prior.get(name).exists(p => sec > ratio * p)
+      sec > floorSec && prior.get(name).exists(p => sec > triggerRatio(name) * p)
     }.sortBy(-_._2).take(cap)
 
-  /** The official value for a re-run suspect: min(shared, solo), except a
-    * solo below half the prior best is REFUSED (warm memoized-parquet
-    * read, not a clean re-measure) and the shared time stands.
+  /** A second solo attempt (after a gc+settle pause) is warranted when the
+    * first solo either (a) was refused as a warm-memo read — a confirming
+    * re-run is the only way a genuine >2x speedup can ever enter the
+    * record (the round-13 advisor's trap: refuse-once logic pinned real
+    * improvements at the inflated shared time forever), or (b) is still
+    * over the trigger itself — the solo likely ran inside the same
+    * degraded host window as the shared pass.
     */
+  def needsSecondSolo(name: String, sharedSec: Double, solo1: Double,
+                      prior: Option[Double]): Boolean =
+    prior.exists { p =>
+      solo1 > 0 && (solo1 < 0.5 * p ||
+        math.min(sharedSec, solo1) > triggerRatio(name) * p)
+    }
+
+  /** The official value for a re-run suspect given up to two solos.
+    * Solos at or above half the prior best are clean re-measures and
+    * compete with the shared time directly. Solos BELOW half prior are
+    * warm-memo suspects — refused unless TWO of them agree (both below
+    * half prior, within 25% of each other), which is the escape hatch for
+    * a genuine speedup: a memoized-parquet accident doesn't reproduce
+    * under the between-attempt unpersist+gc, a real plan improvement
+    * does. Returns (officialSec, confirmedLow) — confirmedLow tells
+    * mergeSeed the sub-floor value is evidence-backed.
+    */
+  def adjudicate(sharedSec: Double, solos: Seq[Double],
+                 prior: Option[Double]): (Double, Boolean) = {
+    val positive = solos.filter(_ > 0)
+    prior match {
+      case None => ((sharedSec +: positive).min, false)
+      case Some(p) =>
+        val clean = positive.filter(_ >= 0.5 * p)
+        val low = positive.filter(_ < 0.5 * p)
+        val confirmed = low.size >= 2 && low.max <= 1.25 * low.min
+        val pool = sharedSec +: (clean ++ (if (confirmed) low else Nil))
+        (pool.min, confirmed && pool.min < 0.5 * p)
+    }
+  }
+
+  /** Single-solo compatibility shape (round-13 behavior). */
   def adjudicate(sharedSec: Double, soloSec: Double,
                  prior: Option[Double]): Double =
-    if (prior.exists(p => soloSec < 0.5 * p)) sharedSec
-    else math.min(sharedSec, soloSec)
+    adjudicate(sharedSec, Seq(soloSec), prior)._1
 
   /** Seed-merge rule: keep the per-query minimum of the existing seed and
-    * this run's adjudicated record, refusing fresh values below 0.3x the
-    * existing seed (a warm-memo or failed row must not poison the "best
-    * clean time" the 3x trigger compares against) and non-positive values
-    * (failed queries).
+    * this run's adjudicated record, refusing fresh values below the
+    * family floor x the existing seed (0.3x batch, 0.5x streaming — a
+    * warm-memo or lucky-staging row must not poison the "best clean
+    * time" the trigger compares against) and non-positive values (failed
+    * queries). Queries in `confirmed` (double-solo-confirmed genuine
+    * speedups from adjudicate) bypass the floor — that's how the seed
+    * ever converges downward to a true improvement.
     */
   def mergeSeed(existing: Map[String, Double],
-                fresh: Map[String, Double]): Map[String, Double] = {
+                fresh: Map[String, Double],
+                confirmed: Set[String] = Set.empty): Map[String, Double] = {
     val accepted = fresh.filter { case (k, v) =>
-      v > 0 && existing.get(k).forall(e => v >= 0.3 * e)
+      val floor = if (isStreamingFamily(k)) 0.5 else 0.3
+      v > 0 && (confirmed(k) || existing.get(k).forall(e => v >= floor * e))
     }
     (existing.keySet ++ accepted.keySet).map { k =>
       k -> (existing.get(k).toSeq ++ accepted.get(k).toSeq).min
     }.toMap
   }
+
+  /** The seed records best clean times at the DRIVER'S bench scale; a
+    * full-bank run anywhere else (the sf0.001 verify smoke, a /tmp/sf1
+    * curvature pass) must not merge — its times are valid measurements
+    * of a DIFFERENT corpus, and the 0.3x floor only blocks the rows that
+    * shrank below 0.3x (measured: an sf0.001 smoke lowered 173 of 312
+    * seed rows before this gate existed).
+    */
+  def seedScaleOk(sfDir: String): Boolean =
+    new java.io.File(sfDir).getName == "sf0.1"
+
+  /** Per-row seed-relative ratios for the official record: every row's
+    * official/seed-best, kept when >= the reporting bar (1.5x) — a
+    * degraded host window is then self-documenting in the file itself
+    * instead of requiring next-round archaeology.
+    */
+  def seedRatios(results: Map[String, Double], prior: Map[String, Double],
+                 bar: Double = 1.5): Map[String, Double] =
+    results.flatMap { case (k, v) =>
+      prior.get(k).filter(_ > 0).map(p => k -> v / p)
+    }.filter(_._2 >= bar)
 }
 
 object Bench {
@@ -150,35 +239,61 @@ object Bench {
           .filter(f => f.getName.matches("BENCH_r\\d+\\.json|BENCH_seed\\.json"))
       }.filter(_.isFile)
     val prior: Map[String, Double] = BenchGuard.bestPrior(prevFiles.map { f =>
-      try BenchGuard.parseQueries(new String(
+      val parsed = try BenchGuard.parseQueries(new String(
         java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
       catch { case _: Throwable => Map.empty[String, Double] }
+      // a non-empty BENCH file contributing zero priors means a parse-shape
+      // regression silently disabling the guard for that file — say so
+      if (parsed.isEmpty && f.length() > 2)
+        System.err.println(s"[bench] WARN: ${f.getName} parsed to zero priors")
+      parsed
     })
-    // 3x, not 5x: the round-12 closing run caught two shared-pass rows
-    // inflated 3.1-4.6x over both their prior-round records and their
-    // same-session solo times that a 5x bar let into the file
+    // 2x seed-relative (3x streaming), not the old flat 3x: round 13's
+    // official file shipped 1.51x inflated because a sustained 1.5-2.9x
+    // host window passed a 3x bar row by row, and solos re-run inside the
+    // same window stayed inflated — hence the second solo attempt behind
+    // a gc+settle pause when the first one doesn't clear the trigger
     val suspects = BenchGuard.suspects(shared.toSeq, prior)
-    val outliers = suspects.map { case (name, sharedSec) =>
+    def soloRun(name: String): Double = {
       reclaim()
       val t0 = System.nanoTime()
       try { selected(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val solo = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] OUTLIER $name%-24s shared $sharedSec%8.2f s -> solo $solo%8.2f s (prior best ${prior(name)}%.2f s)")
+      val sec = (System.nanoTime() - t0) / 1e9
       reclaim()
-      name -> (sharedSec, solo)
-    }.toMap
-    val results = shared.map { case (name, sec) =>
-      name -> outliers.get(name).map { case (sh, solo) =>
-        BenchGuard.adjudicate(sh, solo, prior.get(name))
-      }.getOrElse(sec)
+      sec
     }
-    val outliersJson = outliers.map { case (k, (sh, solo)) =>
-      s"\"" + k + s"\":{\"shared\":$sh,\"solo\":$solo}"
+    val outliers = suspects.map { case (name, sharedSec) =>
+      val solo1 = soloRun(name)
+      val solos =
+        if (BenchGuard.needsSecondSolo(name, sharedSec, solo1, prior.get(name))) {
+          Thread.sleep(2000) // settle: let the host window / gc churn pass
+          Seq(solo1, soloRun(name))
+        } else Seq(solo1)
+      System.err.println(f"[bench] OUTLIER $name%-24s shared $sharedSec%8.2f s -> solos ${solos.map(s => f"$s%.2f").mkString("/")} s (prior best ${prior(name)}%.2f s)")
+      name -> (sharedSec, solos)
+    }.toMap
+    val adjudicated = outliers.map { case (name, (sh, solos)) =>
+      name -> BenchGuard.adjudicate(sh, solos, prior.get(name))
+    }
+    val confirmedLows = adjudicated.collect { case (n, (_, true)) => n }.toSet
+    val results = shared.map { case (name, sec) =>
+      name -> adjudicated.get(name).map(_._1).getOrElse(sec)
+    }
+    val outliersJson = outliers.map { case (k, (sh, solos)) =>
+      val ss = solos.zipWithIndex.map { case (s, i) =>
+        s"\"solo${if (i == 0) "" else i + 1}\":$s" }.mkString(",")
+      s"\"" + k + s"\":{\"shared\":$sh,$ss,\"prior\":${prior.getOrElse(k, -1.0)}}"
     }.mkString("{", ",", "}")
+    // every row's official/seed-best ratio >= 1.5 goes INTO the file: a
+    // degraded host window documents itself instead of being next round's
+    // archaeology (the r13 sample carried 10 rows at 2x+ with no marker)
+    val ratiosJson = BenchGuard.seedRatios(results.toMap, prior)
+      .toSeq.sortBy(-_._2)
+      .map { case (k, r) => s"\"" + k + "\":" + f"$r%.2f" }.mkString("{", ",", "}")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"outliers":$outliersJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"outliers":$outliersJson,"seed_ratios":$ratiosJson,"sf":"$sfDir"}"""
     // the full per-query dict lives on disk; stdout gets each query as its
     // own short line plus a SHORT final summary line, so a tail window of
     // any size always ends with complete, parseable JSON (the r3 one-line
@@ -190,15 +305,20 @@ object Bench {
     } catch { case _: Throwable => () }
     // persist the adjudicated FULL per-query record into the repo-side seed
     // (min-merged), so every query — not just the driver files' top-25 —
-    // has a prior for the next round's 3x guard; full-bank runs only, so a
-    // SPARK_GRAFT_ONLY subset smoke can't half-update the record
-    if (only.isEmpty && results.nonEmpty) {
+    // has a prior for the next round's guard. Two gates: full-bank runs
+    // only (a SPARK_GRAFT_ONLY subset smoke can't half-update the record),
+    // and THE DRIVER'S BENCH SCALE only — a full-bank sf0.001 smoke run
+    // would otherwise min-merge small-scale times into 170+ rows (the
+    // 0.3x floor only blocks rows whose small-scale time is BELOW 0.3x;
+    // measured round 14: q_mst 14.7 -> 7.0, q_copurchase 2.9 -> 0.86),
+    // and every later sf0.1 run would read as a fleet-wide regression
+    if (only.isEmpty && results.nonEmpty && BenchGuard.seedScaleOk(sfDir)) {
       try {
         val seedF = Seq(new java.io.File("/root/repo"), new java.io.File("."))
           .filter(_.isDirectory).map(d => new java.io.File(d, "BENCH_seed.json")).head
         val existing = if (seedF.isFile) BenchGuard.parseQueries(new String(
           java.nio.file.Files.readAllBytes(seedF.toPath), "UTF-8")) else Map.empty[String, Double]
-        val merged = BenchGuard.mergeSeed(existing, results)
+        val merged = BenchGuard.mergeSeed(existing, results, confirmedLows)
         val body = merged.toSeq.sortBy(_._1)
           .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
         val w = new java.io.PrintWriter(seedF, "UTF-8")
@@ -215,7 +335,7 @@ object Bench {
     // `out` and each query also printed its own line above
     val top = results.toSeq.sortBy(-_._2).take(25)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":$top,"outliers":$outliersJson,"sf":"$sfDir","file":"$out"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":$top,"outliers":$outliersJson,"seed_ratios":$ratiosJson,"sf":"$sfDir","file":"$out"}""")
     Console.out.flush()
     spark.stop()
   }

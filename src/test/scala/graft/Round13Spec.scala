@@ -38,11 +38,11 @@ class Round13Spec extends AnyFunSuite with SparkFixture {
     assert(prior == Map("q_a" -> 2.5, "q_b" -> 6.0))
   }
 
-  test("BenchGuard.suspects triggers at >3x prior above the 5s floor; no prior, no trigger") {
-    val shared = Seq("q_slow" -> 31.0, "q_fine" -> 8.0, "q_small" -> 4.9,
+  test("BenchGuard.suspects triggers at the family ratio above the 5s floor; no prior, no trigger") {
+    val shared = Seq("q_slow" -> 31.0, "q_fine" -> 5.5, "q_small" -> 4.9,
       "q_new" -> 100.0)
     val prior = Map("q_slow" -> 10.0, "q_fine" -> 3.0, "q_small" -> 1.0)
-    // q_slow: 31 > 3*10 -> suspect. q_fine: 8 < 3*3=9 -> clean.
+    // q_slow: 31 > 2*10 -> suspect. q_fine: 5.5 < 2*3=6 -> clean.
     // q_small: 4.9 under the 5s floor despite 4.9x. q_new: no prior record.
     assert(BenchGuard.suspects(shared, prior).map(_._1) == Seq("q_slow"))
   }

@@ -15,6 +15,9 @@ import sys
 
 
 def main():
+    if len(sys.argv) < 2:
+        print("usage: assert_correctness.py <CORRECTNESS_r*.json> [min_queries]")
+        return 2
     path = sys.argv[1]
     min_q = int(sys.argv[2]) if len(sys.argv) > 2 else 300
     try:
