@@ -53,20 +53,41 @@ object DocStream {
         numHashes, bands, shingleLen, minAgree)
     val outDir = java.nio.file.Files
       .createTempDirectory("graft_admission_").toString
+    cleanupAtExit(outDir)
     // seed the sink with the gate's schema (zero-row plan) so a run whose
     // batches all admit nothing still reads back as an empty table
     gate(spark.read.parquet(parquetPath).limit(0))
-      .write.mode("overwrite").parquet(outDir)
+      .write.mode("overwrite").parquet(s"$outDir/b_seed")
+    // idempotent sink: each microbatch OVERWRITES its own batchId-named
+    // subdirectory, so a failed/retried batch replaces its partial output
+    // instead of double-appending — paired with an explicit checkpoint so
+    // a restart resumes at the right batch rather than re-ingesting
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_admission_ckpt_").toString
+    cleanupAtExit(ckpt)
     val q = src.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        gate(batch).write.mode("append").parquet(outDir)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        gate(batch).write.mode("overwrite").parquet(s"$outDir/b_$batchId")
       }
       .queryName(queryName)
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    spark.read.parquet(outDir)
+    spark.read.parquet(s"$outDir/b_*")
   }
+
+  /** Temp sink/checkpoint dirs are deleted at JVM exit (the returned
+    * DataFrame reads the sink lazily, so deleting eagerly would break the
+    * caller; a bench/verify JVM accumulates a bounded handful of these).
+    */
+  private def cleanupAtExit(dir: String): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }))
 
   private def stageDir(parquetPath: String): String =
     EventStream.stageDir(parquetPath)
