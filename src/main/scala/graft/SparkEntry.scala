@@ -201,11 +201,39 @@ object SparkEntry {
     */
   private val knnPath = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Auto-scaled clustering operating point (round 14). A FIXED
+    * (nprobe, massign) decays as the sqrt(n) cell count outgrows it —
+    * measured strong-band recall at (6,3): 90.9% at 23 cells (sf0.01),
+    * 72.5% at 45 cells (sf0.1), 43.4% at 142 cells (10x). Both factors
+    * scale from the sf0.1 reference point (45 cells) by the grid-fit law
+    * g = (cells/45)^0.65: nprobe = ceil(6g), massign = round(3*sqrt(g)),
+    * floored at (6,3) — so sf0.01 (oracle scale) and sf0.1 (bench scale)
+    * are EXACTLY the round-13 point, and the 10x corpus lands (13, 4),
+    * measured 72.4% strong-band (the round-14 GridR14 sweep: (11,3) —
+    * pure nprobe ~ sqrt(cells) — reached only 57.1%; memberships buy the
+    * rest). Cost: candidates stay n * nprobe * massign * cell with the
+    * constants now growing ~cells^0.9, i.e. ~n^1.95 total on a corpus
+    * whose neighbor families disperse across cells — holding recall on a
+    * flat IVF costs that; the recorded next-decade path (SCALE.md) is a
+    * second independent KMV index (union recall 1-(1-p)^L at constant-L
+    * cost) or a two-level index, not more probes.
+    */
+  private[graft] def scaledClusterPoint(n: Long): (Int, Int) = {
+    val cells = math.ceil(math.sqrt(math.max(1L, n).toDouble))
+    val g = math.pow(cells / 45.0, 0.65)
+    if (g <= 1.0) (DocClusterProbe, DocClusterAssign)
+    else (math.ceil(DocClusterProbe * g).toInt,
+      math.max(DocClusterAssign,
+        math.round(DocClusterAssign * math.sqrt(g)).toInt))
+  }
+
   private def docKnnGraph(s: SparkSession, dir: String): DataFrame = {
     val p = knnPath.getOrElseUpdate(dir, {
       val out = scratchDir(s, "doc_knn_")
-      Similarity.mutualKnnGraphKmv(emb(s, dir), "vec_id", "embedding",
-          k = 5, nprobe = DocClusterProbe, massign = DocClusterAssign)
+      val e = emb(s, dir)
+      val (np, ma) = scaledClusterPoint(e.count())
+      Similarity.mutualKnnGraphKmv(e, "vec_id", "embedding",
+          k = 5, nprobe = np, massign = ma)
         .write.mode("overwrite").parquet(out)
       out
     })
@@ -221,8 +249,14 @@ object SparkEntry {
   private def embCapped(s: SparkSession, dir: String,
                         cap: Long = ExactAuditCap): DataFrame = {
     val e = emb(s, dir)
-    val m = math.max(1L, e.count() / cap)
-    e.filter(col("vec_id") % m === 0)
+    val n = e.count()
+    val m = math.max(1L, n / cap)
+    val stratum = e.filter(col("vec_id") % m === 0)
+    // loud thin-stratum guard (round-14 advice): a sparse id space would
+    // silently shrink the audited corpus; one column-pruned count
+    Similarity.assertStratum(
+      stratum.select("vec_id").count(), n, cap, "embCapped")
+    stratum
   }
 
   /** DuckDB CTE prelude mirroring `graph`/`sparse` exactly. */
@@ -1508,7 +1542,11 @@ FROM ag WHERE cos_q > 0 AND cs > 0 AND (cos_q * m * 1000000) // cs >= 1100000 OR
       val side = graft.functions.Sampling.hashBucket(col("vec_id"), 2, "bt")
       val qs = e.filter(side === 0)
       val cs = e.filter(side === 1)
-      val m = math.max(1L, qs.count() / AnchorCap)
+      val nq = qs.count()
+      val m = math.max(1L, nq / AnchorCap)
+      Similarity.assertStratum(
+        qs.filter(col("vec_id") % m === 0).select("vec_id").count(),
+        nq, AnchorCap, "q_bitext_recall anchors")
       val mined = Similarity.marginMinedPairs(qs, cs, "vec_id", "embedding",
           k = 4, nprobe = BitextProbe, marginPpmMin = 0L,
           massign = BitextAssign)

@@ -1,0 +1,218 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Similarity
+
+/** Round-14 work: seed-relative bench adjudication (2x trigger, second
+  * solo behind a settle pause, double-solo confirmation as the only way
+  * a sub-half-prior value enters the record, streaming-family floors,
+  * per-row seed ratios stamped into the official file), the streaming
+  * plan gate (expected stateful operators + never a complete-mode memory
+  * sink on the production stream queries), and the loud thin-stratum
+  * guard on modulus-selected audit anchors.
+  */
+class Round14Spec extends AnyFunSuite with SparkFixture {
+
+  private val SF = "/root/testdata/sf0.001"
+
+  // ---------------- BenchGuard: seed-relative adjudication --------------
+
+  test("parseQueries min-merges a document carrying queries at multiple depths") {
+    // json4s `\\` merges multi-depth matches into a JObject of JObjects,
+    // which the round-13 single-level collect silently read as ZERO
+    // priors — dropping that file from the guard entirely
+    val multi = """{"queries":{"q_a":5.0,"q_b":3.0},"parsed":{"queries":{"q_a":4.0,"q_c":7}}}"""
+    assert(BenchGuard.parseQueries(multi) ==
+      Map("q_a" -> 4.0, "q_b" -> 3.0, "q_c" -> 7.0))
+  }
+
+  test("family trigger: 2x for batch rows, 3x for streaming rows") {
+    assert(BenchGuard.triggerRatio("q_components") == 2.0)
+    assert(BenchGuard.triggerRatio("q_stream_dedup") == 3.0)
+    assert(BenchGuard.triggerRatio("q_cc_stream") == 3.0)
+    assert(BenchGuard.triggerRatio("q_events_append") == 3.0)
+    val shared = Seq("q_batch" -> 11.0, "q_stream_join" -> 11.0)
+    val prior = Map("q_batch" -> 5.0, "q_stream_join" -> 5.0)
+    // 2.2x: trips the batch trigger, under the streaming one
+    assert(BenchGuard.suspects(shared, prior).map(_._1) == Seq("q_batch"))
+  }
+
+  test("needsSecondSolo: warm-refused or still-inflated solos get a confirming attempt") {
+    // solo below half prior -> warm-memo suspect, needs confirmation
+    assert(BenchGuard.needsSecondSolo("q_x", 31.0, 2.0, Some(10.0)))
+    // solo still over 2x prior -> same degraded window, retry
+    assert(BenchGuard.needsSecondSolo("q_x", 31.0, 25.0, Some(10.0)))
+    // clean solo inside (0.5x, 2x) prior -> done
+    assert(!BenchGuard.needsSecondSolo("q_x", 31.0, 9.5, Some(10.0)))
+    // failed solo or no prior -> nothing to confirm against
+    assert(!BenchGuard.needsSecondSolo("q_x", 31.0, -1.0, Some(10.0)))
+    assert(!BenchGuard.needsSecondSolo("q_x", 31.0, 2.0, None))
+  }
+
+  test("adjudicate: two agreeing sub-half-prior solos confirm a genuine speedup") {
+    // the round-13 advisor's trap: a query that really improved >2x had
+    // every solo refused as warm-memo, so the record could never converge
+    val (sec, confirmed) = BenchGuard.adjudicate(31.0, Seq(2.0, 2.2), Some(10.0))
+    assert(sec == 2.0 && confirmed)
+  }
+
+  test("adjudicate: a lone or unreproduced low solo is still refused") {
+    // one low solo, second attempt came back clean -> low refused,
+    // clean solo wins
+    val (sec1, c1) = BenchGuard.adjudicate(31.0, Seq(2.0, 9.0), Some(10.0))
+    assert(sec1 == 9.0 && !c1)
+    // two lows that DISAGREE (>25%) -> a memo accident, both refused
+    val (sec2, c2) = BenchGuard.adjudicate(31.0, Seq(2.0, 4.0), Some(10.0))
+    assert(sec2 == 31.0 && !c2)
+    // single low solo -> refused (round-13 behavior preserved)
+    val (sec3, c3) = BenchGuard.adjudicate(31.0, Seq(0.16), Some(10.0))
+    assert(sec3 == 31.0 && !c3)
+  }
+
+  test("mergeSeed: streaming rows refuse sub-0.5x lows; confirmed rows bypass the floor") {
+    val existing = Map("q_stream_dedup" -> 10.0, "q_batch" -> 10.0)
+    val fresh = Map("q_stream_dedup" -> 4.0, "q_batch" -> 4.0)
+    // 0.4x: under the streaming 0.5x floor, over the batch 0.3x floor
+    assert(BenchGuard.mergeSeed(existing, fresh) ==
+      Map("q_stream_dedup" -> 10.0, "q_batch" -> 4.0))
+    // double-solo-confirmed values enter regardless of the floor
+    assert(BenchGuard.mergeSeed(existing, fresh,
+      confirmed = Set("q_stream_dedup")) ==
+      Map("q_stream_dedup" -> 4.0, "q_batch" -> 4.0))
+  }
+
+  test("seed merges are gated to the driver's bench scale") {
+    // an sf0.001 smoke or a /tmp/sf1 curvature pass must never min-merge
+    // its times into the sf0.1 seed (measured: 173/312 rows lowered)
+    assert(BenchGuard.seedScaleOk("/root/testdata/sf0.1"))
+    assert(!BenchGuard.seedScaleOk("/root/testdata/sf0.001"))
+    assert(!BenchGuard.seedScaleOk("/tmp/sf1"))
+  }
+
+  test("seedRatios stamps every row at or above the 1.5x reporting bar") {
+    val ratios = BenchGuard.seedRatios(
+      Map("q_a" -> 15.0, "q_b" -> 7.0, "q_c" -> 5.0),
+      Map("q_a" -> 5.0, "q_b" -> 5.0))
+    // q_a 3x -> stamped; q_b 1.4x -> below bar; q_c no seed -> absent
+    assert(ratios == Map("q_a" -> 3.0))
+  }
+
+  // ---------------- auto-scaled clustering operating point ---------------
+
+  test("scaledClusterPoint floors at (6,3) through bench scale and lands the measured 10x point") {
+    // sf0.01 (the oracle scale) and sf0.1 (the bench scale) keep the
+    // round-13 point exactly — correctness gate and bench unchanged
+    assert(SparkEntry.scaledClusterPoint(500L) == ((6, 3)))
+    assert(SparkEntry.scaledClusterPoint(2000L) == ((6, 3)))
+    // the 10x corpus (142 cells) lands the grid-measured point: 72.4%
+    // strong-band anchored recall vs 43.4% at fixed (6,3)
+    assert(SparkEntry.scaledClusterPoint(20000L) == ((13, 4)))
+    // monotone in n: a bigger corpus never probes less
+    val pts = Seq(500L, 2000L, 20000L, 200000L)
+      .map(SparkEntry.scaledClusterPoint)
+    assert(pts == pts.sorted)
+  }
+
+  // ---------------- thin-stratum guard -----------------------------------
+
+  test("assertStratum: dense strata pass, a thinned stratum throws loudly") {
+    Similarity.assertStratum(realized = 130, n = 60000, cap = 128, "t")
+    Similarity.assertStratum(realized = 64, n = 60000, cap = 128, "t")
+    Similarity.assertStratum(realized = 100, n = 100, cap = 512, "t")
+    intercept[IllegalArgumentException] {
+      Similarity.assertStratum(realized = 10, n = 60000, cap = 128, "t")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.assertStratum(realized = 0, n = 60000, cap = 512, "t")
+    }
+  }
+
+  test("anchored helpers run the guard: a structured id space that defeats the modulus throws") {
+    import spark.implicits._
+    // ids all congruent 1 mod 4 with m = 64/4 = 16: id % 16 cycles
+    // {1,5,9,13} and never hits 0 — the modulus selects NOTHING
+    val n = 64
+    val sparseIds = (0 until n).map(i => (i * 4L + 1L,
+      Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))).toDF("id", "vec")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.mutualKnnEdgesAnchored(sparseIds, "id", "vec",
+        k = 3, anchorCap = 4L).count()
+    }
+    assert(ex.getMessage.contains("stratum"))
+  }
+
+  // ---------------- streaming plan gate ----------------------------------
+  // The DocStream regression class, pinned the way the batch plans are:
+  // run the REAL SparkEntry stream queries at sf0.001 under a progress
+  // listener and assert (a) the expected stateful operator is what ran,
+  // (b) no production stream query uses a complete-mode memory sink
+  // (complete mode re-emits the entire result every batch — unbounded at
+  // 100 TB/day; round 12's admission sink bug).
+
+  test("streaming plan gate: stateful operators and sink modes are the designed ones") {
+    val progresses = scala.collection.mutable.Buffer
+      .empty[org.apache.spark.sql.streaming.StreamingQueryProgress]
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+        progresses.synchronized { progresses += e.progress; () }
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    val watched = Seq("q_stream_dedup", "q_stream_join", "q_cc_stream",
+      "q_stream_admission", "q_events_append")
+    try {
+      watched.foreach { q => assert(SparkEntry.queries(q)(spark, SF).count() >= 0) }
+      // progress events post asynchronously on the listener bus: wait for
+      // every watched stream to have reported at least one progress
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      def names = progresses.synchronized { progresses.map(_.name).toSet }
+      def covered(prefixes: Seq[String]) =
+        prefixes.forall(p => names.exists(n => n != null && n.startsWith(prefix(p))))
+      while (!covered(watched) && System.nanoTime() < deadline) Thread.sleep(100)
+      val snap = progresses.synchronized { progresses.toVector }
+      def opsOf(q: String): Set[String] = snap
+        .filter(p => p.name != null && p.name.startsWith(prefix(q)))
+        .flatMap(_.stateOperators.map(_.operatorName)).toSet
+      def sinksOf(q: String): Set[String] = snap
+        .filter(p => p.name != null && p.name.startsWith(prefix(q)))
+        .map(_.sink.description).toSet
+
+      assert(opsOf("q_stream_dedup").exists(_.toLowerCase.contains("dedupe")),
+        s"q_stream_dedup lost its watermark dedup state operator: ${opsOf("q_stream_dedup")}")
+      assert(opsOf("q_stream_join").exists(_.toLowerCase.contains("symmetrichashjoin")),
+        s"q_stream_join lost its stream-stream join state: ${opsOf("q_stream_join")}")
+      assert(opsOf("q_events_append").exists(_.toLowerCase.contains("statestoresave")),
+        s"q_events_append lost its windowed-agg state store: ${opsOf("q_events_append")}")
+      // the zero-cross-batch-state designs: verdicts/deltas computed per
+      // microbatch in foreachBatch, nothing held in stream state
+      assert(sinksOf("q_cc_stream").exists(_.contains("ForeachBatchSink")),
+        s"q_cc_stream sink changed: ${sinksOf("q_cc_stream")}")
+      assert(sinksOf("q_stream_admission").exists(_.contains("ForeachBatchSink")),
+        s"q_stream_admission sink changed: ${sinksOf("q_stream_admission")}")
+      assert(opsOf("q_stream_admission").isEmpty,
+        s"admission stream grew cross-batch state: ${opsOf("q_stream_admission")}")
+      // the foreachBatch designs must never regress to a memory sink
+      // (the only complete-mode-capable sink in this bank — round 12's
+      // admission bug class); every watched stream must have reported
+      watched.foreach { q => assert(sinksOf(q).nonEmpty, s"$q reported no progress") }
+      Seq("q_cc_stream", "q_stream_admission").foreach { q =>
+        assert(!sinksOf(q).exists(_.contains("MemorySink")),
+          s"$q regressed to a memory sink: ${sinksOf(q)}")
+      }
+    } finally spark.streams.removeListener(listener)
+  }
+
+  /** SparkEntry stream queries suffix a counter onto their base name. */
+  private def prefix(q: String): String = q match {
+    case "q_stream_dedup" => "dedup_stream_"
+    case "q_stream_join" => "interval_join_"
+    case "q_cc_stream" => "cc_stream_"
+    case "q_stream_admission" => "admission_stream_"
+    case "q_events_append" => "stream_append_"
+    case other => other
+  }
+}
