@@ -6514,7 +6514,7 @@ allp AS (SELECT ia, ib FROM tp UNION SELECT ia, ib FROM ep)"""
     * `nr(vec_id, nn)` norms CTE): KMV cell assignment to the `massign`
     * nearest cells (mirrors Similarity.kmvCellAssign seed for seed, tie
     * for tie), integer centroids with truncate-toward-zero mean trained
-    * over MEMBERSHIPS (mirrors Similarity.ivfProbedScoredMulti), `nprobe`
+    * over MEMBERSHIPS (mirrors Similarity.multiCandidatePairs+scoreCandidatePairs), `nprobe`
     * nearest cells per query by exact centroid cosine (cell-id
     * tie-break), DISTINCT in-cell candidate pairs, exact scoring, top-`k`
     * with neighbor-id tie-break, mutual semi-join — ends in

@@ -206,6 +206,52 @@ class Round14Spec extends AnyFunSuite with SparkFixture {
     } finally spark.streams.removeListener(listener)
   }
 
+  // ---------------- multi-index IVF union --------------------------------
+  // The recorded next-decade recall path: L independent salted KMV indexes
+  // whose candidate pairs union before one scoring pass. Salt 0 is the
+  // historical index, so the union candidate set is a strict superset of
+  // the single-index run — and for an edge IN the exact graph, a superset
+  // can only improve its ranks (at most k-1 true vectors beat a true
+  // top-k member), so exact-edge recall is monotone in `indexes`.
+
+  private def emb120 = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .filter(col("vec_id") < 120)
+
+  test("mutualKnnGraphKmv indexes=2 with all cells probed equals the exact graph") {
+    val e = emb120
+    val nCells = math.ceil(math.sqrt(e.count().toDouble)).toInt
+    val ivf = Similarity.mutualKnnGraphKmv(e, "vec_id", "embedding",
+      k = 5, nprobe = nCells, massign = 1, indexes = 2)
+    val exact = Similarity.mutualKnnGraph(e, "vec_id", "embedding", k = 5)
+    assert(ivf.columns.toSeq == exact.columns.toSeq)
+    assert(ivf.exceptAll(exact).count() == 0)
+    assert(exact.exceptAll(ivf).count() == 0)
+    assert(exact.count() > 0, "fixture must produce mutual edges")
+  }
+
+  test("multi-index union recall dominates the single index at equal (nprobe, massign)") {
+    val e = emb120
+    val exact = Similarity.mutualKnnGraph(e, "vec_id", "embedding", k = 5)
+    def hits(indexes: Int): Long =
+      exact.join(Similarity.mutualKnnGraphKmv(e, "vec_id", "embedding",
+        k = 5, nprobe = 2, massign = 1, indexes = indexes)
+        .select("vec_a", "vec_b"), Seq("vec_a", "vec_b"), "left_semi").count()
+    val h1 = hits(1); val h2 = hits(2); val h3 = hits(3)
+    assert(h2 >= h1 && h3 >= h2, s"union recall regressed: $h1 / $h2 / $h3")
+  }
+
+  test("multi-index edges shared with the exact graph carry identical cos_q") {
+    val e = emb120
+    val ivf = Similarity.mutualKnnGraphKmv(e, "vec_id", "embedding",
+      k = 5, nprobe = 2, massign = 2, indexes = 2)
+    val exact = Similarity.mutualKnnGraph(e, "vec_id", "embedding", k = 5)
+    val joined = ivf.as("i").join(exact.as("x"),
+      col("i.vec_a") === col("x.vec_a") && col("i.vec_b") === col("x.vec_b"))
+    assert(joined.filter(col("i.cos_q") =!= col("x.cos_q")).count() == 0)
+    assert(joined.count() > 0)
+  }
+
   /** SparkEntry stream queries suffix a counter onto their base name. */
   private def prefix(q: String): String = q match {
     case "q_stream_dedup" => "dedup_stream_"
