@@ -2012,8 +2012,17 @@ object GraphAlgorithms {
     c.sparkSession.createDataFrame(c.rdd, c.schema)
   }
 
+  /** Component-contraction graphs at or below this row count are labeled
+    * by a driver-side union-find instead of the distributed min-label
+    * fixpoint — one collect job (~16 MB of long pairs at the cap, the
+    * size class AQE broadcasts) replaces ~9 shuffle jobs per Borůvka
+    * round. Early rounds of a genuinely huge forest stay distributed.
+    */
+  private val DriverContractionCap = 1L << 20
+
   def minimumSpanningForest(nf: NetworkFrame, weightCol: String = "weight",
-                            maxRounds: Int = 20): DataFrame =
+                            maxRounds: Int = 20,
+                            driverContractionCap: Long = DriverContractionCap): DataFrame =
       withoutConstraintPropagation(nf.edges) {
     val canon = nf.edges
       .select(least(col("source"), col("target")).as("u"),
@@ -2052,41 +2061,78 @@ object GraphAlgorithms {
         val ce = chosen.select(col("cu").as("a"), col("cv").as("b"))
           .union(chosen.select(col("cv").as("a"), col("cu").as("b")))
           .distinct().transform(flatCheckpoint)
-        var m = ce.select(col("a").as("c")).distinct()
-          .select(col("c"), col("c").as("lab")).transform(flatCheckpoint)
-        var conv = false
-        var r2 = 0
-        while (!conv && r2 < 40) {
-          // two propagate+double steps per convergence check: the check is a
-          // full job, and the fixpoint almost always needs >= 2 more rounds
-          // when it needed any
-          val steps = if (r2 == 0) 1 else 2
-          var k = 0
-          while (k < steps) {
-            val msgs = ce.join(m.select(col("c").as("a"), col("lab").as("la")), Seq("a"))
-              .groupBy(col("b").as("c")).agg(min("la").as("ml"))
-            val prop = m.join(msgs, Seq("c"), "left_outer")
-              .select(col("c"),
-                least(col("lab"), coalesce(col("ml"), col("lab"))).as("lab"))
-            m = prop.as("x")
-              .join(prop.select(col("c").as("c2"), col("lab").as("l2")).as("y"),
-                col("x.lab") === col("c2"), "left_outer")
-              .select(col("x.c").as("c"), coalesce(col("l2"), col("x.lab")).as("lab"))
-              .transform(flatCheckpoint)
-            k += 1
+        // The contraction graph is COMPONENT-level: <= 2 rows per chosen
+        // edge, and components at least halve per round — so it shrinks
+        // geometrically while the edge relation stays big. Below the
+        // collect cap (1M rows ~ 16 MB of id pairs, the same size class
+        // AQE broadcasts) a driver-side union-find with min-label
+        // representatives computes the identical labeling in ONE job
+        // instead of ~9 fixpoint jobs; above it (early rounds of a
+        // trillion-edge forest) the distributed pointer-doubled min-label
+        // fixpoint runs as before. Labels are identical by construction:
+        // the fixpoint propagates the minimum component id within each
+        // connected component of `ce`, which is exactly the min member of
+        // each union-find set.
+        val ceCount = ce.count()
+        val m: DataFrame = if (ceCount <= driverContractionCap) {
+          val pairs = ce.select(col("a").cast("long"), col("b").cast("long"))
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+          val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent(r)
+            var c = x
+            while (parent.getOrElse(c, c) != c) {
+              val nxt = parent(c); parent(c) = r; c = nxt
+            }
+            r
           }
-          // converged when no remaining chosen edge still crosses labels
-          val crossing = ce
-            .join(m.select(col("c").as("a"), col("lab").as("la")), Seq("a"))
-            .join(m.select(col("c").as("b"), col("lab").as("lb")), Seq("b"))
-            .filter(col("la") =!= col("lb")).limit(1).count()
-          conv = crossing == 0; r2 += 1
+          pairs.foreach { case (a, b) =>
+            val ra = find(a); val rb = find(b)
+            if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+          }
+          val ids = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+          val minOf = ids.groupBy(find).map { case (r, ms) => r -> ms.min }
+          val rows = ids.toSeq.map(c => (c, minOf(find(c))))
+          ce.sparkSession.createDataFrame(rows).toDF("c", "lab")
+        } else {
+          var mf = ce.select(col("a").as("c")).distinct()
+            .select(col("c"), col("c").as("lab")).transform(flatCheckpoint)
+          var conv = false
+          var r2 = 0
+          while (!conv && r2 < 40) {
+            // two propagate+double steps per convergence check: the check
+            // is a full job, and the fixpoint almost always needs >= 2
+            // more rounds when it needed any
+            val steps = if (r2 == 0) 1 else 2
+            var k = 0
+            while (k < steps) {
+              val msgs = ce.join(mf.select(col("c").as("a"), col("lab").as("la")), Seq("a"))
+                .groupBy(col("b").as("c")).agg(min("la").as("ml"))
+              val prop = mf.join(msgs, Seq("c"), "left_outer")
+                .select(col("c"),
+                  least(col("lab"), coalesce(col("ml"), col("lab"))).as("lab"))
+              mf = prop.as("x")
+                .join(prop.select(col("c").as("c2"), col("lab").as("l2")).as("y"),
+                  col("x.lab") === col("c2"), "left_outer")
+                .select(col("x.c").as("c"), coalesce(col("l2"), col("x.lab")).as("lab"))
+                .transform(flatCheckpoint)
+              k += 1
+            }
+            // converged when no remaining chosen edge still crosses labels
+            val crossing = ce
+              .join(mf.select(col("c").as("a"), col("lab").as("la")), Seq("a"))
+              .join(mf.select(col("c").as("b"), col("lab").as("lb")), Seq("b"))
+              .filter(col("la") =!= col("lb")).limit(1).count()
+            conv = crossing == 0; r2 += 1
+          }
+          System.err.println(s"[graft] boruvka round ${round + 1}: contraction fixpoint $r2 checks")
+          mf
         }
         comp = comp.join(m.select(col("c").as("comp"), col("lab")), Seq("comp"), "left_outer")
           .select(col("id"), coalesce(col("lab"), col("comp")).as("comp"))
           .transform(flatCheckpoint)
         round += 1
-        System.err.println(s"[graft] boruvka round $round: contraction fixpoint $r2 checks")
       }
     }
     picks.foldLeft(canon.limit(0).select("u", "v", "wq"))(_ union _)

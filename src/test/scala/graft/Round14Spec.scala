@@ -252,6 +252,27 @@ class Round14Spec extends AnyFunSuite with SparkFixture {
     assert(joined.count() > 0)
   }
 
+  // ---------------- Borůvka contraction: driver gate == distributed ------
+
+  test("minimumSpanningForest driver-side contraction equals the distributed fixpoint") {
+    import spark.implicits._
+    // weighted graph with two components and plenty of contraction rounds
+    val rnd = new scala.util.Random(7)
+    val edges = (0 until 400).map { i =>
+      val u = rnd.nextInt(60).toLong
+      val v = rnd.nextInt(60).toLong + (if (i % 2 == 0) 0L else 60L)
+      (math.min(u, v), math.max(u, v), 1.0 + rnd.nextInt(1000) / 10.0)
+    }.filter(e => e._1 != e._2).toDF("source", "target", "weight")
+    val nodes = (0L until 120L).toDF("id")
+    val nf = NetworkFrame(nodes, edges)
+    val viaDriver = GraphAlgorithms.minimumSpanningForest(nf)
+    val viaFixpoint = GraphAlgorithms.minimumSpanningForest(nf,
+      driverContractionCap = 0L)
+    assert(viaDriver.exceptAll(viaFixpoint).count() == 0)
+    assert(viaFixpoint.exceptAll(viaDriver).count() == 0)
+    assert(viaDriver.count() > 0)
+  }
+
   /** SparkEntry stream queries suffix a counter onto their base name. */
   private def prefix(q: String): String = q match {
     case "q_stream_dedup" => "dedup_stream_"
