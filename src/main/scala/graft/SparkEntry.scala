@@ -201,6 +201,32 @@ object SparkEntry {
     */
   private val knnPath = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Clear every per-(JVM, sf dir) memoized artifact registry, forcing the
+    * next consumer of each family to rebuild its materialized table. The
+    * bench guard's SOLO re-runs call this before timing: a memo-backed
+    * query re-run inside the same JVM otherwise measures a bare parquet
+    * read (q_strong_components: 0.2 s vs its ~9 s first-consumer cost) —
+    * and since that read is deterministic, it REPRODUCES across attempts
+    * and defeats agreement-based confirmation of genuine speedups. After
+    * a reset the solo pays the first-consumer (build + consume) cost,
+    * which is what the prior records it is compared against measured.
+    * Old scratch dirs stay on disk until JVM-exit cleanup ([[Scratch]]);
+    * a bench run resets at most a handful of times.
+    */
+  private[graft] def resetMemoizedArtifacts(): Unit = {
+    custCount.clear(); weakLabelsPath.clear(); sccLabelsPath.clear()
+    seedDistPath.clear(); sigPath.clear(); knnPath.clear()
+    ioDirs.clear(); orcDirs.clear()
+  }
+
+  /** Registry entries currently memoized — observable for the spec that
+    * pins [[resetMemoizedArtifacts]] actually clears state.
+    */
+  private[graft] def memoizedArtifactCount: Int =
+    custCount.size + weakLabelsPath.size + sccLabelsPath.size +
+      seedDistPath.size + sigPath.size + knnPath.size +
+      ioDirs.size + orcDirs.size
+
   /** Auto-scaled clustering operating point (round 14). A FIXED
     * (nprobe, massign) decays as the sqrt(n) cell count outgrows it —
     * measured strong-band recall at (6,3): 90.9% at 23 cells (sf0.01),
