@@ -262,10 +262,15 @@ object Bench {
       // (observed: q_strong_components 0.2 s twice vs ~9 s honest)
       SparkEntry.resetMemoizedArtifacts()
       val t0 = System.nanoTime()
-      try { selected(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // a thrown query must yield the -1.0 sentinel (dropped by
+      // adjudicate's positive filter), NOT its time-to-fail: two fast
+      // failures would otherwise agree within 25%, pass the double-solo
+      // confirmation, and poison the seed with a near-zero "best"
+      val ok = try { selected(name)(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
       val sec = (System.nanoTime() - t0) / 1e9
       reclaim()
-      sec
+      if (ok) sec else -1.0
     }
     val outliers = suspects.map { case (name, sharedSec) =>
       val solo1 = soloRun(name)
@@ -294,7 +299,11 @@ object Bench {
     // archaeology (the r13 sample carried 10 rows at 2x+ with no marker)
     val ratiosJson = BenchGuard.seedRatios(results.toMap, prior)
       .toSeq.sortBy(-_._2)
-      .map { case (k, r) => s"\"" + k + "\":" + f"$r%.2f" }.mkString("{", ",", "}")
+      .map { case (k, r) => s"\"" + k + "\":" +
+        // Locale.ROOT: f"" uses the JVM default locale, which under a
+        // comma-decimal locale emits 3,00 — malformed JSON
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(r))
+      }.mkString("{", ",", "}")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -2074,7 +2074,18 @@ object GraphAlgorithms {
         // connected component of `ce`, which is exactly the min member of
         // each union-find set.
         val ceCount = ce.count()
-        val m: DataFrame = if (ceCount <= driverContractionCap) {
+        // the driver path reads ids with getLong, so it is gated on the id
+        // column actually being integral — NetworkFrame ids are arbitrary
+        // (string/decimal ids would cast to null -> NPE, or truncate and
+        // collide); everything else takes the type-agnostic fixpoint
+        val idIsIntegral = ce.schema("a").dataType match {
+          case org.apache.spark.sql.types.ByteType
+             | org.apache.spark.sql.types.ShortType
+             | org.apache.spark.sql.types.IntegerType
+             | org.apache.spark.sql.types.LongType => true
+          case _ => false
+        }
+        val m: DataFrame = if (idIsIntegral && ceCount <= driverContractionCap) {
           val pairs = ce.select(col("a").cast("long"), col("b").cast("long"))
             .collect().map(r => (r.getLong(0), r.getLong(1)))
           val parent = scala.collection.mutable.HashMap.empty[Long, Long]

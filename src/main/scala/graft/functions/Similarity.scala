@@ -59,6 +59,15 @@ object Similarity {
   private def cosineFrom(dot: Column, n2a: Column, n2b: Column): Column =
     dot.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
 
+  /** Zero-norm-safe cosine: residual vectors CAN be exactly zero (a
+    * singleton coarse cell's member IS its centroid), and ANSI division
+    * would throw; a zero residual matches nothing in residual space, so
+    * its similarity is defined as 0 — deterministic, never NaN/error.
+    */
+  private def cosineFromSafe(dot: Column, n2a: Column, n2b: Column): Column =
+    when(n2a === 0 || n2b === 0, lit(0.0))
+      .otherwise(cosineFrom(dot, n2a, n2b))
+
   /** Cosine similarity of two float vectors (convenience form; for bulk
     * workloads use the precomputed-quantized path the operators below take).
     */
@@ -901,6 +910,192 @@ object Similarity {
         greatest(col("qid"), col("nid")).as("vec_b"),
         floor(col("sim") * 1000000).cast("long").as("cos_q"))
       .distinct()
+  }
+
+  /** Two-level coarse->fine IVF mutual-kNN graph — the structurally
+    * different second ANN channel the flat index's own cost ledger calls
+    * for (SCALE.md round-14 addendum: holding flat-IVF recall as neighbor
+    * families disperse costs (nprobe*massign) ~ cells^0.9 candidates, and
+    * the salted multi-index union was measured to lose because per-index
+    * misses are structurally correlated).
+    *
+    * Structure (IVF-with-residuals, the IVF-ADC coarse/fine split of
+    * Jegou et al. re-expressed relationally):
+    *  - COARSE: ceil(cbrt(n)) KMV seeds (smallest md5(id || "#c")) ->
+    *    Voronoi cells of ~n^(2/3); every vector joins its `mCoarse`
+    *    nearest coarse cells.
+    *  - RESIDUAL: within each coarse membership the vector is re-expressed
+    *    as (qv - coarse centroid) — inside a coarse cell all members look
+    *    like the centroid, so the residual carries the discriminative
+    *    signal the raw cosine saturates away (`residual = false` keeps the
+    *    raw geometry for A/B measurement).
+    *  - FINE: per coarse cell, ceil(sqrt(cellsize)) KMV seeds drawn FROM
+    *    the cell's members (smallest md5(id || "@" || cell) — per-cell
+    *    stream-independent draw); members join their `mFine` nearest fine
+    *    seeds by residual cosine. Fine cells are ~n^(1/3) vectors.
+    *  - QUERY: ranks the broadcast coarse-centroid table, keeps `pCoarse`
+    *    cells; then ranks the fine centroids of ALL probed coarse cells
+    *    JOINTLY by residual cosine and keeps `pFine` fine cells — the
+    *    probe budget concentrates in whichever coarse region actually
+    *    looks like the query, which a flat index cannot do.
+    *
+    * Scale shape: coarse assignment is n * cbrt(n) dots, fine training and
+    * assignment n * sqrt(n^(2/3)) = n^(4/3), candidates
+    * n * pFine * mFine * n^(1/3) — every stage n^(4/3), vs the flat
+    * channel's n^1.5, and each probe commits a fine cell of n^(1/3)
+    * candidates instead of sqrt(n), so the same candidate budget buys
+    * ~n^(1/6) more distinct probed regions. The fine-centroid table is
+    * n^(2/3) rows (too big to broadcast at warehouse scale) but the query
+    * side joins it on the probed coarse cell — an equi-join AQE plans as
+    * shuffle or broadcast by actual size. Candidates are DISTINCT
+    * (qid, nid) pairs scored once, exactly; determinism discipline is the
+    * [[mutualKnnGraphKmv]] one (integer centroids, md5 draws, id
+    * tie-breaks). Probing every coarse and fine cell reproduces the exact
+    * graph (spec-pinned); recall is monotone in pFine (superset
+    * candidates can only improve a true edge's ranks).
+    * Output: (vec_a < vec_b, cos_q at 1e6).
+    */
+  def mutualKnnGraphTwoLevel(df: DataFrame, idCol: String, vecCol: String,
+                             k: Int, pCoarse: Int, pFine: Int,
+                             mCoarse: Int = 1, mFine: Int = 1,
+                             residual: Boolean = true): DataFrame = {
+    LongDot.register(df.sparkSession)
+    val q = df.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
+      .withColumn("n2", dotLong(col("qv"), col("qv")))
+      .localCheckpointCapped()
+    mutualFromScored(scoreCandidatePairs(q,
+      twoLevelCandidatesFromQuantized(q, pCoarse, pFine, mCoarse, mFine,
+        residual)), k)
+  }
+
+  /** Candidate-pair count of the two-level channel at an operating point —
+    * the honest cost axis for grid comparisons against the flat channel
+    * (whose cost is counted the same way by [[kmvCandidateCount]]).
+    */
+  private[graft] def twoLevelCandidateCount(df: DataFrame, idCol: String,
+      vecCol: String, pCoarse: Int, pFine: Int, mCoarse: Int, mFine: Int,
+      residual: Boolean = true): Long = {
+    LongDot.register(df.sparkSession)
+    val q = df.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
+      .withColumn("n2", dotLong(col("qv"), col("qv")))
+      .localCheckpointCapped()
+    twoLevelCandidatesFromQuantized(q, pCoarse, pFine, mCoarse, mFine,
+      residual).count()
+  }
+
+  /** Flat-channel candidate count at (nprobe, massign, indexes) — same
+    * DISTINCT-pair units as [[twoLevelCandidateCount]].
+    */
+  private[graft] def kmvCandidateCount(df: DataFrame, idCol: String,
+      vecCol: String, nprobe: Int, massign: Int, indexes: Int = 1): Long = {
+    LongDot.register(df.sparkSession)
+    val q = df.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
+      .withColumn("n2", dotLong(col("qv"), col("qv")))
+      .localCheckpointCapped()
+    (0 until indexes).map { i =>
+      multiCandidatePairs(q,
+        kmvAssignFromQuantized(q, probe = massign, salt = i), nprobe)
+    }.reduce(_ unionByName _).distinct().count()
+  }
+
+  /** The two-level candidate core over a prepared (id, qv, n2) frame. */
+  private def twoLevelCandidatesFromQuantized(q: DataFrame, pCoarse: Int,
+      pFine: Int, mCoarse: Int, mFine: Int, residual: Boolean): DataFrame = {
+    require(pCoarse >= 1 && pFine >= 1 && mCoarse >= 1 && mFine >= 1,
+      "two-level probe/membership widths must be >= 1")
+    val n = q.count()
+    val c1 = math.max(1, math.ceil(math.cbrt(n.toDouble)).toInt)
+    val cseeds = q
+      .withColumn("m", md5(concat(col("id").cast("string"), lit("#c"))))
+      .orderBy("m", "id").limit(c1) // distributed TakeOrdered
+      .select(col("id").as("csid"), col("qv").as("csv"), col("n2").as("csn2"))
+    val cmemb = q.crossJoin(broadcast(cseeds))
+      .withColumn("csim", cosineFrom(dotLong(col("qv"), col("csv")),
+        col("n2"), col("csn2")))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("id").orderBy(desc("csim"), asc("csid"))))
+      .filter(col("crn") <= mCoarse)
+      .select(col("id"), col("csid").as("ccell"))
+    // coarse centroids train over MEMBERSHIPS (the multiCandidatePairs
+    // discipline: boundary vectors pull neighboring centroids toward
+    // themselves); integer-exact, so engine-identical at any parallelism
+    val b1 = q.join(cmemb, Seq("id"))
+    val ccents = b1
+      .select(col("ccell"), posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy("ccell", "pos")
+      .agg(sum(col("x").cast("decimal(38,0)")).as("sx"), count(lit(1)).as("cn"))
+      .selectExpr("ccell", "pos", "CAST(sx DIV cn AS BIGINT) AS cq")
+      .groupBy("ccell")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cq")))),
+        s => s.getField("cq")).as("ccv"))
+    def rez(v: Column, c: Column): Column =
+      if (residual) zip_with(v, c, (x, cc) => x - cc) else v
+    // members re-expressed as residuals against their coarse centroid;
+    // one checkpoint — this frame feeds fine seeds, fine training, AND
+    // fine assignment
+    val rezzed = b1.join(ccents, Seq("ccell"))
+      .withColumn("rv", rez(col("qv"), col("ccv")))
+      .withColumn("rn2", dotLong(col("rv"), col("rv")))
+      .select("id", "ccell", "rv", "rn2")
+      .localCheckpointCapped()
+    // per-cell KMV fine seeds: ceil(sqrt(cellsize)) smallest per-cell hash
+    val csize = rezzed.groupBy("ccell").agg(count(lit(1)).as("cnt"))
+    val fseeds = rezzed.join(csize, Seq("ccell"))
+      .withColumn("h", md5(concat(col("id").cast("string"), lit("@"),
+        col("ccell").cast("string"))))
+      .withColumn("srn", row_number().over(
+        Window.partitionBy("ccell").orderBy(asc("h"), asc("id"))))
+      .filter(col("srn") <= ceil(sqrt(col("cnt"))))
+      .select(col("ccell"), col("id").as("fsid"), col("rv").as("fsv"),
+        col("rn2").as("fsn2"))
+    // fine membership: residual cosine against the SAME cell's fine seeds
+    // only — an equi-join on ccell, never all fine seeds
+    val fmemb = rezzed.join(fseeds, Seq("ccell"))
+      .withColumn("fsim", cosineFromSafe(dotLong(col("rv"), col("fsv")),
+        col("rn2"), col("fsn2")))
+      .withColumn("frn", row_number().over(
+        Window.partitionBy("id", "ccell").orderBy(desc("fsim"), asc("fsid"))))
+      .filter(col("frn") <= mFine)
+      .select(col("id"), col("ccell"), col("fsid").as("fcell"))
+      .localCheckpointCapped()
+    // fine centroids over fine memberships, in residual space
+    val fcents = rezzed.join(fmemb, Seq("id", "ccell"))
+      .select(col("ccell"), col("fcell"), posexplode(col("rv")).as(Seq("pos", "x")))
+      .groupBy("ccell", "fcell", "pos")
+      .agg(sum(col("x").cast("decimal(38,0)")).as("sx"), count(lit(1)).as("cn"))
+      .selectExpr("ccell", "fcell", "pos", "CAST(sx DIV cn AS BIGINT) AS fq")
+      .groupBy("ccell", "fcell")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("fq")))),
+        s => s.getField("fq")).as("fcv"))
+      .withColumn("fcn2", dotLong(col("fcv"), col("fcv")))
+    // query side: coarse probe against the broadcast (c1 x dims) table...
+    val ccentsN = ccents.withColumn("ccn2", dotLong(col("ccv"), col("ccv")))
+    val cprobed = q.select(col("id").as("qid"), col("qv"), col("n2"))
+      .crossJoin(broadcast(ccentsN))
+      .withColumn("csim", cosineFrom(dotLong(col("qv"), col("ccv")),
+        col("n2"), col("ccn2")))
+      .withColumn("pn", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("csim"), asc("ccell"))))
+      .filter(col("pn") <= pCoarse)
+      .select(col("qid"), col("ccell"),
+        rez(col("qv"), col("ccv")).as("rq"))
+      .withColumn("rqn2", dotLong(col("rq"), col("rq")))
+    // ...then the pFine best fine cells ACROSS all probed coarse cells
+    // jointly — the probe budget flows to the coarse region that actually
+    // matches. Equi-join on ccell: each query only ranks the fine
+    // centroids of its probed coarse cells.
+    val fprobed = cprobed.join(fcents, Seq("ccell"))
+      .withColumn("fsim", cosineFromSafe(dotLong(col("rq"), col("fcv")),
+        col("rqn2"), col("fcn2")))
+      .withColumn("fn", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("fsim"), asc("ccell"), asc("fcell"))))
+      .filter(col("fn") <= pFine)
+      .select(col("qid"), col("ccell"), col("fcell"))
+    fprobed
+      .join(fmemb.select(col("id").as("nid"), col("ccell"), col("fcell")),
+        Seq("ccell", "fcell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid")).distinct()
   }
 
   /** One spherical k-means (Lloyd) assignment step: re-assign every vector

@@ -53,7 +53,7 @@ object DocStream {
         numHashes, bands, shingleLen, minAgree)
     val outDir = java.nio.file.Files
       .createTempDirectory("graft_admission_").toString
-    cleanupAtExit(outDir)
+    cleanupAtExit(spark, outDir)
     // seed the sink with the gate's schema (zero-row plan) so a run whose
     // batches all admit nothing still reads back as an empty table
     gate(spark.read.parquet(parquetPath).limit(0))
@@ -64,7 +64,7 @@ object DocStream {
     // a restart resumes at the right batch rather than re-ingesting
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft_admission_ckpt_").toString
-    cleanupAtExit(ckpt)
+    cleanupAtExit(spark, ckpt)
     val q = src.writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -77,17 +77,15 @@ object DocStream {
     spark.read.parquet(s"$outDir/b_*")
   }
 
-  /** Temp sink/checkpoint dirs are deleted at JVM exit (the returned
+  /** Temp sink/checkpoint dirs are deleted at JVM exit via the Scratch
+    * registry — ONE static shutdown hook draining a concurrent dir set,
+    * not a hook per stream run (a long-lived service calling this per
+    * corpus would otherwise accumulate hook threads). The returned
     * DataFrame reads the sink lazily, so deleting eagerly would break the
-    * caller; a bench/verify JVM accumulates a bounded handful of these).
+    * caller.
     */
-  private def cleanupAtExit(dir: String): Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(dir))
-    }))
+  private def cleanupAtExit(spark: SparkSession, dir: String): Unit =
+    graft.Scratch.register(dir, spark.sparkContext.hadoopConfiguration)
 
   private def stageDir(parquetPath: String): String =
     EventStream.stageDir(parquetPath)

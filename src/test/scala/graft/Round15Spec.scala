@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Similarity
+
+/** Round-15 work: the two-level coarse->fine residual ANN channel (the
+  * structurally different second channel the flat index's cost ledger
+  * called for after the multi-index union measured as a dead end), the
+  * failed-solo sentinel in Bench, and the integral-id gate on the Borůvka
+  * driver-side union-find.
+  */
+class Round15Spec extends AnyFunSuite with SparkFixture {
+
+  private def emb120 = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .filter(col("vec_id") < 120)
+
+  // ---------------- two-level coarse->fine residual index ---------------
+
+  test("two-level index with all coarse and fine cells probed equals the exact graph") {
+    val e = emb120
+    val n = e.count().toDouble
+    val c1 = math.ceil(math.cbrt(n)).toInt
+    // every coarse cell probed, pFine >= total fine cells (each coarse
+    // cell holds <= ceil(sqrt(n)) fine seeds), mFine covering every seed:
+    // the candidate set is all pairs, so the graph must be bit-exact
+    val full = math.ceil(math.sqrt(n)).toInt * c1
+    val exact = Similarity.mutualKnnGraph(e, "vec_id", "embedding", k = 5)
+    for (res <- Seq(true, false)) {
+      val tl = Similarity.mutualKnnGraphTwoLevel(e, "vec_id", "embedding",
+        k = 5, pCoarse = c1, pFine = full, mCoarse = 1, mFine = full,
+        residual = res)
+      assert(tl.columns.toSeq == exact.columns.toSeq)
+      assert(tl.exceptAll(exact).count() == 0, s"residual=$res extra edges")
+      assert(exact.exceptAll(tl).count() == 0, s"residual=$res missing edges")
+    }
+    assert(exact.count() > 0, "fixture must produce mutual edges")
+  }
+
+  test("two-level recall is monotone in pFine (superset candidates)") {
+    val e = emb120
+    val exact = Similarity.mutualKnnGraph(e, "vec_id", "embedding", k = 5)
+    def hits(pFine: Int): Long =
+      exact.join(Similarity.mutualKnnGraphTwoLevel(e, "vec_id", "embedding",
+        k = 5, pCoarse = 3, pFine = pFine, mCoarse = 2, mFine = 2)
+        .select("vec_a", "vec_b"), Seq("vec_a", "vec_b"), "left_semi").count()
+    val h1 = hits(2); val h2 = hits(6); val h3 = hits(12)
+    assert(h2 >= h1 && h3 >= h2, s"recall regressed in pFine: $h1 / $h2 / $h3")
+  }
+
+  test("two-level edges shared with the exact graph carry identical cos_q") {
+    val e = emb120
+    val tl = Similarity.mutualKnnGraphTwoLevel(e, "vec_id", "embedding",
+      k = 5, pCoarse = 3, pFine = 8, mCoarse = 2, mFine = 2)
+    val exact = Similarity.mutualKnnGraph(e, "vec_id", "embedding", k = 5)
+    val joined = tl.as("t").join(exact.as("x"),
+      col("t.vec_a") === col("x.vec_a") && col("t.vec_b") === col("x.vec_b"))
+    assert(joined.filter(col("t.cos_q") =!= col("x.cos_q")).count() == 0)
+    assert(joined.count() > 0)
+  }
+
+  test("two-level candidate count matches the channel's distinct pair set") {
+    val e = emb120
+    val n = Similarity.twoLevelCandidateCount(e, "vec_id", "embedding",
+      pCoarse = 3, pFine = 8, mCoarse = 2, mFine = 2)
+    assert(n > 0)
+    // cost bound: never the full n^2 pair space
+    val total = e.count()
+    assert(n < total * (total - 1),
+      s"two-level candidates ($n) must be bounded below all pairs")
+  }
+
+  // ---------------- Borůvka driver union-find: integral ids only --------
+
+  test("minimumSpanningForest handles non-integral (string) node ids") {
+    import spark.implicits._
+    // a string-id contraction graph under the driver cap would previously
+    // cast ids to null and NPE in the collect path; the integral-type gate
+    // must route it to the type-agnostic distributed fixpoint
+    val edges = Seq(
+      ("a", "b", 1.0), ("b", "c", 2.0), ("c", "a", 3.0),
+      ("d", "e", 1.5), ("e", "f", 2.5), ("f", "d", 0.5)
+    ).toDF("source", "target", "weight")
+    val nodes = Seq("a", "b", "c", "d", "e", "f").toDF("id")
+    val forest = GraphAlgorithms.minimumSpanningForest(NetworkFrame(nodes, edges))
+    // two triangles -> 2 edges kept per component, heaviest cycle edge cut
+    assert(forest.count() == 4)
+    val wq = forest.select(sum("wq")).head.getLong(0)
+    // MST picks: (a,b)=100,(b,c)=200 and (f,d)=50,(d,e)=150 -> 500 cents
+    assert(wq == 500L, s"unexpected forest weight $wq")
+  }
+
+  test("minimumSpanningForest integral-id result is unchanged by the type gate") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L, 1.0), (2L, 3L, 2.0), (3L, 1L, 3.0))
+      .toDF("source", "target", "weight")
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val forest = GraphAlgorithms.minimumSpanningForest(NetworkFrame(nodes, edges))
+    assert(forest.count() == 2)
+    assert(forest.select(sum("wq")).head.getLong(0) == 300L)
+  }
+}

@@ -30,7 +30,10 @@ def main():
     except OSError as e:
         print(f"ledger_check: cannot read inputs: {e}")
         return 2
-    qs = sorted(set(re.findall(r'"(q_[a-z0-9_]+)"', src)) - EXCLUDE)
+    # q\d*_ covers both q_-named rows and the TPC-H-named q1_pricing /
+    # q3_shipping / q5_supplier / q10_returns (round-14 verdict: the q_-only
+    # regex left those four invisible to this checker)
+    qs = sorted(set(re.findall(r'"(q\d*_[a-z0-9_]+)"', src)) - EXCLUDE)
     missing = [q for q in qs if q not in ledger]
     if missing:
         print(f"FAIL: {len(missing)} of {len(qs)} queries have no ledger "
