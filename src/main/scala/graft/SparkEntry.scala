@@ -253,14 +253,52 @@ object SparkEntry {
         math.round(DocClusterAssign * math.sqrt(g)).toInt))
   }
 
+  /** Largest sqrt(n) cell count the flat KMV channel serves — the edge of
+    * the measured flat envelope (round-14 grid: auto-scaled (13,4) at 142
+    * cells). Past it the channel cutover (round 15) routes [[docKnnGraph]]
+    * to the two-level coarse->fine residual index: holding flat recall
+    * costs ~n^1.95 candidates in the dispersal regime, while the measured
+    * two-level curve is ~n^(4/3) — and at the largest common scale
+    * (20k vectors, realistic dup density) the two-level point (6,24,2,2)
+    * MATCHES the auto-scaled flat point's 97.8% strong-band recall at
+    * 2.7x fewer candidates (20.4M vs 55.5M; SCALE.md round-15). Every
+    * corpus the bank currently gates (sf0.01, sf0.1, both 10x variants)
+    * sits AT or inside the flat envelope, so oracle outputs and the
+    * recorded recall history are bit-unchanged by the cutover.
+    */
+  private[graft] val FlatChannelMaxCells = 142
+  private[graft] def useTwoLevelChannel(n: Long): Boolean =
+    math.ceil(math.sqrt(math.max(1L, n).toDouble)) > FlatChannelMaxCells
+
+  /** Fine-probe width of the two-level channel past the cutover: the
+    * per-coarse-cell fine seed count grows ~n^(1/3) (ceil(sqrt(cellsize))
+    * seeds over n^(2/3) cells), so the joint budget that covered a fixed
+    * fraction of the probed regions at the 20164-vector cutover point
+    * (pFine=24) scales by cbrt(n/20164). pCoarse/mCoarse/mFine stay
+    * (6,2,2): the round-15 grid measured that widening pCoarse at fixed
+    * pFine DILUTES the joint fine ranking (64.2% at pCoarse=10 falls to
+    * 49.1% at 22 on the dispersal corpus) — probes must deepen within the
+    * matched coarse regions, not spread. Validated at 30x realistic
+    * (60k vectors, pFine=35): see SCALE.md round-15.
+    */
+  private[graft] def scaledTwoLevelPoint(n: Long): (Int, Int, Int, Int) =
+    (DocClusterProbe, math.round(24.0 * math.cbrt(n / 20164.0)).toInt, 2, 2)
+
   private def docKnnGraph(s: SparkSession, dir: String): DataFrame = {
     val p = knnPath.getOrElseUpdate(dir, {
       val out = scratchDir(s, "doc_knn_")
       val e = emb(s, dir)
-      val (np, ma) = scaledClusterPoint(e.count())
-      Similarity.mutualKnnGraphKmv(e, "vec_id", "embedding",
+      val n = e.count()
+      val graph = if (useTwoLevelChannel(n)) {
+        val (pc, pf, mc, mf) = scaledTwoLevelPoint(n)
+        Similarity.mutualKnnGraphTwoLevel(e, "vec_id", "embedding",
+          k = 5, pCoarse = pc, pFine = pf, mCoarse = mc, mFine = mf)
+      } else {
+        val (np, ma) = scaledClusterPoint(n)
+        Similarity.mutualKnnGraphKmv(e, "vec_id", "embedding",
           k = 5, nprobe = np, massign = ma)
-        .write.mode("overwrite").parquet(out)
+      }
+      graph.write.mode("overwrite").parquet(out)
       out
     })
     s.read.parquet(p)

@@ -72,6 +72,34 @@ class Round15Spec extends AnyFunSuite with SparkFixture {
       s"two-level candidates ($n) must be bounded below all pairs")
   }
 
+  // ---------------- scale-aware clustering channel cutover --------------
+
+  test("channel cutover: every currently-gated corpus scale stays on the flat channel") {
+    // sf0.01 (oracle), sf0.1 (bench), and both 10x variants (20k vectors,
+    // cells=142) sit AT or inside the measured flat envelope — the cutover
+    // must not move them, so oracle outputs and the recorded recall
+    // history are bit-unchanged
+    for (n <- Seq(200L, 2000L, 20000L, 20164L))
+      assert(!SparkEntry.useTwoLevelChannel(n), s"n=$n must stay flat")
+    // and the flat points at those scales are the round-14 law, untouched
+    assert(SparkEntry.scaledClusterPoint(200L) == (6, 3))
+    assert(SparkEntry.scaledClusterPoint(2000L) == (6, 3))
+    assert(SparkEntry.scaledClusterPoint(20000L) == (13, 4))
+  }
+
+  test("channel cutover: past the flat envelope the two-level point scales by cbrt") {
+    assert(SparkEntry.useTwoLevelChannel(20165L))
+    assert(SparkEntry.useTwoLevelChannel(60000L))
+    // continuous at the cutover: pFine starts at the grid-chosen 24
+    assert(SparkEntry.scaledTwoLevelPoint(20165L) == (6, 24, 2, 2))
+    // 30x realistic corpus (60k vectors): ceil(24 * cbrt(60000/20164)) = 35
+    assert(SparkEntry.scaledTwoLevelPoint(60000L) == (6, 35, 2, 2))
+    // monotone in n
+    val pf = Seq(25000L, 60000L, 200000L, 2000000L)
+      .map(SparkEntry.scaledTwoLevelPoint(_)._2)
+    assert(pf == pf.sorted, s"pFine must be monotone: $pf")
+  }
+
   // ---------------- Borůvka driver union-find: integral ids only --------
 
   test("minimumSpanningForest handles non-integral (string) node ids") {
