@@ -650,15 +650,23 @@ object EventStream {
     * the stream was micro-batched, which is what makes the result
     * deterministic (and externally verifiable) even though file-source
     * batch boundaries are an implementation detail. The input is staged as
-    * `chunks` deterministic parquet files with maxFilesPerTrigger=1, so
-    * the runner genuinely exercises multi-batch incremental maintenance
-    * rather than one big batch.
+    * `chunks` deterministic parquet files consumed `filesPerTrigger` per
+    * micro-batch, so the runner genuinely exercises multi-batch
+    * incremental maintenance rather than one big batch. filesPerTrigger
+    * defaults to 2 (round 15): a chunk-count profile at sf0.1 measured
+    * the per-micro-batch machinery as THE dominant term — ~2.5 s per
+    * extra batch over a ~7-9 s floor (6 single-file batches 15.5-20.4 s,
+    * 3 batches ~8.6 s, flat below that) — and CONFLUENCE makes trigger
+    * width output-invariant (spec-pinned), unlike the drift monitor whose
+    * per-batch histograms must stay at 1 file per trigger.
     */
   def runComponentsStream(spark: SparkSession, parquetPath: String,
                           chunks: Int = 6, everyNth: Int = 10,
                           targetMod: Int = 211,
-                          queryName: String = "cc_stream"): DataFrame = {
+                          queryName: String = "cc_stream",
+                          filesPerTrigger: Int = 2): DataFrame = {
     require(chunks >= 1, "need at least one chunk")
+    require(filesPerTrigger >= 1, "need at least one file per trigger")
     val edges = spark.read.parquet(parquetPath)
       .filter(col("event_id") % everyNth === 0)
       .select(col("user_id").cast("long").as("source"),
@@ -668,7 +676,7 @@ object EventStream {
       s"cc|$parquetPath|$chunks|$everyNth|$targetMod",
       edges, expr(s"(event_id DIV $everyNth) % $chunks"), chunks)
     val src = spark.readStream.schema(edges.schema)
-      .option("maxFilesPerTrigger", "1").parquet(stage)
+      .option("maxFilesPerTrigger", filesPerTrigger.toString).parquet(stage)
     // the label table lives across batches; foreachBatch bodies run
     // serially on the driver, so plain var state is safe
     var labels: DataFrame =

@@ -100,6 +100,27 @@ class Round15Spec extends AnyFunSuite with SparkFixture {
     assert(pf == pf.sorted, s"pFine must be monotone: $pf")
   }
 
+  // ---------------- cc-stream trigger width is output-invariant ---------
+
+  test("runComponentsStream labels are identical at 1-file and 2-file triggers") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // confluent min-label merging: HOW the staged chunks are grouped into
+    // micro-batches cannot change the final label table — this is what
+    // licenses the filesPerTrigger=2 default (half the per-batch machinery
+    // cost, measured dominant at sf0.1; EventStream scaladoc)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ftrig_spec").toString
+    val ev = (0L until 24L).map(i => (i, 100L + i % 5)).toDF("event_id", "user_id")
+    ev.coalesce(1).write.mode("overwrite").parquet(dir)
+    def labels(ft: Int) = graft.streaming.EventStream
+      .runComponentsStream(spark, dir, chunks = 4, everyNth = 1,
+        targetMod = 7, s"cc_ftrig_$ft", filesPerTrigger = ft)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val one = labels(1)
+    assert(one == labels(2), "trigger width must not change the label table")
+    assert(one.nonEmpty)
+  }
+
   // ---------------- Borůvka driver union-find: integral ids only --------
 
   test("minimumSpanningForest handles non-integral (string) node ids") {
