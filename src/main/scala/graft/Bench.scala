@@ -21,9 +21,9 @@ object BenchGuard {
   /** Streaming-family rows (microbatch machinery): their clean times swing
     * far wider than batch plans — BENCH_seed carries q_stream_dedup at
     * 1.9 s vs 24.5 s in every recent official sample, pure microbatch
-    * staging variance. They get a laxer trigger (3x, not 2x, so the guard
-    * doesn't burn its solo budget re-running inherent variance) and a
-    * stricter seed floor (0.5x, so one lucky staging window can't set a
+    * staging variance. They get a laxer trigger (2.5x, not 2x, so the
+    * guard doesn't burn its solo budget re-running inherent variance) and
+    * a stricter seed floor (0.5x, so one lucky staging window can't set a
     * best-clean-time no later run can match).
     */
   def isStreamingFamily(name: String): Boolean =
@@ -31,10 +31,15 @@ object BenchGuard {
 
   /** Per-row suspect trigger: 2x the best clean prior for batch rows
     * (round-13's official file shipped 1.51x inflated because a sustained
-    * 1.5-2.9x host window sat under the old 3x bar), 3x for streaming.
+    * 1.5-2.9x host window sat under the old 3x bar), 2.5x for streaming.
+    * The streaming bar was 3x through round 15; the original reason for
+    * the slack — solo re-runs were themselves unreliable — died when
+    * round 14 made solos reset memoized artifacts, and the 3x bar then
+    * let two ~2.2x rows (q_stream_join/q_stream_left, round-15 verdict
+    * #2) ship unadjudicated.
     */
   def triggerRatio(name: String): Double =
-    if (isStreamingFamily(name)) 3.0 else 2.0
+    if (isStreamingFamily(name)) 2.5 else 2.0
 
   /** Every (query -> seconds) pair under any "queries" key in a BENCH json
     * document — recursive, so it covers both the driver shape
@@ -171,6 +176,37 @@ object BenchGuard {
     results.flatMap { case (k, v) =>
       prior.get(k).filter(_ > 0).map(p => k -> v / p)
     }.filter(_._2 >= bar)
+
+  /** The FINAL stdout line — the only thing a bounded driver tail window
+    * is guaranteed to capture, so it must stay parseable at ANY outlier /
+    * seed-ratio volume. Round 15's record lost its totals exactly here:
+    * the final line embedded the full outliers (9 adjudications) plus 58
+    * seed-ratio rows and outgrew the driver's 2,000-char tail, so the
+    * committed BENCH_r15.json carried `"parsed": null` and no total.
+    * This builder is BOUNDED by construction: top-`topQ` queries, outlier
+    * and ratio COUNTS plus at most `topO` names each, and a `file`
+    * pointer to the complete per-query record (which Bench writes both to
+    * /tmp and, for full-bank runs at the driver's bench scale, to the
+    * repo-tracked BENCH_full_latest.json). Worst case is spec-pinned
+    * under 1,900 chars at 312 queries / 10 outliers / 58 ratios.
+    */
+  def summaryLine(results: Map[String, Double], outlierNames: Seq[String],
+                  ratios: Map[String, Double], sfDir: String, file: String,
+                  topQ: Int = 10, topO: Int = 6): String = {
+    def d(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val top = results.toSeq.sortBy(-_._2).take(topQ)
+      .map { case (k, v) => "\"" + k + "\":" + d(v) }.mkString("{", ",", "}")
+    val oNames = outlierNames.take(topO)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val topRatios = ratios.toSeq.sortBy(-_._2).take(topO)
+      .map { case (k, r) => "\"" + k + "\":" + d(r) }.mkString("{", ",", "}")
+    s"""{"metric":"total","value":${d(total)},"unit":"sec","n":${results.size},""" +
+      s""""queries":$top,"n_outliers":${outlierNames.size},"outlier_names":$oNames,""" +
+      s""""n_seed_ratios":${ratios.size},"seed_ratios_top":$topRatios,""" +
+      s""""sf":"$sfDir","file":"$file"}"""
+  }
 }
 
 object Bench {
@@ -317,6 +353,21 @@ object Bench {
       val w = new java.io.PrintWriter(out, "UTF-8")
       try w.println(full) finally w.close()
     } catch { case _: Throwable => () }
+    // durable copy of the complete record: /tmp/bench.json evaporates
+    // between rounds (round 15's totals survived only because they were
+    // read before the judge session ended), so a full-bank run at the
+    // driver's bench scale also writes the repo-tracked
+    // BENCH_full_latest.json — committed at round close, it is the
+    // cross-round comparison source the bounded stdout tail cannot be
+    if (only.isEmpty && results.nonEmpty && BenchGuard.seedScaleOk(sfDir)) {
+      try {
+        val f = Seq(new java.io.File("/root/repo"), new java.io.File("."))
+          .filter(_.isDirectory)
+          .map(d => new java.io.File(d, "BENCH_full_latest.json")).head
+        val w = new java.io.PrintWriter(f, "UTF-8")
+        try w.println(full) finally w.close()
+      } catch { case _: Throwable => () }
+    }
     // persist the adjudicated FULL per-query record into the repo-side seed
     // (min-merged), so every query — not just the driver files' top-25 —
     // has a prior for the next round's guard. Two gates: full-bank runs
@@ -343,13 +394,17 @@ object Bench {
     results.foreach { case (k, v) =>
       println(s"""{"query":"$k","sec":$v}""")
     }
-    // the summary line carries a BOUNDED queries dict (slowest 25) so a
-    // driver that expects the {"metric",...,"queries":{...}} shape can parse
-    // it from a small stdout tail window; the complete per-query dict is in
-    // `out` and each query also printed its own line above
-    val top = results.toSeq.sortBy(-_._2).take(25)
-      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":$top,"outliers":$outliersJson,"seed_ratios":$ratiosJson,"sf":"$sfDir","file":"$out"}""")
+    // the summary line is BOUNDED BY CONSTRUCTION (BenchGuard.summaryLine:
+    // top-10 queries, outlier/ratio counts + capped name lists, file
+    // pointer) so the driver's 2,000-char stdout tail always ends with
+    // complete, parseable JSON — round 15's final line embedded the full
+    // outliers + 58 seed-ratio rows, outgrew the tail, and the official
+    // record shipped with "parsed": null. The complete per-query dict
+    // lives in `out` (+ the repo-tracked copy above) and each query also
+    // printed its own line.
+    println(BenchGuard.summaryLine(results.toMap,
+      suspects.map(_._1), BenchGuard.seedRatios(results.toMap, prior),
+      sfDir, out))
     Console.out.flush()
     spark.stop()
   }

@@ -55,18 +55,30 @@ object Similarity {
   def dotLongHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
-  /** Cosine from a precomputed quantized-pair + squared norms. */
+  /** Cosine from a precomputed quantized-pair + squared norms, zero-norm
+    * safe EVERYWHERE (round-15 verdict #4 unification): a zero-norm vector
+    * matches nothing, so its similarity is defined as 0 — deterministic,
+    * never NaN/Infinity. Zero norms are real inputs, not a corner case:
+    * residual vectors CAN be exactly zero (a singleton coarse cell's
+    * member IS its centroid), and a user corpus can carry a zero (or
+    * sub-quantization-scale) embedding; before the unification the
+    * coarse/flat ranks produced NaN sims there, and NaN sorts ABOVE every
+    * real sim in a descending Spark order — a zero vector would have
+    * polluted every probe rank it touched. All gated corpora have strictly
+    * positive norms, so every oracle output is bit-unchanged (the DuckDB
+    * mirrors' unguarded divisions agree wherever norms are nonzero).
+    */
   private def cosineFrom(dot: Column, n2a: Column, n2b: Column): Column =
-    dot.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
+    when(n2a === 0 || n2b === 0, lit(0.0))
+      .otherwise(dot.cast("double") /
+        (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double"))))
 
-  /** Zero-norm-safe cosine: residual vectors CAN be exactly zero (a
-    * singleton coarse cell's member IS its centroid), and ANSI division
-    * would throw; a zero residual matches nothing in residual space, so
-    * its similarity is defined as 0 — deterministic, never NaN/error.
+  /** Alias kept for the residual-channel call sites that were written
+    * against the explicitly-safe name; same function since the
+    * unification.
     */
   private def cosineFromSafe(dot: Column, n2a: Column, n2b: Column): Column =
-    when(n2a === 0 || n2b === 0, lit(0.0))
-      .otherwise(cosineFrom(dot, n2a, n2b))
+    cosineFrom(dot, n2a, n2b)
 
   /** Cosine similarity of two float vectors (convenience form; for bulk
     * workloads use the precomputed-quantized path the operators below take).

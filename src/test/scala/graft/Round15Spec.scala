@@ -92,7 +92,8 @@ class Round15Spec extends AnyFunSuite with SparkFixture {
     assert(SparkEntry.useTwoLevelChannel(60000L))
     // continuous at the cutover: pFine starts at the grid-chosen 24
     assert(SparkEntry.scaledTwoLevelPoint(20165L) == (6, 24, 2, 2))
-    // 30x realistic corpus (60k vectors): ceil(24 * cbrt(60000/20164)) = 35
+    // 30x realistic corpus (60k vectors): round(24 * cbrt(60000/20164))
+    // = round(34.52) = 35 — round, not ceil, matching scaledTwoLevelPoint
     assert(SparkEntry.scaledTwoLevelPoint(60000L) == (6, 35, 2, 2))
     // monotone in n
     val pf = Seq(25000L, 60000L, 200000L, 2000000L)
@@ -109,8 +110,19 @@ class Round15Spec extends AnyFunSuite with SparkFixture {
     // micro-batches cannot change the final label table — this is what
     // licenses the filesPerTrigger=2 default (half the per-batch machinery
     // cost, measured dominant at sf0.1; EventStream scaladoc)
+    // MULTI-component graph (round-15 advice: the original users 100-104
+    // x targets 0-6 graph collapsed to ONE component, so the 1-file ==
+    // 2-file assertion could not catch a batch-grouping-dependent
+    // labeling bug — every label was the same min id at any width).
+    // Users 100/101 touch only targets {0,1,2}, users 200/201 only
+    // {3,4,5}, user 300 only {6}: three components whose expected batch
+    // fixpoint is asserted explicitly below.
     val dir = java.nio.file.Files.createTempDirectory("graft_cc_ftrig_spec").toString
-    val ev = (0L until 24L).map(i => (i, 100L + i % 5)).toDF("event_id", "user_id")
+    val ev = (0L until 28L).map { i =>
+      val t = i % 7
+      val u = if (t <= 2) 100L + i % 2 else if (t <= 5) 200L + i % 2 else 300L
+      (i, u)
+    }.toDF("event_id", "user_id")
     ev.coalesce(1).write.mode("overwrite").parquet(dir)
     def labels(ft: Int) = graft.streaming.EventStream
       .runComponentsStream(spark, dir, chunks = 4, everyNth = 1,
@@ -118,7 +130,11 @@ class Round15Spec extends AnyFunSuite with SparkFixture {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val one = labels(1)
     assert(one == labels(2), "trigger width must not change the label table")
-    assert(one.nonEmpty)
+    val expected = Map(
+      0L -> 0L, 1L -> 0L, 2L -> 0L, 100L -> 0L, 101L -> 0L,
+      3L -> 3L, 4L -> 3L, 5L -> 3L, 200L -> 3L, 201L -> 3L,
+      6L -> 6L, 300L -> 6L)
+    assert(one == expected, "width-2 labels must equal the batch CC fixpoint")
   }
 
   // ---------------- Borůvka driver union-find: integral ids only --------
