@@ -377,9 +377,7 @@ object EventStream {
       leftType, rightType, within)
     val q = joined.writeStream.outputMode("append").format("memory")
       .queryName(queryName).start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(queryName)
+    drainAndDetach(spark, q, queryName)
   }
 
   /** Drive `intervalJoin` through the real stream-stream join machinery
@@ -397,9 +395,7 @@ object EventStream {
       rightType, within)
     val q = joined.writeStream.outputMode("append").format("memory")
       .queryName(queryName).start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(queryName)
+    drainAndDetach(spark, q, queryName)
   }
 
   /** Custom streaming state via `flatMapGroupsWithState` — the escape hatch
@@ -451,9 +447,7 @@ object EventStream {
     val src = spark.readStream.schema(schema).parquet(stageDir(parquetPath))
     val q = runningTotals(src).writeStream.outputMode("append")
       .format("memory").queryName(queryName).start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(queryName)
+    drainAndDetach(spark, q, queryName)
   }
 
   /** Drive `effectiveEdgesWindowed` through the real streaming machinery in
@@ -470,9 +464,7 @@ object EventStream {
     val agg = effectiveEdgesWindowed(withEventWatermark(src, delay), windowLen)
     val q = agg.writeStream.outputMode("append").format("memory")
       .queryName(queryName).start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(queryName)
+    drainAndDetach(spark, q, queryName)
   }
 
   /** Ordered conversion funnel over event types: per user, the first
@@ -519,9 +511,7 @@ object EventStream {
     val agg = slidingTypeCounts(withEventWatermark(src, delay), duration, slide)
     val q = agg.writeStream.outputMode("append").format("memory")
       .queryName(queryName).start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(queryName)
+    drainAndDetach(spark, q, queryName)
   }
 
   /** Drive `streamingDedup` over a parquet directory through the real
@@ -539,9 +529,7 @@ object EventStream {
       .select(keys.map(col): _*)
     val q = d.writeStream.outputMode("append").format("memory")
       .queryName(queryName).start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(queryName)
+    drainAndDetach(spark, q, queryName)
   }
 
   /** Stream-static broadcast enrichment: a streaming fact source joined to a
@@ -563,9 +551,31 @@ object EventStream {
         sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("cents"))
     val q = agg.writeStream.outputMode("complete").format("memory")
       .queryName(queryName).start()
+    drainAndDetach(spark, q, queryName)
+  }
+
+  /** Drain a memory-sink streaming query, then DETACH its result from the
+    * session. A memory sink buffers its whole output on the JVM heap for
+    * as long as its temp view stays registered, and every runner here
+    * names its view uniquely per invocation — so a long-lived session (a
+    * REPL running streaming passes all day, a 313-query bench JVM, a test
+    * suite) would otherwise accumulate every finished stream's buffer and
+    * catalog entry forever. The outputs the GATED queries produce are
+    * small by design (watermark-finalized aggregates), but the runner API
+    * is generic over any corpus — detaching is the behavior a long-lived
+    * service needs. One eager localCheckpoint moves the rows to
+    * block-manager storage (freed by normal unpersist hygiene or session
+    * stop), then the view is dropped and the sink becomes garbage.
+    * Row-identical to reading the sink table directly.
+    */
+  private def drainAndDetach(spark: SparkSession,
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      queryName: String): DataFrame = {
     try q.processAllAvailable()
     finally q.stop()
-    spark.table(queryName)
+    val out = spark.table(queryName).localCheckpointCapped()
+    spark.catalog.dropTempView(queryName)
+    out
   }
 
   // the file-stream source requires a DIRECTORY; stage single files into a
@@ -597,9 +607,7 @@ object EventStream {
       .format("memory")
       .queryName(queryName)
       .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(queryName)
+    drainAndDetach(spark, q, queryName)
   }
 
   /** Chained-stateful streaming pass: watermark -> streaming dropDuplicates
@@ -630,9 +638,7 @@ object EventStream {
       .format("memory")
       .queryName(queryName)
       .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(queryName)
+    drainAndDetach(spark, q, queryName)
   }
 
   /** Streaming connected-component maintenance (SURVEY §2.9 phase 3): a
@@ -830,8 +836,6 @@ object EventStream {
     // processAllAvailable drains the data; the trailing no-data microbatch
     // (spark.sql.streaming.noDataMicroBatches.enabled, default true) then
     // advances the watermark and flushes every finalized window
-    try { q.processAllAvailable() }
-    finally q.stop()
-    spark.table(queryName)
+    drainAndDetach(spark, q, queryName)
   }
 }
