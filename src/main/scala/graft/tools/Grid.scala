@@ -25,8 +25,21 @@ object Grid {
     val dir = args.headOption.getOrElse("/tmp/sf1")
     val points = if (args.length > 1) args.drop(1).toSeq
       else Seq("6,3", "13,4", "2l:6,24,2,2", "2l:6,24,2,2,raw")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    // Partition count must scale with CANDIDATE volume, not corpus rows:
+    // the 32-partition config that served every corpus up to 60k vectors
+    // (<= 180M candidate pairs) put ~53M pairs per task at 200k vectors
+    // (~1.7B pairs), and the resulting GC storm stalled the shared
+    // local-mode driver past the heartbeat deadline — the executor killed
+    // itself after 60 missed beats. SPARK_GRAFT_SHUFFLE sizes the round's
+    // grid; AQE coalesces the cheap stages back down. The raised network
+    // timeout rides out full-GC pauses a 96g heap takes under a 1.7B-pair
+    // distinct (local mode only — a real cluster isolates the driver).
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "20s")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
