@@ -30,6 +30,14 @@ object GraphAlgorithms {
     val e = sym.distinct().localCheckpointCapped()
 
     var labels = nf.nodes.select(col("id"), col("id").as("component")).localCheckpointCapped()
+    // Convergence probe: labels are node ids and only ever DECREASE
+    // pointwise (least() in the propagation, label(label) <= label in the
+    // doubling), so the exact DECIMAL label sum is strictly decreasing
+    // until the fixpoint — sum equality <=> pointwise equality. One cheap
+    // aggregate over the just-checkpointed frame replaces the former
+    // join-the-previous-round changed-row probe: one fewer join shuffle
+    // per round (guide §2.4), identical round count and output.
+    var prevSum = monotoneSum(labels, "component")
     var converged = false
     var rounds = 0
     while (!converged && rounds < 200) {
@@ -49,18 +57,19 @@ object GraphAlgorithms {
       // one. Cuts convergence from O(diameter) to ~O(log diameter) rounds —
       // the difference between 15 and 4 rounds here, and between hundreds
       // and ~10 on a 100 TB graph with a long effective diameter.
+      // (Eliding this checkpoint in favor of ReuseExchange inside `next`'s
+      // plan was measured and is NOT a win at sf0.1: 3-run means were flat
+      // on q_percolation and ~8% worse on q_components.)
       val next = prop.as("a")
         .join(prop.select(col("id").as("cid"), col("component").as("c2")).as("b"),
           col("a.component") === col("cid"), "left_outer")
         .select(col("a.id").as("id"),
           coalesce(col("c2"), col("a.component")).as("component"))
         .localCheckpointCapped()
-      val changed = next.join(
-          labels.withColumnRenamed("component", "prev"), Seq("id"))
-        .filter(col("component") =!= col("prev"))
-        .limit(1).count()
+      val curSum = monotoneSum(next, "component")
       labels = next
-      converged = changed == 0
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
       rounds += 1
     }
     System.err.println(s"[graft] componentLabels converged in $rounds rounds")
@@ -115,6 +124,19 @@ object GraphAlgorithms {
     }
   }
 
+  /** Exact DECIMAL(38,0) sum of `c` — the convergence probe for fixpoints
+    * whose per-node state moves MONOTONICALLY (component labels only
+    * decrease, SCC colors only increase): the sum changes iff any row
+    * changed, so comparing successive sums detects the fixpoint with one
+    * aggregate job over the just-checkpointed frame instead of a join
+    * against the previous round (guide §2.4 — remove shuffles outright).
+    * Null (empty frame) sums as 0.
+    */
+  private def monotoneSum(df: DataFrame, c: String): java.math.BigDecimal = {
+    val v = df.agg(sum(col(c).cast("decimal(38,0)")).as("s")).head.getDecimal(0)
+    if (v == null) java.math.BigDecimal.ZERO else v
+  }
+
   /** Max-id propagation to fixpoint: each node's `color` converges to the
     * largest node id that reaches it along `edges` (including itself).
     * Runs `doublingAfter` plain one-shuffle rounds first — a round-4 solo
@@ -132,6 +154,10 @@ object GraphAlgorithms {
   private def maxColorFixpoint(edges: DataFrame, nodes: DataFrame,
                                doublingAfter: Int, tag: String): DataFrame = {
     var colors = nodes.select(col("id"), col("id").as("color")).localCheckpointCapped()
+    // colors only ever INCREASE pointwise, so the exact color sum is
+    // strictly increasing until the fixpoint — same aggregate probe as
+    // componentLabels, one join shuffle per round removed
+    var prevSum = monotoneSum(colors, "color")
     var stable = false
     var rounds = 0
     while (!stable) {
@@ -157,8 +183,9 @@ object GraphAlgorithms {
             greatest(col("a.color"), coalesce(col("c2"), col("a.color"))).as("color"))
           .localCheckpointCapped()
       }
-      stable = next.join(colors.withColumnRenamed("color", "prev"), Seq("id"))
-        .filter(col("color") =!= col("prev")).limit(1).count() == 0
+      val curSum = monotoneSum(next, "color")
+      stable = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
       colors = next
       rounds += 1
     }
@@ -2169,13 +2196,22 @@ object GraphAlgorithms {
     var arr = seeds.select(col("id").as("seed"), col("id"),
         lit(-1L).as("arrival"))
       .transform(flatCheckpoint)
+    // convergence probe: (seed,id) rows are only ever ADDED and arrivals
+    // only ever DECREASE (min), so the (row count, exact arrival sum) pair
+    // is stationary iff the relaxation changed nothing — one aggregate job
+    // replaces the former full-outer changed-row join per double-round
+    def reachState(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)).as("n"),
+        sum(col("arrival").cast("decimal(38,0)")).as("s")).head
+      (r.getLong(0), Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
+    }
+    var prevState = reachState(arr)
     var done = false
     var rounds = 0
     while (!done && rounds < maxRounds) {
       // two relaxations per materialization + convergence probe: the
       // relaxation plan is join-linear in `arr` (no self-join), so chaining
       // a second step costs no lineage blowup, and each probe is a full job
-      val prev = arr
       var cur = arr
       var k = 0
       while (k < 2) {
@@ -2191,12 +2227,11 @@ object GraphAlgorithms {
         k += 1
       }
       arr = flatCheckpoint(cur)
-      val changed = arr
-        .join(prev.withColumnRenamed("arrival", "prev"), Seq("seed", "id"),
-          "left_outer")
-        .filter(col("prev").isNull || col("arrival") =!= col("prev"))
-        .limit(1).count()
-      done = changed == 0; rounds += 1
+      val curState = reachState(arr)
+      done = curState._1 == prevState._1 &&
+        curState._2.compareTo(prevState._2) == 0
+      prevState = curState
+      rounds += 1
     }
     System.err.println(s"[graft] temporalReachability converged in $rounds double-rounds")
     arr
