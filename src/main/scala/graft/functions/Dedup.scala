@@ -696,14 +696,40 @@ object Dedup {
                         blockCol: org.apache.spark.sql.Column,
                         maxDist: Int): DataFrame = {
     require(maxDist >= 0, "maxDist must be non-negative")
+    // The block-keyed self-join broadcasts one side, so no co-partitioning
+    // is needed — but the post-join Levenshtein work runs at the PROBE
+    // side's parallelism. Hashing on the (few, skewed) block keys starved
+    // cores (guide §2.5: low-cardinality partition keys), and a small
+    // input read as one scan split would serialize the whole quadratic
+    // kernel onto one task. Spread the probe side by the unique id to one
+    // partition per core — and only when the scan isn't already at least
+    // that parallel, so a large input pays no extra shuffle.
     val t = df.select(col(idCol).as("id"), col(textCol).as("txt"),
         blockCol.as("blk"))
-      .repartition(col("blk"))
-    val a = t.select(col("blk"), col("id").as("id_a"), col("txt").as("txt_a"))
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val tp = if (t.rdd.getNumPartitions < par) t.repartition(par, col("id"))
+             else t
+    val a = tp.select(col("blk"), col("id").as("id_a"), col("txt").as("txt_a"))
     val b = t.select(col("blk"), col("id").as("id_b"), col("txt").as("txt_b"))
-    a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
-      .withColumn("dist", levenshtein(col("txt_a"), col("txt_b")))
-      .filter(col("dist") <= maxDist)
+    // Candidate pruning before the quadratic-cost expression: a length gap
+    // over maxDist already forces dist > maxDist (each unmatched char costs
+    // >= 1 edit), and the banded levenshtein(threshold) kernel is
+    // O(len * maxDist) instead of O(len^2), returning -1 past the bound —
+    // exact for every value <= maxDist, so filtering to [0, maxDist]
+    // yields bit-identical pairs (threshold floored at 1 because the
+    // kernel requires a positive band; the range filter restores
+    // maxDist = 0 semantics).
+    a.join(b, Seq("blk")).filter(col("id_a") < col("id_b") &&
+        abs(length(col("txt_a")) - length(col("txt_b"))) <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("txt_a"), col("txt_b"), math.max(maxDist, 1)))
+      // a single >= 0 conjunct: every non-sentinel value of the banded
+      // kernel is already <= its threshold, and one conjunct keeps the
+      // pushed-down join condition to ONE levenshtein evaluation per
+      // candidate (a second <= maxDist conjunct was measured to duplicate
+      // the kernel call in the join condition). maxDist = 0 runs the
+      // kernel at band 1, so it needs the exact == 0 check.
+      .filter(if (maxDist == 0) col("dist") === 0 else col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
   }
 
