@@ -162,8 +162,29 @@ object SparkEntry {
     s.read.parquet(p)
   }
 
+  /** Spread a compute-heavy small scan across the session's shuffle
+    * parallelism. Spark sizes scan splits by BYTES (maxPartitionBytes),
+    * so a small parquet (documents/embeddings at bench scale are one row
+    * group) arrives as ONE task and every expensive per-row derivation —
+    * shingling, md5 minhashes, vector quantization — runs serially while
+    * 31 cores idle (measured: jaccardPrefixPairs' shingle-set stage 6.5 s
+    * serial -> 0.6 s spread). The repartition is keyed on the unique id
+    * (deterministic, skew-free; guide §2.5) and SKIPPED when the scan
+    * already has at least that many splits, so a warehouse-scale input
+    * pays no extra shuffle — this is the bytes-vs-compute mismatch fix,
+    * not a local-mode constant. The partition count is the per-JVM
+    * concurrency bound from [[graft.functions.Tuning.spreadPartitions]]
+    * (measured sweet spot 4-8; higher per-JVM task concurrency on
+    * allocation-heavy stages triggers bimodal memory-subsystem stalls on
+    * this host, reproduced on unmodified code).
+    */
+  private def spread(df: DataFrame, key: String): DataFrame = {
+    val par = graft.functions.Tuning.spreadPartitions(df.sparkSession)
+    if (df.rdd.getNumPartitions < par) df.repartition(par, col(key)) else df
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
-    tbl(s, dir, "documents")
+    spread(tbl(s, dir, "documents"), "doc_id")
 
   /** MinHash signatures of the documents table, derived ONCE per (JVM, sf
     * dir) and materialized to parquet — the signature pass (shingle explode
@@ -187,7 +208,7 @@ object SparkEntry {
     s.read.parquet(p)
   }
   private def emb(s: SparkSession, dir: String): DataFrame =
-    tbl(s, dir, "embeddings")
+    spread(tbl(s, dir, "embeddings"), "vec_id")
 
   /** IVF mutual-kNN graph of the embeddings table at the production
     * operating point, derived ONCE per (JVM, sf dir) and materialized to

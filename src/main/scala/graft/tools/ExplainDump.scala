@@ -41,6 +41,13 @@ object ExplainDump {
       SparkEntry.resetMemoizedArtifacts()
       System.gc()
     }
+    // absorb JVM/codegen/scheduler cold-start before any timed query —
+    // same rationale as Bench's warmup (the first timed query otherwise
+    // carries ~5-10 s of warmup and reads as a fake regression)
+    SparkEntry.queries.get("q_degrees").foreach { fn =>
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      reclaim()
+    }
     names.foreach { name =>
       SparkEntry.queries.get(name) match {
         case None => System.err.println(s"[explain] UNKNOWN query $name")
