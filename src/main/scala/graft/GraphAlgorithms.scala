@@ -36,8 +36,11 @@ object GraphAlgorithms {
     // until the fixpoint — sum equality <=> pointwise equality. One cheap
     // aggregate over the just-checkpointed frame replaces the former
     // join-the-previous-round changed-row probe: one fewer join shuffle
-    // per round (guide §2.4), identical round count and output.
-    var prevSum = monotoneSum(labels, "component")
+    // per round (guide §2.4), identical round count and output. Non-numeric
+    // (string-id) graphs keep the join probe.
+    val sumProbe = numericCol(labels, "component")
+    var prevSum =
+      if (sumProbe) monotoneSum(labels, "component") else java.math.BigDecimal.ZERO
     var converged = false
     var rounds = 0
     while (!converged && rounds < 200) {
@@ -66,10 +69,17 @@ object GraphAlgorithms {
         .select(col("a.id").as("id"),
           coalesce(col("c2"), col("a.component")).as("component"))
         .localCheckpointCapped()
-      val curSum = monotoneSum(next, "component")
+      if (sumProbe) {
+        val curSum = monotoneSum(next, "component")
+        converged = curSum.compareTo(prevSum) == 0
+        prevSum = curSum
+      } else {
+        converged = next.join(
+            labels.withColumnRenamed("component", "prev"), Seq("id"))
+          .filter(col("component") =!= col("prev"))
+          .limit(1).count() == 0
+      }
       labels = next
-      converged = curSum.compareTo(prevSum) == 0
-      prevSum = curSum
       rounds += 1
     }
     System.err.println(s"[graft] componentLabels converged in $rounds rounds")
@@ -93,9 +103,27 @@ object GraphAlgorithms {
     * engages pointer doubling — small cyclic cores converge well before
     * this and never pay the doubling join; a genuinely long chain (the
     * 100 TB worry) provably has eccentricity > this bound by the time it
-    * engages, and then closes in O(log L) further rounds.
+    * engages, and then closes in O(log L) further rounds. Was 24 through
+    * round 15, which the sparse-graph SCC never reached (fwd/bwd both
+    * converged plainly in 19 rounds); a round-16 A/B at sf0.1 measured
+    * doublingAfter 4/6/8 all cutting rounds to 9-11 and wall time roughly
+    * in half, with 8 kept as the setting safely above the small-cycle
+    * regime that made round-4's doubling-from-round-1 variant regress.
+    * The result is the same SCC fixpoint at any setting.
     */
-  private[graft] val sccDoublingAfter = 24
+  private[graft] val sccDoublingAfter = 8
+
+  /** Round cap for the backward anti-join frontier BFS, decoupled from
+    * [[sccDoublingAfter]] in round 16: frontier rounds cost work
+    * proportional to the NEWLY reached set (cheap), while hitting the cap
+    * discards the partial sweep and pays a full all-nodes coloring
+    * fixpoint — so the cap should only trip on graphs whose backward
+    * depth is genuinely pathological, not merely deeper than the point
+    * where the coloring loops engage doubling (the sparse-graph SCC has
+    * backward depth 19: with a shared 8-round cap it wasted 8 frontier
+    * rounds and then recolored everything).
+    */
+  private[graft] val sccFrontierCap = 24
 
   /** Scope a body with Catalyst constraint propagation disabled, restoring
     * the previous setting after. `localCheckpoint` preserves the origin
@@ -137,6 +165,13 @@ object GraphAlgorithms {
     if (v == null) java.math.BigDecimal.ZERO else v
   }
 
+  /** The sum probe only applies to NUMERIC label types — string-id graphs
+    * (fully supported; cf. the MST driver-contraction integral-id gate)
+    * fall back to the join-the-previous-round changed-row probe.
+    */
+  private def numericCol(df: DataFrame, c: String): Boolean =
+    df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+
   /** Max-id propagation to fixpoint: each node's `color` converges to the
     * largest node id that reaches it along `edges` (including itself).
     * Runs `doublingAfter` plain one-shuffle rounds first — a round-4 solo
@@ -156,8 +191,11 @@ object GraphAlgorithms {
     var colors = nodes.select(col("id"), col("id").as("color")).localCheckpointCapped()
     // colors only ever INCREASE pointwise, so the exact color sum is
     // strictly increasing until the fixpoint — same aggregate probe as
-    // componentLabels, one join shuffle per round removed
-    var prevSum = monotoneSum(colors, "color")
+    // componentLabels, one join shuffle per round removed (string-id
+    // graphs keep the join probe)
+    val sumProbe = numericCol(colors, "color")
+    var prevSum =
+      if (sumProbe) monotoneSum(colors, "color") else java.math.BigDecimal.ZERO
     var stable = false
     var rounds = 0
     while (!stable) {
@@ -183,9 +221,14 @@ object GraphAlgorithms {
             greatest(col("a.color"), coalesce(col("c2"), col("a.color"))).as("color"))
           .localCheckpointCapped()
       }
-      val curSum = monotoneSum(next, "color")
-      stable = curSum.compareTo(prevSum) == 0
-      prevSum = curSum
+      if (sumProbe) {
+        val curSum = monotoneSum(next, "color")
+        stable = curSum.compareTo(prevSum) == 0
+        prevSum = curSum
+      } else {
+        stable = next.join(colors.withColumnRenamed("color", "prev"), Seq("id"))
+          .filter(col("color") =!= col("prev")).limit(1).count() == 0
+      }
       colors = next
       rounds += 1
     }
@@ -283,8 +326,9 @@ object GraphAlgorithms {
       // right shape at scale (a round-4 A/B at sf0.1 measured 21.9 s vs
       // 23-24 s for an all-nodes flag-propagation round). O(max SCC
       // backward depth) rounds with no doubling possible, so the loop is
-      // capped at `doublingAfter` rounds; a genuinely deep graph that hits
-      // the cap discards the partial sweep and falls back to the
+      // capped at `sccFrontierCap` rounds (decoupled from the coloring
+      // loops' doubling knob — see its scaladoc); a genuinely deep graph
+      // that hits the cap discards the partial sweep and falls back to the
       // doubling-capable full coloring below. (The geometric planner
       // blowup this loop shape used to suffer is gone: with constraint
       // propagation scoped off, localCheckpoint no longer compounds
@@ -297,7 +341,7 @@ object GraphAlgorithms {
       var revRounds = 0
       var capped = false
       while (!capped && !frontier.isEmpty) {
-        if (revRounds >= doublingAfter) capped = true
+        if (revRounds >= math.max(doublingAfter, sccFrontierCap)) capped = true
         else {
           val next = ecc
             .join(frontier.select(col("id").as("source"), col("root")), Seq("source"))

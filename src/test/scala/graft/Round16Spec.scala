@@ -84,4 +84,28 @@ class Round16Spec extends AnyFunSuite with SparkFixture {
     // and the gated point IS the cutover point the shipping law starts at
     assert(SparkEntry.scaledTwoLevelPoint(20165L) == (6, 24, 2, 2))
   }
+
+  // ---------------- fixpoint convergence probe dispatch ------------------
+
+  test("string-id graphs converge through the join-probe fallback") {
+    // the round-16 monotone-sum convergence probe only applies to numeric
+    // label types; a string-id graph must route through the join probe in
+    // BOTH the weak-label and the SCC coloring fixpoints and still produce
+    // min-id labels
+    import spark.implicits._
+    val nodes = Seq("A", "B", "C", "D", "E").toDF("id")
+    // one 3-cycle (A->B->C->A), one chain D->E: SCCs {A,B,C},{D},{E};
+    // weak components {A,B,C} and {D,E}
+    val edges = Seq(("A", "B"), ("B", "C"), ("C", "A"), ("D", "E"))
+      .toDF("source", "target")
+    val g = NetworkFrame(nodes, edges)
+    val weak = GraphAlgorithms.componentLabels(g, "weak")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(weak == Map("A" -> "A", "B" -> "A", "C" -> "A",
+      "D" -> "D", "E" -> "D"))
+    val scc = GraphAlgorithms.strongComponentLabels(g)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(scc == Map("A" -> "A", "B" -> "A", "C" -> "A",
+      "D" -> "D", "E" -> "E"))
+  }
 }
