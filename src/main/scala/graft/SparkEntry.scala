@@ -207,8 +207,13 @@ object SparkEntry {
     })
     s.read.parquet(p)
   }
+  // embeddings deliberately NOT spread: quantization is cheap array
+  // arithmetic (unlike shingling), and a round-16 A/B measured the spread
+  // regressing q_ivfpq_search 12.9 -> 55.3 s and q_cell_neardup
+  // 2.3 -> 4.7 s solo (the IVF-PQ chain re-derives the corpus subtree
+  // repeatedly; the extra exchange multiplies through it)
   private def emb(s: SparkSession, dir: String): DataFrame =
-    spread(tbl(s, dir, "embeddings"), "vec_id")
+    tbl(s, dir, "embeddings")
 
   /** IVF mutual-kNN graph of the embeddings table at the production
     * operating point, derived ONCE per (JVM, sf dir) and materialized to
