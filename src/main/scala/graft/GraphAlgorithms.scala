@@ -1379,11 +1379,18 @@ object GraphAlgorithms {
     val sym = nf.symmetrizedEdges.filter(col("source") =!= col("target"))
       .distinct().localCheckpointCapped()
     var undecided = nf.nodes.select(col("id")).localCheckpointCapped()
-    var result: DataFrame = null
+    // round-16 job-count trims (output-identical): the keyed projection is
+    // a narrow md5 map over the checkpointed `undecided` — recomputing it
+    // in its two consumers is cheaper than a materialization job per
+    // round; and the decided rows are consumed NOWHERE inside the loop,
+    // so they accumulate in a buffer and union+checkpoint once at the end
+    // instead of rewriting the whole result frame every round (the
+    // inMis/outNbrs checkpoints they reference stay alive until then).
+    val decidedParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (i <- 1 to rounds) {
       val key = concat(md5(concat(col("id").cast("string"), lit(s":$i"))),
         lit("-"), lpad(col("id").cast("string"), 20, "0"))
-      val keyed = undecided.select(col("id"), key.as("k")).localCheckpointCapped()
+      val keyed = undecided.select(col("id"), key.as("k"))
       val nbrMin = sym
         .join(keyed.select(col("id").as("source"), col("k").as("nk")), Seq("source"))
         .join(undecided.withColumnRenamed("id", "target"), Seq("target"), "left_semi")
@@ -1397,18 +1404,17 @@ object GraphAlgorithms {
         .join(inMis, Seq("id"), "left_anti")
         .join(undecided, Seq("id"), "left_semi")
         .localCheckpointCapped()
-      val decided = inMis
+      decidedParts += inMis
         .select(col("id"), lit("in").as("status"), lit(i).as("decided_round"))
         .union(outNbrs
           .select(col("id"), lit("out").as("status"), lit(i).as("decided_round")))
-      result = if (result == null) decided.localCheckpointCapped()
-               else result.union(decided).localCheckpointCapped()
       undecided = undecided.join(inMis, Seq("id"), "left_anti")
         .join(outNbrs, Seq("id"), "left_anti").localCheckpointCapped()
     }
+    val result = decidedParts.reduce(_ union _).localCheckpointCapped()
     val leftover = undecided.select(col("id"),
       lit("undecided").as("status"), lit(null).cast("int").as("decided_round"))
-    if (result == null) leftover else result.union(leftover)
+    result.union(leftover)
   }
 
   /** k-truss via fixed-round edge peeling — the edge-level counterpart of
@@ -2583,17 +2589,22 @@ object GraphAlgorithms {
       .filter(col("source") =!= col("target")).distinct()
       .localCheckpointCapped()
     var uncolored = allNodes
-    var colored: DataFrame = null
+    // color classes are consumed nowhere inside the layer loop (the
+    // uncolored update anti-joins the layer's own MIS), so they buffer
+    // and union once at the end instead of a grow-and-rewrite
+    // checkpoint per layer — same round-16 trim as maximalIndependentSet
+    val layersBuf = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (c <- 1 to layers) {
       val sub = nf.copy(nodes = uncolored, edges = induce(sym, uncolored))
       val in = maximalIndependentSet(sub, rounds)
         .filter(col("status") === "in")
         .select(col("id"), lit(c.toLong).as("color"))
-      colored = if (colored == null) in.localCheckpointCapped()
-                else colored.union(in).localCheckpointCapped()
+        .localCheckpointCapped()
+      layersBuf += in
       uncolored = uncolored.join(in.select("id"), Seq("id"), "left_anti")
         .localCheckpointCapped()
     }
+    val colored = layersBuf.reduce(_ union _)
     allNodes.join(colored, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("color"), lit(0L)).as("color"))
   }
