@@ -47,13 +47,21 @@ object GraphAlgorithms {
       // every node receives the min label of its in-neighbors; keep the min
       // of own and received. Join-based (not union+groupBy): same single
       // shuffle, and it avoids a Catalyst Union-constraint-rewrite bug that
-      // a subsequent self-join of the union plan triggers.
-      val minMsgs = e.join(labels.withColumnRenamed("id", "source"), Seq("source"))
-        .groupBy(col("target").as("id")).agg(min("component").as("mc"))
-      val prop = labels.join(minMsgs, Seq("id"), "left_outer")
-        .select(col("id"),
-          least(col("component"), coalesce(col("mc"), col("component"))).as("component"))
-        .localCheckpointCapped()
+      // a subsequent self-join of the union plan triggers. TWO propagation
+      // hops chain per cycle before the doubling: the propagation plan is
+      // join-LINEAR in `labels` (no self-join), so the second hop extends
+      // the same plan with one more join+aggregate instead of needing its
+      // own materialization — the per-cycle checkpoint/probe overhead is
+      // paid once for two hops of progress (round-16; monotonicity makes
+      // the fixpoint — and thus the output — identical).
+      def hop(lab: DataFrame): DataFrame = {
+        val minMsgs = e.join(lab.withColumnRenamed("id", "source"), Seq("source"))
+          .groupBy(col("target").as("id")).agg(min("component").as("mc"))
+        lab.join(minMsgs, Seq("id"), "left_outer")
+          .select(col("id"),
+            least(col("component"), coalesce(col("mc"), col("component"))).as("component"))
+      }
+      val prop = hop(hop(labels)).localCheckpointCapped()
       // pointer doubling: follow the label chain one extra step
       // (label(v) <- label(label(v))). Labels are themselves node ids and
       // only ever decrease, so the lookup's label is always <= the current
