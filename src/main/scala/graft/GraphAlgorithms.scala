@@ -208,10 +208,17 @@ object GraphAlgorithms {
     var rounds = 0
     while (!stable) {
       val next = if (rounds < doublingAfter) {
-        val msgs = edges.join(colors.withColumnRenamed("id", "source"), Seq("source"))
-          .select(col("target").as("id"), col("color"))
-        colors.union(msgs).groupBy("id")
-          .agg(max("color").as("color")).localCheckpointCapped()
+        // two propagation hops per materialization: the union+groupBy
+        // propagation is join-linear in `colors`, so the second hop
+        // extends the same plan — one checkpoint and one probe buy two
+        // hops of progress (round-16, same trick as componentLabels;
+        // monotone max makes the fixpoint and output identical)
+        def hop(c: DataFrame): DataFrame = {
+          val msgs = edges.join(c.withColumnRenamed("id", "source"), Seq("source"))
+            .select(col("target").as("id"), col("color"))
+          c.union(msgs).groupBy("id").agg(max("color").as("color"))
+        }
+        hop(hop(colors)).localCheckpointCapped()
       } else {
         // join-based propagation here (not union+groupBy): the doubling
         // self-join of a union+groupBy plan trips Catalyst's Union
@@ -2267,12 +2274,15 @@ object GraphAlgorithms {
     var done = false
     var rounds = 0
     while (!done && rounds < maxRounds) {
-      // two relaxations per materialization + convergence probe: the
-      // relaxation plan is join-linear in `arr` (no self-join), so chaining
-      // a second step costs no lineage blowup, and each probe is a full job
+      // three relaxations per materialization + convergence probe: the
+      // relaxation plan is join-linear in `arr` (no self-join), so chained
+      // steps cost no lineage blowup, and each probe is a full job
+      // (round-16: was two; the sf0.1 temporal diameter needs ~22
+      // relaxations, so three per cycle trims the checkpoint/probe count
+      // from 11 to 8 with the same monotone fixpoint)
       var cur = arr
       var k = 0
-      while (k < 2) {
+      while (k < 3) {
         val msgs = e
           .join(cur.select(col("seed"), col("id").as("source"), col("arrival")),
             Seq("source"))
@@ -2291,7 +2301,7 @@ object GraphAlgorithms {
       prevState = curState
       rounds += 1
     }
-    System.err.println(s"[graft] temporalReachability converged in $rounds double-rounds")
+    System.err.println(s"[graft] temporalReachability converged in $rounds triple-relaxation cycles")
     arr
   }
 
