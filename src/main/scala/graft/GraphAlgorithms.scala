@@ -47,13 +47,17 @@ object GraphAlgorithms {
       // every node receives the min label of its in-neighbors; keep the min
       // of own and received. Join-based (not union+groupBy): same single
       // shuffle, and it avoids a Catalyst Union-constraint-rewrite bug that
-      // a subsequent self-join of the union plan triggers. TWO propagation
-      // hops chain per cycle before the doubling: the propagation plan is
-      // join-LINEAR in `labels` (no self-join), so the second hop extends
-      // the same plan with one more join+aggregate instead of needing its
-      // own materialization — the per-cycle checkpoint/probe overhead is
-      // paid once for two hops of progress (round-16; monotonicity makes
-      // the fixpoint — and thus the output — identical).
+      // a subsequent self-join of the union plan triggers. From the SECOND
+      // cycle on, TWO propagation hops chain before the doubling: the
+      // propagation plan is join-LINEAR in `labels` (no self-join), so the
+      // second hop extends the same plan with one more join+aggregate
+      // instead of needing its own materialization — the per-cycle
+      // checkpoint/probe overhead is paid once for two hops of progress
+      // (round-16; monotonicity makes the fixpoint — and thus the output —
+      // identical). The FIRST cycle stays single-hop so the tiny quotient
+      // fixpoints that converge immediately (incremental maintenance,
+      // cc-stream micro-batches: 1-2 cycles) never pay a wasted second
+      // shuffle.
       def hop(lab: DataFrame): DataFrame = {
         val minMsgs = e.join(lab.withColumnRenamed("id", "source"), Seq("source"))
           .groupBy(col("target").as("id")).agg(min("component").as("mc"))
@@ -61,7 +65,8 @@ object GraphAlgorithms {
           .select(col("id"),
             least(col("component"), coalesce(col("mc"), col("component"))).as("component"))
       }
-      val prop = hop(hop(labels)).localCheckpointCapped()
+      val prop = (if (rounds == 0) hop(labels) else hop(hop(labels)))
+        .localCheckpointCapped()
       // pointer doubling: follow the label chain one extra step
       // (label(v) <- label(label(v))). Labels are themselves node ids and
       // only ever decrease, so the lookup's label is always <= the current
@@ -208,17 +213,16 @@ object GraphAlgorithms {
     var rounds = 0
     while (!stable) {
       val next = if (rounds < doublingAfter) {
-        // two propagation hops per materialization: the union+groupBy
-        // propagation is join-linear in `colors`, so the second hop
-        // extends the same plan — one checkpoint and one probe buy two
-        // hops of progress (round-16, same trick as componentLabels;
-        // monotone max makes the fixpoint and output identical)
-        def hop(c: DataFrame): DataFrame = {
-          val msgs = edges.join(c.withColumnRenamed("id", "source"), Seq("source"))
-            .select(col("target").as("id"), col("color"))
-          c.union(msgs).groupBy("id").agg(max("color").as("color"))
-        }
-        hop(hop(colors)).localCheckpointCapped()
+        // single hop per cycle, deliberately: chaining a second hop here
+        // (as componentLabels does) was measured in round 16 to save only
+        // ONE cycle (11 -> 10, the doubling rounds already compress the
+        // chain) while doubling the shuffle work of every plain cycle —
+        // q_strong_components regressed 12.6 -> 16.9 s in the closing
+        // bench and recovered on revert
+        val msgs = edges.join(colors.withColumnRenamed("id", "source"), Seq("source"))
+          .select(col("target").as("id"), col("color"))
+        colors.union(msgs).groupBy("id")
+          .agg(max("color").as("color")).localCheckpointCapped()
       } else {
         // join-based propagation here (not union+groupBy): the doubling
         // self-join of a union+groupBy plan trips Catalyst's Union
