@@ -108,6 +108,26 @@ object Plans {
         System.gc()
       }
     }
+    if (what == "r16scc") {
+      // doublingAfter A/B for strongComponentLabels (round-16): the
+      // result is the same SCC fixpoint at any setting; only round counts
+      // and per-round shapes change
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+      val n = cust.count()
+      val nodes = cust.select(col("c_custkey").as("id"))
+      val edges = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_custkey").as("source"),
+          (col("o_orderkey") % n).as("target"))
+      val g = graft.NetworkFrame(nodes, edges)
+      for (da <- args.drop(2).headOption.map(_.split(",").map(_.toInt).toSeq)
+             .getOrElse(Seq(24, 12, 8))) {
+        t(s"scc doublingAfter=$da")(
+          graft.GraphAlgorithms.strongComponentLabels(g, da).count())
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        System.gc()
+      }
+    }
     if (what == "all" || what == "ivf") {
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       val q = Similarity.ivfTopK(emb, "vec_id", "embedding", "label", 3)
