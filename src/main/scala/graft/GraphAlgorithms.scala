@@ -354,25 +354,45 @@ object GraphAlgorithms {
       // constraint sets through the LogicalRDD.)
       val ecc = ec.join(colors.select(col("id").as("source"), col("color")), Seq("source"))
         .localCheckpointCapped()
-      var scc = colors.filter(col("color") === col("id"))
+      // visited-set bookkeeping (round-16): unioning the whole reached set
+      // into a fresh checkpoint EVERY round rewrote all previously reached
+      // rows each time — O(rounds^2) data movement, the same accumulator
+      // shape fixed in maximalIndependentSet. The reached set now lives as
+      // one checkpointed base plus a small buffer of per-round frontier
+      // frames (each already checkpointed for the BFS itself); the
+      // exclusion anti-join runs against base + buffer, and the buffer
+      // folds into the base only every 4 rounds. Exclusion set per round
+      // is identical, so the BFS — and the SCC output — is unchanged.
+      var visited = colors.filter(col("color") === col("id"))
         .select(col("id"), col("id").as("root")).localCheckpointCapped()
-      var frontier = scc
+      val pendingV = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      def notSeen(df: DataFrame): DataFrame =
+        pendingV.foldLeft(df.join(visited, Seq("id"), "left_anti"))(
+          (d, p) => d.join(p, Seq("id"), "left_anti"))
+      var frontier = visited
       var revRounds = 0
       var capped = false
       while (!capped && !frontier.isEmpty) {
         if (revRounds >= math.max(doublingAfter, sccFrontierCap)) capped = true
         else {
-          val next = ecc
+          val next = notSeen(ecc
             .join(frontier.select(col("id").as("source"), col("root")), Seq("source"))
             .filter(col("color") === col("root"))
-            .select(col("target").as("id"), col("root")).distinct()
-            .join(scc, Seq("id"), "left_anti")
+            .select(col("target").as("id"), col("root")).distinct())
             .localCheckpointCapped()
           frontier = next
-          if (!next.isEmpty) scc = scc.union(next).localCheckpointCapped()
+          if (!next.isEmpty) pendingV += next
+          if (pendingV.size >= 4) {
+            visited = (visited +: pendingV).reduce(_ union _).localCheckpointCapped()
+            pendingV.clear()
+          }
           revRounds += 1
         }
       }
+      var scc =
+        if (pendingV.isEmpty) visited
+        else (visited +: pendingV).reduce(_ union _).localCheckpointCapped()
+      pendingV.clear()
       System.err.println(s"[graft] scc bwd frontier " +
         s"${if (capped) "capped" else "converged"} in $revRounds rounds")
       if (capped) {
