@@ -39,8 +39,8 @@ object GraphAlgorithms {
     // per round (guide §2.4), identical round count and output. Non-numeric
     // (string-id) graphs keep the join probe.
     val sumProbe = numericCol(labels, "component")
-    var prevSum =
-      if (sumProbe) monotoneSum(labels, "component") else java.math.BigDecimal.ZERO
+    var prevSum: Option[java.math.BigDecimal] =
+      if (sumProbe) monotoneSum(labels, "component") else None
     var converged = false
     var rounds = 0
     while (!converged && rounds < 200) {
@@ -82,16 +82,18 @@ object GraphAlgorithms {
         .select(col("a.id").as("id"),
           coalesce(col("c2"), col("a.component")).as("component"))
         .localCheckpointCapped()
-      if (sumProbe) {
-        val curSum = monotoneSum(next, "component")
-        converged = curSum.compareTo(prevSum) == 0
-        prevSum = curSum
-      } else {
-        converged = next.join(
-            labels.withColumnRenamed("component", "prev"), Seq("id"))
-          .filter(col("component") =!= col("prev"))
-          .limit(1).count() == 0
+      val curSum = if (sumProbe) monotoneSum(next, "component") else None
+      (prevSum, curSum) match {
+        case (Some(p), Some(c)) => converged = c.compareTo(p) == 0
+        case _ =>
+          // string-id graph, or a decimal-overflow round (None): exact
+          // changed-row join probe
+          converged = next.join(
+              labels.withColumnRenamed("component", "prev"), Seq("id"))
+            .filter(col("component") =!= col("prev"))
+            .limit(1).count() == 0
       }
+      prevSum = curSum
       labels = next
       rounds += 1
     }
@@ -171,19 +173,38 @@ object GraphAlgorithms {
     * changed, so comparing successive sums detects the fixpoint with one
     * aggregate job over the just-checkpointed frame instead of a join
     * against the previous round (guide §2.4 — remove shuffles outright).
-    * Null (empty frame) sums as 0.
+    * Empty frames sum as 0. A NULL sum over a NON-empty frame is a
+    * DECIMAL(38,0) overflow (non-ANSI Spark returns null) — returned as
+    * None so callers fall back to the exact join probe for that round
+    * instead of comparing ZERO == ZERO and forging convergence (round-16
+    * verdict item: unreachable below ~1e19 row-weighted ids, but the
+    * probe's whole point is 100 TB posture and the failure is silent).
     */
-  private def monotoneSum(df: DataFrame, c: String): java.math.BigDecimal = {
-    val v = df.agg(sum(col(c).cast("decimal(38,0)")).as("s")).head.getDecimal(0)
-    if (v == null) java.math.BigDecimal.ZERO else v
+  private[graft] def monotoneSum(df: DataFrame, c: String):
+      Option[java.math.BigDecimal] = {
+    val r = df.agg(sum(col(c).cast("decimal(38,0)")).as("s"),
+      count(lit(1)).as("n")).head
+    val v = r.getDecimal(0)
+    if (v == null && r.getLong(1) > 0L) None
+    else Some(if (v == null) java.math.BigDecimal.ZERO else v)
   }
 
-  /** The sum probe only applies to NUMERIC label types — string-id graphs
-    * (fully supported; cf. the MST driver-contraction integral-id gate)
-    * fall back to the join-the-previous-round changed-row probe.
+  /** The sum probe only applies to INTEGRAL label types — string-id graphs
+    * keep the join-the-previous-round changed-row probe, and so do
+    * fractional-numeric ids (Double/Float/scaled Decimal): the probe casts
+    * to decimal(38,0), which ROUNDS, so a pointwise decrease smaller than
+    * the rounding granularity (2.4 -> 2.0, both cast to 2) would leave the
+    * sum stationary and forge convergence mid-fixpoint. Same gate as the
+    * MST driver-contraction path (truncate-and-collide hazard).
     */
-  private def numericCol(df: DataFrame, c: String): Boolean =
-    df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+  private[graft] def numericCol(df: DataFrame, c: String): Boolean =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.ByteType
+         | org.apache.spark.sql.types.ShortType
+         | org.apache.spark.sql.types.IntegerType
+         | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
 
   /** Max-id propagation to fixpoint: each node's `color` converges to the
     * largest node id that reaches it along `edges` (including itself).
@@ -207,8 +228,8 @@ object GraphAlgorithms {
     // componentLabels, one join shuffle per round removed (string-id
     // graphs keep the join probe)
     val sumProbe = numericCol(colors, "color")
-    var prevSum =
-      if (sumProbe) monotoneSum(colors, "color") else java.math.BigDecimal.ZERO
+    var prevSum: Option[java.math.BigDecimal] =
+      if (sumProbe) monotoneSum(colors, "color") else None
     var stable = false
     var rounds = 0
     while (!stable) {
@@ -240,14 +261,14 @@ object GraphAlgorithms {
             greatest(col("a.color"), coalesce(col("c2"), col("a.color"))).as("color"))
           .localCheckpointCapped()
       }
-      if (sumProbe) {
-        val curSum = monotoneSum(next, "color")
-        stable = curSum.compareTo(prevSum) == 0
-        prevSum = curSum
-      } else {
-        stable = next.join(colors.withColumnRenamed("color", "prev"), Seq("id"))
-          .filter(col("color") =!= col("prev")).limit(1).count() == 0
+      val curSum = if (sumProbe) monotoneSum(next, "color") else None
+      (prevSum, curSum) match {
+        case (Some(p), Some(c)) => stable = c.compareTo(p) == 0
+        case _ =>
+          stable = next.join(colors.withColumnRenamed("color", "prev"), Seq("id"))
+            .filter(col("color") =!= col("prev")).limit(1).count() == 0
       }
+      prevSum = curSum
       colors = next
       rounds += 1
     }
@@ -2289,10 +2310,16 @@ object GraphAlgorithms {
     // only ever DECREASE (min), so the (row count, exact arrival sum) pair
     // is stationary iff the relaxation changed nothing — one aggregate job
     // replaces the former full-outer changed-row join per double-round
-    def reachState(df: DataFrame): (Long, java.math.BigDecimal) = {
+    // a NULL sum over a non-empty frame is a DECIMAL(38,0) overflow
+    // (returned as None): the probe is unusable that round, so the loop
+    // conservatively keeps relaxing instead of comparing ZERO == ZERO
+    def reachState(df: DataFrame): (Long, Option[java.math.BigDecimal]) = {
       val r = df.agg(count(lit(1)).as("n"),
         sum(col("arrival").cast("decimal(38,0)")).as("s")).head
-      (r.getLong(0), Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
+      val v = r.getDecimal(1)
+      val s = if (v == null && r.getLong(0) > 0L) None
+        else Some(if (v == null) java.math.BigDecimal.ZERO else v)
+      (r.getLong(0), s)
     }
     var prevState = reachState(arr)
     var done = false
@@ -2321,7 +2348,10 @@ object GraphAlgorithms {
       arr = flatCheckpoint(cur)
       val curState = reachState(arr)
       done = curState._1 == prevState._1 &&
-        curState._2.compareTo(prevState._2) == 0
+        ((prevState._2, curState._2) match {
+          case (Some(p), Some(c)) => c.compareTo(p) == 0
+          case _ => false
+        })
       prevState = curState
       rounds += 1
     }
